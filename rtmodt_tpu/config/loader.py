@@ -1,0 +1,236 @@
+"""YAML config system with dataclass validation.
+
+Same single-source-YAML surface as the reference (``config/default.yaml`` parsed
+once at startup, sub-dicts passed to constructors -- reference
+``tools/run_pipeline.py:46-117``), plus what the reference lacks: typed schema
+validation with helpful errors, and a ``parallel`` section for the TPU mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def default_config_path() -> str:
+    return os.path.join(_PKG_DIR, "default.yaml")
+
+
+def load_yaml(path: str) -> dict[str, Any]:
+    with open(path, "r") as f:
+        return yaml.safe_load(f) or {}
+
+
+@dataclass
+class SystemConfig:
+    device: str = "tpu"           # tpu | cpu (jax platform preference)
+    precision: str = "bf16"       # bf16 | fp32
+    log_level: str = "INFO"
+    log_dir: str = "logs"
+    output_dir: str = "outputs"
+
+
+@dataclass
+class IngestionConfig:
+    source: str | int = 0
+    backend: str = "opencv"       # opencv | gstreamer
+    reconnect_delay_sec: float = 2.0
+    max_reconnects: int = 10
+    buffer_size: int = 1
+    target_fps: int = 0           # 0 = native
+    resolution: list[int] | None = None  # [w, h] override
+
+
+@dataclass
+class DetectionConfig:
+    model: str = "yolov8s"
+    weights: str | None = None          # orbax dir / converted .npz / ultralytics .pt
+    fallback_weights: str | None = None
+    num_classes: int = 80
+    input_size: int = 640
+    batch_size: int = 1
+    conf_threshold: float = 0.35
+    iou_threshold: float = 0.45
+    max_detections: int = 100
+    nms_candidates: int = 300           # top-k pool entering NMS (static shape)
+    classes: list[int] | None = None    # keep-list, e.g. [0,1,2,3,5,7]
+    agnostic_nms: bool = False
+    half: bool = True                   # bf16 on TPU
+
+
+@dataclass
+class ByteTrackConfig:
+    track_thresh: float = 0.5
+    track_buffer: int = 30
+    match_thresh: float = 0.8
+    low_thresh: float = 0.1
+    new_track_thresh: float = 0.6
+    max_tracks: int = 256               # static track-slot count (device state)
+    motion_model: str = "kalman"        # kalman | none (reference-compat)
+    assignment: str = "greedy"          # greedy (device) | lapjv (host C++)
+    mot20: bool = False
+
+
+@dataclass
+class TrackingConfig:
+    algorithm: str = "bytetrack"
+    trail_length: int = 30
+    bytetrack: ByteTrackConfig = field(default_factory=ByteTrackConfig)
+
+
+@dataclass
+class ZoneConfig:
+    name: str = "zone"
+    polygon: list[list[float]] = field(default_factory=list)
+    dwell_time_sec: float = 2.0
+    cooldown_sec: float = 10.0
+    classes: list[int] | None = None
+
+
+@dataclass
+class EventsConfig:
+    enabled: bool = True
+    zones: list[ZoneConfig] = field(default_factory=list)
+    alert_backend: str = "json_file"    # json_file | webhook | mqtt
+    log_path: str = "logs/events.jsonl"
+    webhook_url: str | None = None
+    clock: str = "stream"               # stream (frame-timestamp) | wall (reference-compat)
+    max_vertices: int = 16              # polygon padding for static shapes
+
+
+@dataclass
+class ProfilingConfig:
+    enabled: bool = True
+    warmup_frames: int = 50
+    log_interval: int = 100
+    per_stage: bool = True              # False = fully-fused single XLA step (max perf)
+
+
+@dataclass
+class VisualizationConfig:
+    enabled: bool = True
+    show_boxes: bool = True
+    show_labels: bool = True
+    show_trails: bool = True
+    show_zones: bool = True
+    show_hud: bool = True
+    trail_length: int = 30
+    save_video: bool = False
+    save_path: str = "outputs/annotated.mp4"
+
+
+@dataclass
+class ParallelConfig:
+    """TPU mesh / multi-stream settings (no reference analog -- see SURVEY.md 2.3)."""
+
+    num_streams: int = 1
+    mesh_axes: dict[str, int] = field(default_factory=dict)  # e.g. {"data": 8}
+    donate_state: bool = True
+
+
+@dataclass
+class PipelineConfig:
+    system: SystemConfig = field(default_factory=SystemConfig)
+    ingestion: IngestionConfig = field(default_factory=IngestionConfig)
+    detection: DetectionConfig = field(default_factory=DetectionConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    events: EventsConfig = field(default_factory=EventsConfig)
+    profiling: ProfilingConfig = field(default_factory=ProfilingConfig)
+    visualization: VisualizationConfig = field(default_factory=VisualizationConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+
+def _build(cls: type, data: Any, path: str) -> Any:
+    """Recursively construct a dataclass from a dict, erroring on unknown keys."""
+    if data is None:
+        return cls()
+    if not isinstance(data, dict):
+        raise TypeError(f"config section '{path}' must be a mapping, got {type(data).__name__}")
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    unknown = set(data) - set(fields)
+    if unknown:
+        raise KeyError(f"unknown config key(s) {sorted(unknown)} in section '{path}'; "
+                       f"valid keys: {sorted(fields)}")
+    kwargs: dict[str, Any] = {}
+    for name, f in fields.items():
+        if name not in data:
+            continue
+        value = data[name]
+        ftype = f.type if isinstance(f.type, type) else None
+        if dataclasses.is_dataclass(f.default_factory() if f.default_factory is not dataclasses.MISSING else None):  # type: ignore[misc]
+            sub_cls = type(f.default_factory())  # type: ignore[misc]
+            if name == "zones" and isinstance(value, list):
+                kwargs[name] = value
+            else:
+                kwargs[name] = _build(sub_cls, value, f"{path}.{name}")
+        elif name == "zones" and isinstance(value, list):
+            kwargs[name] = [_build(ZoneConfig, z, f"{path}.zones[{i}]") for i, z in enumerate(value)]
+        elif name == "bytetrack":
+            kwargs[name] = _build(ByteTrackConfig, value, f"{path}.bytetrack")
+        else:
+            kwargs[name] = value
+        del ftype
+    return cls(**kwargs)
+
+
+def load_config(path: str | None = None, overrides: dict[str, Any] | None = None) -> PipelineConfig:
+    """Load and validate a pipeline config.
+
+    ``overrides`` is a nested dict merged on top of the YAML (used by CLI flags,
+    analogous to the reference's source-override mutation at
+    ``tools/run_pipeline.py:50-51``).
+    """
+    raw = load_yaml(path or default_config_path())
+    if overrides:
+        raw = _deep_merge(raw, overrides)
+    cfg = PipelineConfig(
+        system=_build(SystemConfig, raw.get("system"), "system"),
+        ingestion=_build(IngestionConfig, raw.get("ingestion"), "ingestion"),
+        detection=_build(DetectionConfig, raw.get("detection"), "detection"),
+        tracking=_build(TrackingConfig, raw.get("tracking"), "tracking"),
+        events=_build(EventsConfig, raw.get("events"), "events"),
+        profiling=_build(ProfilingConfig, raw.get("profiling"), "profiling"),
+        visualization=_build(VisualizationConfig, raw.get("visualization"), "visualization"),
+        parallel=_build(ParallelConfig, raw.get("parallel"), "parallel"),
+    )
+    _validate(cfg)
+    return cfg
+
+
+def _deep_merge(base: dict, over: dict) -> dict:
+    out = dict(base)
+    for k, v in over.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def _validate(cfg: PipelineConfig) -> None:
+    d = cfg.detection
+    if not (0.0 <= d.conf_threshold <= 1.0):
+        raise ValueError(f"detection.conf_threshold must be in [0,1], got {d.conf_threshold}")
+    if not (0.0 <= d.iou_threshold <= 1.0):
+        raise ValueError(f"detection.iou_threshold must be in [0,1], got {d.iou_threshold}")
+    if d.input_size % 32 != 0:
+        raise ValueError(f"detection.input_size must be a multiple of 32, got {d.input_size}")
+    if d.max_detections > d.nms_candidates:
+        raise ValueError("detection.max_detections cannot exceed detection.nms_candidates")
+    bt = cfg.tracking.bytetrack
+    if bt.motion_model not in ("kalman", "none"):
+        raise ValueError(f"tracking.bytetrack.motion_model must be kalman|none, got {bt.motion_model}")
+    if bt.assignment not in ("greedy", "lapjv"):
+        raise ValueError(f"tracking.bytetrack.assignment must be greedy|lapjv, got {bt.assignment}")
+    for z in cfg.events.zones:
+        if len(z.polygon) < 3:
+            raise ValueError(f"events zone '{z.name}' polygon needs >= 3 vertices")
+        if len(z.polygon) > cfg.events.max_vertices:
+            raise ValueError(f"events zone '{z.name}' polygon exceeds events.max_vertices "
+                             f"({cfg.events.max_vertices}); raise the limit in config")

@@ -1,0 +1,164 @@
+"""Weight I/O: native .npz / orbax checkpoints + ultralytics .pt conversion.
+
+The reference loads ultralytics checkpoints directly (``src/detection/
+detector.py:82-90``).  This module converts those torch checkpoints into the
+Flax parameter tree (name-mapped, conv kernels transposed OIHW -> HWIO, BN
+running stats -> batch_stats) so pretrained YOLOv8 weights drop into the TPU
+model.  It also defines the framework's own formats: a flat ``.npz`` and
+orbax checkpoint directories.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import traverse_util
+
+from rtmodt_tpu.utils.logging import logger
+
+# ultralytics DetectionModel layer index -> our flax module name
+_LAYER_MAP = {
+    0: "stem", 1: "down1", 2: "c2f1", 3: "down2", 4: "c2f2", 5: "down3",
+    6: "c2f3", 7: "down4", 8: "c2f4", 9: "sppf",
+    12: "neck_td4", 15: "neck_td3", 16: "neck_dn3", 18: "neck_bu4",
+    19: "neck_dn4", 21: "neck_bu5", 22: "head",
+}
+
+
+def _convert_convbn(prefix_out: tuple[str, ...], torch_params: dict[str, np.ndarray],
+                    torch_prefix: str, params: dict, stats: dict) -> None:
+    """One Conv+BN block: ``{torch_prefix}.conv.weight`` + ``{torch_prefix}.bn.*``."""
+    w = torch_params[f"{torch_prefix}.conv.weight"]            # (O, I, kh, kw)
+    params[prefix_out + ("conv", "kernel")] = np.transpose(w, (2, 3, 1, 0))
+    params[prefix_out + ("bn", "scale")] = torch_params[f"{torch_prefix}.bn.weight"]
+    params[prefix_out + ("bn", "bias")] = torch_params[f"{torch_prefix}.bn.bias"]
+    stats[prefix_out + ("bn", "mean")] = torch_params[f"{torch_prefix}.bn.running_mean"]
+    stats[prefix_out + ("bn", "var")] = torch_params[f"{torch_prefix}.bn.running_var"]
+
+
+def _convert_c2f(name: str, tp: dict[str, np.ndarray], torch_prefix: str,
+                 params: dict, stats: dict) -> None:
+    _convert_convbn((name, "cv1"), tp, f"{torch_prefix}.cv1", params, stats)
+    _convert_convbn((name, "cv2"), tp, f"{torch_prefix}.cv2", params, stats)
+    i = 0
+    while f"{torch_prefix}.m.{i}.cv1.conv.weight" in tp:
+        _convert_convbn((name, f"m{i}", "cv1"), tp, f"{torch_prefix}.m.{i}.cv1", params, stats)
+        _convert_convbn((name, f"m{i}", "cv2"), tp, f"{torch_prefix}.m.{i}.cv2", params, stats)
+        i += 1
+
+
+def convert_ultralytics_state_dict(state: dict[str, np.ndarray]) -> dict[str, Any]:
+    """Map an ultralytics YOLOv8 float state dict to the Flax variables tree."""
+    params: dict[tuple[str, ...], np.ndarray] = {}
+    stats: dict[tuple[str, ...], np.ndarray] = {}
+    tp = state
+
+    for idx, name in _LAYER_MAP.items():
+        if name == "head":
+            continue
+        pre = f"model.{idx}"
+        if f"{pre}.conv.weight" in tp:                       # plain ConvBN
+            _convert_convbn((name,), tp, pre, params, stats)
+        elif f"{pre}.cv1.conv.weight" in tp and f"{pre}.m.0.cv1.conv.weight" in tp:
+            _convert_c2f(name, tp, pre, params, stats)       # C2f
+        elif f"{pre}.cv1.conv.weight" in tp:                  # SPPF
+            _convert_convbn((name, "cv1"), tp, f"{pre}.cv1", params, stats)
+            _convert_convbn((name, "cv2"), tp, f"{pre}.cv2", params, stats)
+        else:
+            raise KeyError(f"cannot map ultralytics layer model.{idx} -> {name}")
+
+    # Detect head: cv2 = box branch (4*REG_MAX), cv3 = cls branch
+    for lvl in range(3):
+        for branch, ours in (("cv2", "box"), ("cv3", "cls")):
+            for j in range(2):
+                _convert_convbn(("head", f"{ours}{lvl}_{j}"), tp,
+                                f"model.22.{branch}.{lvl}.{j}", params, stats)
+            w = tp[f"model.22.{branch}.{lvl}.2.weight"]
+            b = tp[f"model.22.{branch}.{lvl}.2.bias"]
+            params[("head", f"{ours}{lvl}_2", "kernel")] = np.transpose(w, (2, 3, 1, 0))
+            params[("head", f"{ours}{lvl}_2", "bias")] = b
+
+    return {
+        "params": traverse_util.unflatten_dict(params),
+        "batch_stats": traverse_util.unflatten_dict(stats),
+    }
+
+
+def load_ultralytics_pt(path: str) -> dict[str, Any]:
+    """Read an ultralytics .pt checkpoint with torch (CPU) and convert."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    model = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    if hasattr(model, "state_dict"):
+        sd = model.state_dict()
+    elif isinstance(model, dict):
+        sd = model
+    else:
+        raise TypeError(f"unsupported checkpoint structure in {path}")
+    state = {k: v.float().numpy() for k, v in sd.items()
+             if isinstance(v, torch.Tensor) and re.match(r"model\.\d+\.", k)}
+    logger.info(f"converted {len(state)} tensors from {path}")
+    return convert_ultralytics_state_dict(state)
+
+
+def save_npz(variables: dict[str, Any], path: str) -> None:
+    flat = traverse_util.flatten_dict(variables, sep="/")
+    np.savez(path, **{k: np.asarray(v) for k, v in flat.items()})
+
+
+def load_npz(path: str) -> dict[str, Any]:
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    return traverse_util.unflatten_dict(flat, sep="/")
+
+
+def save_orbax(variables: dict[str, Any], path: str) -> None:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), jax.device_get(variables), force=True)
+
+
+def load_orbax(path: str) -> dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path))
+
+
+def load_params(path: str, model: Any = None, input_size: int = 640) -> dict[str, Any]:
+    """Load weights from any supported format, validated against the model."""
+    if path.endswith(".pt") or path.endswith(".pth"):
+        variables = load_ultralytics_pt(path)
+    elif path.endswith(".npz"):
+        variables = load_npz(path)
+    elif os.path.isdir(path):
+        variables = load_orbax(path)
+    else:
+        raise ValueError(f"unrecognized weights format: {path}")
+
+    variables = jax.tree.map(jnp.asarray, variables)
+    if model is not None:
+        ref = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, input_size, input_size, 3), jnp.float32),
+                               train=False)
+        )
+        ref_flat = traverse_util.flatten_dict(ref, sep="/")
+        got_flat = traverse_util.flatten_dict(variables, sep="/")
+        missing = set(ref_flat) - set(got_flat)
+        extra = set(got_flat) - set(ref_flat)
+        if missing or extra:
+            raise ValueError(f"weight tree mismatch: missing={sorted(missing)[:5]} "
+                             f"extra={sorted(extra)[:5]} "
+                             f"({len(missing)} missing / {len(extra)} extra)")
+        for k, v in got_flat.items():
+            if tuple(v.shape) != tuple(ref_flat[k].shape):
+                raise ValueError(f"shape mismatch at {k}: {v.shape} vs {ref_flat[k].shape}")
+    return variables

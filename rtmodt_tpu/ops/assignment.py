@@ -1,0 +1,72 @@
+"""Linear assignment on device (greedy) and host (C++ LAPJV).
+
+The reference solves association with the ``lap`` C++ Jonker-Volgenant solver
+when installed, else a greedy NumPy argmax loop (reference
+``src/tracking/tracker.py:163-194``; SURVEY.md N4).  The TPU framework offers:
+
+  * ``greedy_assign`` - an exact greedy matcher as a ``lax.while_loop`` over a
+    fixed-shape similarity matrix, running inside the jitted tracking step
+    (no host round-trip).  Greedy = repeatedly take the globally best
+    (row, col) pair above the threshold, mask its row+column.
+  * the host-side C++ LAPJV solver in ``rtmodt_tpu.native`` (optimal JV
+    assignment, used as test arbiter and for ``assignment: lapjv`` mode).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class AssignResult(NamedTuple):
+    row_to_col: jnp.ndarray  # (R,) int32, -1 if row unmatched
+    col_to_row: jnp.ndarray  # (C,) int32, -1 if col unmatched
+
+
+def greedy_assign(
+    similarity: jnp.ndarray,
+    threshold: float,
+    row_valid: jnp.ndarray | None = None,
+    col_valid: jnp.ndarray | None = None,
+) -> AssignResult:
+    """Greedy maximum-similarity assignment over a (R, C) matrix.
+
+    Matches are taken in descending similarity order; a match requires
+    ``similarity >= threshold`` (the reference's greedy/lapjv accept rule,
+    tracker.py:188 / :170).  Invalid rows/cols never match.  The loop runs
+    at most min(R, C) iterations and terminates early (lax.while_loop) once no
+    pair clears the threshold.
+    """
+    r, c = similarity.shape
+    sim = similarity.astype(jnp.float32)
+    neg = jnp.float32(-1e9)
+    if row_valid is not None:
+        sim = jnp.where(row_valid[:, None], sim, neg)
+    if col_valid is not None:
+        sim = jnp.where(col_valid[None, :], sim, neg)
+
+    def cond(carry):
+        sim, _, _, it = carry
+        return (it < min(r, c)) & (jnp.max(sim) >= threshold)
+
+    def body(carry):
+        sim, row_to_col, col_to_row, it = carry
+        flat = jnp.argmax(sim)
+        i = (flat // c).astype(jnp.int32)
+        j = (flat % c).astype(jnp.int32)
+        row_to_col = row_to_col.at[i].set(j)
+        col_to_row = col_to_row.at[j].set(i)
+        sim = sim.at[i, :].set(neg)
+        sim = sim.at[:, j].set(neg)
+        return sim, row_to_col, col_to_row, it + 1
+
+    init = (
+        sim,
+        jnp.full((r,), -1, dtype=jnp.int32),
+        jnp.full((c,), -1, dtype=jnp.int32),
+        jnp.int32(0),
+    )
+    _, row_to_col, col_to_row, _ = jax.lax.while_loop(cond, body, init)
+    return AssignResult(row_to_col, col_to_row)

@@ -1,0 +1,148 @@
+"""Public tracker façade: `MultiObjectTracker` + `Track`.
+
+API-parity with reference ``src/tracking/tracker.py:200-259``: same
+constructor dispatch (``bytetrack`` works, ``deepsort`` raises
+NotImplementedError), same ``update(detections) -> list[Track]`` call, same
+per-ID centroid trails capped at ``trail_length``.
+
+Two execution backends:
+  * ``assignment: greedy`` (default) - the jittable device state machine in
+    ``bytetrack.py`` (fixed slots, batched Kalman, on-device greedy matching);
+  * ``assignment: lapjv`` - host NumPy ByteTrack with the optimal C++ JV
+    solver (``host_bytetrack.py``).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import numpy as np
+
+from rtmodt_tpu.config.loader import ByteTrackConfig
+from rtmodt_tpu.tracking.bytetrack import (
+    TrackState,
+    bytetrack_update,
+    init_track_state,
+)
+from rtmodt_tpu.utils.logging import logger
+
+
+@dataclass
+class Track:
+    """One tracked object (same fields as reference tracker.py:27-37)."""
+
+    track_id: int
+    xyxy: np.ndarray               # (4,) float32
+    confidence: float
+    class_id: int
+    class_name: str = ""
+    age: int = 0
+    time_since_update: int = 0
+    trail: list[tuple[int, int]] = field(default_factory=list)
+
+
+class MultiObjectTracker:
+    """High-level tracker wrapping the ByteTrack backends."""
+
+    def __init__(self, algorithm: str = "bytetrack", trail_length: int = 30, **kwargs):
+        self.algorithm = algorithm.lower()
+        if self.algorithm == "deepsort":
+            raise NotImplementedError("DeepSORT adapter not yet wired. Use bytetrack.")
+        if self.algorithm != "bytetrack":
+            raise ValueError(f"Unknown tracker: {self.algorithm}")
+
+        bt = kwargs.get("bytetrack", kwargs)
+        if isinstance(bt, ByteTrackConfig):
+            self.cfg = bt
+        else:
+            known = {f for f in ByteTrackConfig.__dataclass_fields__}
+            self.cfg = ByteTrackConfig(**{k: v for k, v in bt.items() if k in known})
+
+        self._trail_map: dict[int, list[tuple[int, int]]] = defaultdict(list)
+        self._trail_maxlen = trail_length
+
+        if self.cfg.assignment == "lapjv":
+            from rtmodt_tpu.tracking.host_bytetrack import HostByteTrack
+            self._host = HostByteTrack(self.cfg)
+            self._step = None
+        else:
+            self._host = None
+            self.state: TrackState = init_track_state(self.cfg.max_tracks)
+            self._step = jax.jit(partial(bytetrack_update, cfg=self.cfg))
+        logger.info(f"Tracker initialised: {self.algorithm} "
+                    f"({self.cfg.assignment}/{self.cfg.motion_model})")
+
+    def reset(self) -> None:
+        self._trail_map.clear()
+        if self._host is not None:
+            self._host._tracks.clear()
+            self._host._next_id = 1
+        else:
+            self.state = init_track_state(self.cfg.max_tracks)
+
+    def update(self, detections) -> list[Track]:
+        """Reference-compatible API: Detections in, active Track list out."""
+        names = getattr(detections, "class_names", [])
+        if self._host is not None:
+            raw = self._host.update(detections.xyxy, detections.confidence,
+                                    detections.class_id)
+            return [self._to_track(r, names) for r in raw]
+
+        d = len(detections)
+        pad = max(1, d)
+        boxes = np.zeros((pad, 4), np.float32)
+        conf = np.zeros((pad,), np.float32)
+        cls = np.full((pad,), -1, np.int32)
+        valid = np.zeros((pad,), bool)
+        boxes[:d] = detections.xyxy
+        conf[:d] = detections.confidence
+        cls[:d] = detections.class_id
+        valid[:d] = True
+        self.state, visible = self._step(self.state, boxes, conf, cls, valid)
+        return self.tracks_from_state(self.state, np.asarray(visible), names)
+
+    def update_from_device(self, state: TrackState, visible, class_names: list[str]) -> list[Track]:
+        """Build Track objects from a device-side step's outputs (fused pipeline)."""
+        self.state = state
+        return self.tracks_from_state(state, np.asarray(visible), class_names)
+
+    def tracks_from_state(self, state: TrackState, visible: np.ndarray,
+                          names: list[str]) -> list[Track]:
+        host = jax.device_get(state)
+        out: list[Track] = []
+        order = np.argsort(host.track_id[visible]) if visible.any() else []
+        idx = np.where(visible)[0]
+        for i in idx[order] if len(idx) else []:
+            r = {
+                "track_id": int(host.track_id[i]),
+                "xyxy": np.asarray(host.boxes[i], np.float32),
+                "confidence": float(host.confidence[i]),
+                "class_id": int(host.class_id[i]),
+                "age": int(host.age[i]),
+                "time_since_update": int(host.tsu[i]),
+            }
+            out.append(self._to_track(r, names))
+        return out
+
+    def _to_track(self, r: dict, names: list[str]) -> Track:
+        tid = r["track_id"]
+        cx = int((r["xyxy"][0] + r["xyxy"][2]) / 2)
+        cy = int((r["xyxy"][1] + r["xyxy"][3]) / 2)
+        trail = self._trail_map[tid]
+        trail.append((cx, cy))
+        if len(trail) > self._trail_maxlen:
+            trail.pop(0)
+        cid = r["class_id"]
+        return Track(
+            track_id=tid,
+            xyxy=np.asarray(r["xyxy"], np.float32),
+            confidence=r["confidence"],
+            class_id=cid,
+            class_name=names[cid] if 0 <= cid < len(names) else "",
+            age=r["age"],
+            time_since_update=r["time_since_update"],
+            trail=list(trail),
+        )

@@ -1,0 +1,29 @@
+"""Test harness config: force JAX onto a virtual 8-device CPU platform.
+
+This is the standard JAX trick for exercising pjit/shard_map sharding logic
+without real TPU hardware (SURVEY.md 4 "What the TPU build needs instead").
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def random_boxes(rng, n, w=1280, h=720, min_size=10, max_size=200):
+    x1 = rng.uniform(0, w - max_size, n)
+    y1 = rng.uniform(0, h - max_size, n)
+    bw = rng.uniform(min_size, max_size, n)
+    bh = rng.uniform(min_size, max_size, n)
+    return np.stack([x1, y1, x1 + bw, y1 + bh], axis=1).astype(np.float32)

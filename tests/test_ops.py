@@ -1,0 +1,256 @@
+"""Unit tests for the core JAX ops against independent NumPy/OpenCV oracles."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import random_boxes
+
+
+def _np_iou(a, b):
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    aa = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    ab = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / (aa[:, None] + ab[None, :] - inter + 1e-7)
+
+
+class TestIoU:
+    def test_matches_numpy(self, rng):
+        from rtmodt_tpu.ops import pairwise_iou
+
+        a = random_boxes(rng, 17)
+        b = random_boxes(rng, 9)
+        got = np.asarray(pairwise_iou(a, b))
+        np.testing.assert_allclose(got, _np_iou(a, b), atol=1e-5)
+
+    def test_identity(self, rng):
+        from rtmodt_tpu.ops import pairwise_iou
+
+        a = random_boxes(rng, 5)
+        np.testing.assert_allclose(np.diag(np.asarray(pairwise_iou(a, a))), 1.0, atol=1e-5)
+
+
+class TestNMS:
+    def _np_greedy_nms(self, boxes, scores, iou_thresh):
+        order = np.argsort(-scores)
+        keep = []
+        while len(order):
+            i = order[0]
+            keep.append(i)
+            if len(order) == 1:
+                break
+            ious = _np_iou(boxes[i : i + 1], boxes[order[1:]])[0]
+            order = order[1:][ious <= iou_thresh]
+        return keep
+
+    def test_agnostic_matches_oracle(self, rng):
+        from rtmodt_tpu.ops import batched_nms_fixed
+
+        n = 60
+        boxes = random_boxes(rng, n, w=640, h=640)
+        scores1 = rng.uniform(0.01, 1.0, n).astype(np.float32)
+        class_scores = np.zeros((n, 3), np.float32)
+        class_scores[np.arange(n), rng.integers(0, 3, n)] = scores1
+
+        res = batched_nms_fixed(boxes, class_scores, conf_thresh=0.1, iou_thresh=0.5,
+                                max_det=50, num_candidates=64, agnostic=True)
+        got = {tuple(np.round(b, 2)) for b, v in zip(np.asarray(res.boxes), np.asarray(res.valid)) if v}
+
+        m = scores1 >= 0.1
+        keep = self._np_greedy_nms(boxes[m], scores1[m], 0.5)
+        want = {tuple(np.round(b, 2)) for b in boxes[m][keep][:50]}
+        assert got == want
+
+    def test_class_aware_keeps_overlapping_other_class(self):
+        from rtmodt_tpu.ops import batched_nms_fixed
+
+        boxes = np.array([[0, 0, 100, 100], [1, 1, 101, 101]], np.float32)
+        cs = np.zeros((2, 2), np.float32)
+        cs[0, 0] = 0.9
+        cs[1, 1] = 0.8  # overlapping box, different class
+        res = batched_nms_fixed(boxes, cs, 0.25, 0.45, max_det=10, num_candidates=2)
+        assert int(res.count) == 2
+        res = batched_nms_fixed(boxes, cs, 0.25, 0.45, max_det=10, num_candidates=2,
+                                agnostic=True)
+        assert int(res.count) == 1
+
+    def test_class_mask_filters(self):
+        import jax.numpy as jnp
+        from rtmodt_tpu.ops import batched_nms_fixed
+
+        boxes = np.array([[0, 0, 10, 10], [50, 50, 80, 80]], np.float32)
+        cs = np.zeros((2, 4), np.float32)
+        cs[0, 2] = 0.9
+        cs[1, 3] = 0.9
+        mask = jnp.asarray(np.array([False, False, True, False]))
+        res = batched_nms_fixed(boxes, cs, 0.25, 0.45, max_det=5, num_candidates=2,
+                                class_mask=mask)
+        assert int(res.count) == 1
+        assert int(res.classes[0]) == 2
+
+    def test_empty_frame(self):
+        from rtmodt_tpu.ops import batched_nms_fixed
+
+        boxes = np.zeros((100, 4), np.float32)
+        cs = np.zeros((100, 5), np.float32)
+        res = batched_nms_fixed(boxes, cs, 0.25, 0.45, max_det=10, num_candidates=30)
+        assert int(res.count) == 0
+        assert not bool(np.asarray(res.valid).any())
+
+
+class TestPolygon:
+    def test_matches_opencv(self, rng):
+        import cv2
+        from rtmodt_tpu.ops import points_in_polygons, pad_polygons
+
+        polys = [
+            [[100, 100], [500, 100], [500, 400], [100, 400]],
+            [[600, 50], [900, 300], [700, 500], [550, 350], [500, 120]],
+            [[0, 0], [50, 0], [25, 80]],
+        ]
+        padded = pad_polygons(polys, max_vertices=8)
+        pts = rng.uniform(0, 1000, (200, 2)).astype(np.float32)
+        got = np.asarray(points_in_polygons(pts, padded))
+        for zi, poly in enumerate(polys):
+            contour = np.asarray(poly, np.float32).reshape(-1, 1, 2)
+            for pi, p in enumerate(pts):
+                want = cv2.pointPolygonTest(contour, (float(p[0]), float(p[1])), False) >= 0
+                # skip exact-boundary points (tie-breaking differs harmlessly)
+                d = cv2.pointPolygonTest(contour, (float(p[0]), float(p[1])), True)
+                if abs(d) < 1e-3:
+                    continue
+                assert got[pi, zi] == want, (pi, zi, p)
+
+    def test_padding_is_identity(self, rng):
+        from rtmodt_tpu.ops import points_in_polygons, pad_polygons
+
+        poly = [[100, 100], [500, 100], [500, 400], [100, 400]]
+        pts = rng.uniform(0, 600, (100, 2)).astype(np.float32)
+        a = np.asarray(points_in_polygons(pts, pad_polygons([poly], 4)))
+        b = np.asarray(points_in_polygons(pts, pad_polygons([poly], 16)))
+        np.testing.assert_array_equal(a, b)
+
+
+class TestAssignment:
+    def test_greedy_simple(self):
+        from rtmodt_tpu.ops import greedy_assign
+
+        sim = np.array([[0.9, 0.1], [0.8, 0.7]], np.float32)
+        res = greedy_assign(sim, 0.5)
+        assert list(np.asarray(res.row_to_col)) == [0, 1]
+
+    def test_greedy_takes_global_max_first(self):
+        from rtmodt_tpu.ops import greedy_assign
+
+        # row0's best is col0 (0.6) but row1-col0 is 0.9: greedy gives col0 to row1
+        sim = np.array([[0.6, 0.0], [0.9, 0.0]], np.float32)
+        res = greedy_assign(sim, 0.5)
+        assert list(np.asarray(res.row_to_col)) == [-1, 0]
+
+    def test_threshold_inclusive(self):
+        from rtmodt_tpu.ops import greedy_assign
+
+        sim = np.array([[0.8]], np.float32)
+        assert int(greedy_assign(sim, 0.8).row_to_col[0]) == 0
+        assert int(greedy_assign(sim, 0.80001).row_to_col[0]) == -1
+
+    def test_validity_masks(self):
+        from rtmodt_tpu.ops import greedy_assign
+        import jax.numpy as jnp
+
+        sim = np.full((3, 3), 0.9, np.float32)
+        res = greedy_assign(sim, 0.5,
+                            row_valid=jnp.asarray([True, False, True]),
+                            col_valid=jnp.asarray([False, True, True]))
+        r2c = np.asarray(res.row_to_col)
+        assert r2c[1] == -1
+        assert set(r2c[[0, 2]]) == {1, 2}
+
+    def test_lapjv_vs_greedy_quality(self, rng):
+        """Optimal JV total similarity must be >= greedy total similarity."""
+        from rtmodt_tpu.ops import greedy_assign
+        from rtmodt_tpu.native import lapjv
+
+        for _ in range(20):
+            sim = rng.random((8, 6)).astype(np.float32)
+            g = np.asarray(greedy_assign(sim, 0.3).row_to_col)
+            o = lapjv(1.0 - sim.astype(np.float64), cost_limit=0.7)
+            g_tot = sum(sim[i, j] for i, j in enumerate(g) if j >= 0)
+            o_tot = sum(sim[i, j] for i, j in enumerate(o) if j >= 0)
+            assert o_tot >= g_tot - 1e-6
+
+
+class TestKalman:
+    def test_device_matches_host(self, rng):
+        import jax.numpy as jnp
+        from rtmodt_tpu.ops import kalman as kf
+        from rtmodt_tpu.tracking.host_kalman import HostKalman
+
+        hk = HostKalman()
+        box = np.array([100, 100, 180, 260], np.float64)
+        hm, hc = hk.initiate(box)
+        meas = np.asarray(kf.initiate(jnp.asarray(hk._to_meas(box))[None]).mean)[0]
+        np.testing.assert_allclose(meas, hm, atol=1e-4)
+
+        dm = kf.KalmanState(jnp.asarray(hm, jnp.float32)[None],
+                            jnp.asarray(hc, jnp.float32)[None])
+        for step in range(5):
+            hm, hc = hk.predict(hm, hc)
+            dm = kf.predict(dm)
+            new_box = box + (step + 1) * np.array([5, 3, 5, 3])
+            hm, hc = hk.update(hm, hc, new_box)
+            dm = kf.update(dm, jnp.asarray(hk._to_meas(new_box), jnp.float32)[None])
+        np.testing.assert_allclose(np.asarray(dm.mean)[0], hm, rtol=1e-3, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(dm.cov)[0], hc, rtol=1e-2, atol=1e-2)
+
+    def test_constant_velocity_convergence(self):
+        """Tracking a constant-velocity box: predictions converge to truth."""
+        import jax.numpy as jnp
+        from rtmodt_tpu.ops import kalman as kf
+        from rtmodt_tpu.ops.iou import xyxy_to_cxcyah, cxcyah_to_xyxy
+
+        v = np.array([10.0, 5.0, 10.0, 5.0])
+        box = np.array([100, 100, 150, 200], np.float32)
+        st = kf.initiate(xyxy_to_cxcyah(jnp.asarray(box))[None])
+        for t in range(1, 20):
+            st = kf.predict(st)
+            st = kf.update(st, xyxy_to_cxcyah(jnp.asarray(box + t * v, jnp.float32))[None])
+        st = kf.predict(st)
+        pred = np.asarray(cxcyah_to_xyxy(st.mean[:, :4]))[0]
+        np.testing.assert_allclose(pred, box + 20 * v, atol=2.0)
+
+
+class TestLetterbox:
+    @pytest.mark.parametrize("hw", [(720, 1280), (1080, 1920), (640, 640), (480, 640)])
+    def test_geometry(self, hw):
+        from rtmodt_tpu.ops.letterbox import letterbox_meta
+
+        h, w = hw
+        m = letterbox_meta(h, w, 640)
+        assert m.new_w <= 640 and m.new_h <= 640
+        assert max(m.new_w, m.new_h) == 640
+        assert abs((m.new_w / m.new_h) - (w / h)) < 0.01
+
+    def test_roundtrip_boxes(self, rng):
+        import jax.numpy as jnp
+        from rtmodt_tpu.ops.letterbox import letterbox, unletterbox_boxes, letterbox_meta
+
+        frame = (rng.random((720, 1280, 3)) * 255).astype(np.uint8)
+        img, meta = letterbox(jnp.asarray(frame), 640)
+        assert img.shape == (640, 640, 3)
+        # a box in source coords, mapped to model coords then back
+        src = np.array([[100, 50, 400, 300]], np.float32)
+        model_coords = src * meta.scale + np.array([meta.pad_left, meta.pad_top] * 2)
+        back = np.asarray(unletterbox_boxes(jnp.asarray(model_coords), meta))
+        np.testing.assert_allclose(back, src, atol=0.5)
+
+    def test_pad_value(self):
+        import jax.numpy as jnp
+        from rtmodt_tpu.ops.letterbox import letterbox
+
+        frame = np.zeros((360, 1280, 3), np.uint8)
+        img, meta = letterbox(jnp.asarray(frame), 640)
+        assert meta.pad_top > 0
+        np.testing.assert_allclose(float(img[0, 320, 0]), 114 / 255, atol=1e-2)

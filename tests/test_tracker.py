@@ -1,0 +1,142 @@
+"""ByteTrack state-machine tests on synthetic detection sequences
+(the unit coverage the reference lacks entirely - SURVEY.md 4)."""
+
+import numpy as np
+import pytest
+
+from rtmodt_tpu.config.loader import ByteTrackConfig
+from rtmodt_tpu.detection.detector import Detections
+from rtmodt_tpu.tracking.tracker import MultiObjectTracker
+
+
+def dets(boxes, conf, cls=None):
+    boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+    conf = np.asarray(conf, np.float32)
+    cls = np.zeros(len(boxes), np.int32) if cls is None else np.asarray(cls, np.int32)
+    return Detections(boxes, conf, cls)
+
+
+def walk(box, t, v=(4.0, 2.0)):
+    return [box[0] + v[0] * t, box[1] + v[1] * t, box[2] + v[0] * t, box[3] + v[1] * t]
+
+
+@pytest.fixture(params=["greedy", "lapjv"])
+def tracker(request):
+    cfg = ByteTrackConfig(assignment=request.param, motion_model="kalman",
+                          match_thresh=0.3)
+    return MultiObjectTracker("bytetrack", bytetrack=cfg)
+
+
+class TestByteTrack:
+    def test_id_persistence(self, tracker):
+        box = [100, 100, 200, 300]
+        ids = []
+        for t in range(10):
+            tracks = tracker.update(dets([walk(box, t)], [0.9]))
+            assert len(tracks) == 1
+            ids.append(tracks[0].track_id)
+        assert len(set(ids)) == 1
+        assert ids[0] == 1
+        assert tracks[0].age == 10
+
+    def test_two_objects_no_swap(self, tracker):
+        a = [100, 100, 200, 300]
+        b = [800, 400, 900, 600]
+        id_map = {}
+        for t in range(10):
+            tracks = tracker.update(dets([walk(a, t), walk(b, t, (-3, 1))], [0.9, 0.85]))
+            assert len(tracks) == 2
+            for tr in tracks:
+                cx = (tr.xyxy[0] + tr.xyxy[2]) / 2
+                key = "a" if cx < 500 else "b"
+                id_map.setdefault(key, tr.track_id)
+                assert id_map[key] == tr.track_id
+        assert id_map["a"] != id_map["b"]
+
+    def test_low_conf_second_stage_recovers(self, tracker):
+        box = [100, 100, 200, 300]
+        for t in range(5):
+            tracker.update(dets([walk(box, t)], [0.9]))
+        # occlusion: detection drops below track_thresh but above low_thresh
+        tracks = tracker.update(dets([walk(box, 5)], [0.3]))
+        assert len(tracks) == 1
+        assert tracks[0].track_id == 1
+        # and no new track is spawned from the low det
+        tracks = tracker.update(dets([walk(box, 6)], [0.9]))
+        assert [t.track_id for t in tracks] == [1]
+
+    def test_low_conf_does_not_spawn(self, tracker):
+        tracks = tracker.update(dets([[10, 10, 50, 50]], [0.3]))
+        assert tracks == []
+
+    def test_track_buffer_expiry(self):
+        cfg = ByteTrackConfig(track_buffer=3, match_thresh=0.3)
+        tr = MultiObjectTracker("bytetrack", bytetrack=cfg)
+        tr.update(dets([[100, 100, 200, 300]], [0.9]))
+        for _ in range(5):
+            out = tr.update(dets(np.zeros((0, 4)), []))
+            assert out == []
+        # after expiry, same box gets a NEW id
+        out = tr.update(dets([[100, 100, 200, 300]], [0.9]))
+        assert out[0].track_id == 2
+
+    def test_reappear_within_buffer_keeps_id(self, tracker):
+        box = [100, 100, 200, 300]
+        for t in range(5):
+            tracker.update(dets([walk(box, t)], [0.9]))
+        for _ in range(3):  # missed frames within buffer
+            tracker.update(dets(np.zeros((0, 4)), []))
+        tracks = tracker.update(dets([walk(box, 8)], [0.9]))
+        assert len(tracks) == 1
+        assert tracks[0].track_id == 1
+
+    def test_trail_accumulates_and_caps(self):
+        cfg = ByteTrackConfig(match_thresh=0.3)
+        tr = MultiObjectTracker("bytetrack", trail_length=5, bytetrack=cfg)
+        box = [100, 100, 200, 300]
+        for t in range(10):
+            tracks = tr.update(dets([walk(box, t)], [0.9]))
+        assert len(tracks[0].trail) == 5
+
+    def test_deepsort_raises(self):
+        with pytest.raises(NotImplementedError):
+            MultiObjectTracker("deepsort")
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError):
+            MultiObjectTracker("sort2000")
+
+
+class TestDeviceHostParity:
+    """Device greedy tracker vs host LAPJV tracker on well-separated scenes
+    (where greedy and optimal assignment agree) must produce identical ids."""
+
+    def test_parity_on_separated_objects(self, rng):
+        cfg_d = ByteTrackConfig(assignment="greedy", motion_model="kalman", match_thresh=0.3)
+        cfg_h = ByteTrackConfig(assignment="lapjv", motion_model="kalman", match_thresh=0.3)
+        dev = MultiObjectTracker("bytetrack", bytetrack=cfg_d)
+        host = MultiObjectTracker("bytetrack", bytetrack=cfg_h)
+
+        origins = [(100, 100), (500, 100), (900, 400), (200, 600)]
+        vels = [(4, 2), (-3, 1), (0, -2), (2, 0)]
+        for t in range(15):
+            boxes, confs = [], []
+            for (ox, oy), (vx, vy) in zip(origins, vels):
+                boxes.append([ox + vx * t, oy + vy * t, ox + 80 + vx * t, oy + 120 + vy * t])
+                confs.append(0.9)
+            # drop one object for 2 frames mid-sequence
+            if t in (7, 8):
+                boxes, confs = boxes[:-1], confs[:-1]
+            d = dets(boxes, confs)
+            td = {tuple(np.round(x.xyxy, -1)): x.track_id for x in dev.update(d)}
+            th = {tuple(np.round(x.xyxy, -1)): x.track_id for x in host.update(d)}
+            assert set(td.values()) == set(th.values()), f"frame {t}"
+
+    def test_kalman_none_matches_reference_mode(self):
+        """motion_model=none: matched boxes are the raw detections."""
+        cfg = ByteTrackConfig(assignment="greedy", motion_model="none", match_thresh=0.3)
+        tr = MultiObjectTracker("bytetrack", bytetrack=cfg)
+        box = np.array([100, 100, 200, 300], np.float32)
+        for t in range(3):
+            tracks = tr.update(dets([box + 5 * t], [0.9]))
+        np.testing.assert_allclose(tracks[0].xyxy, box + 10, atol=1e-4)
