@@ -88,18 +88,25 @@ class TrackingConfig:
 class ZoneConfig:
     name: str = "zone"
     polygon: list[list[float]] = field(default_factory=list)
+    trigger: str = "intrusion"          # intrusion | crossing
+    direction: str | None = None        # for crossing zones
     dwell_time_sec: float = 2.0
     cooldown_sec: float = 10.0
-    classes: list[int] | None = None
+    classes: list[int] | None = None    # optional class keep-list (extension)
+
+
+@dataclass
+class AlertConfig:
+    backend: str = "json_file"          # json_file | webhook | mqtt
+    log_path: str = "logs/events.jsonl"
+    webhook_url: str = ""
 
 
 @dataclass
 class EventsConfig:
     enabled: bool = True
     zones: list[ZoneConfig] = field(default_factory=list)
-    alert_backend: str = "json_file"    # json_file | webhook | mqtt
-    log_path: str = "logs/events.jsonl"
-    webhook_url: str | None = None
+    alert: AlertConfig = field(default_factory=AlertConfig)
     clock: str = "stream"               # stream (frame-timestamp) | wall (reference-compat)
     max_vertices: int = 16              # polygon padding for static shapes
 

@@ -1,0 +1,220 @@
+"""Polygon zone-intrusion & dwell-time event engine.
+
+Capability-parity with reference ``src/events/zone_engine.py:64-157``: same
+event JSONL schema (timestamp_utc, event_type, zone_name, track_id, class_id,
+class_name, dwell_time_sec, bbox_xyxy, centroid, frame_id, metadata), same
+dwell >= dwell_time_sec with per-(track, zone) cooldown rules, same
+``process(tracks, frame_id) -> list[ZoneEvent]`` / ``get_zone_polygons()``
+public API.
+
+TPU-native differences:
+  * containment is a single vectorized even-odd test over (tracks x zones)
+    (``rtmodt_tpu.ops.polygon``) instead of a Python loop over
+    ``cv2.pointPolygonTest`` - the same math also runs on-device inside the
+    fused pipeline step;
+  * dwell timing uses STREAM timestamps by default (``clock: stream``) so
+    offline/faster-than-realtime runs trigger identically to live ones; the
+    reference's wall-clock behavior (its bug 2, SURVEY.md 3.6) is available
+    via ``clock: wall``;
+  * the ``webhook`` alert backend is actually implemented (the reference only
+    declares it in config).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+from rtmodt_tpu.config.loader import AlertConfig, EventsConfig, ZoneConfig
+from rtmodt_tpu.utils.logging import logger
+
+
+@dataclass
+class ZoneEvent:
+    """Immutable event record - field-for-field the reference schema
+    (zone_engine.py:29-45)."""
+
+    timestamp_utc: str
+    event_type: str               # intrusion | crossing
+    zone_name: str
+    track_id: int
+    class_id: int
+    class_name: str
+    dwell_time_sec: float
+    bbox_xyxy: list[float]
+    centroid: list[int]
+    frame_id: int
+    metadata: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), default=str)
+
+
+@dataclass
+class Zone:
+    name: str
+    polygon: np.ndarray           # (K, 2) float32
+    trigger: str = "intrusion"
+    dwell_time_sec: float = 2.0
+    cooldown_sec: float = 10.0
+    direction: Optional[str] = None
+    classes: Optional[list[int]] = None
+
+
+def _points_in_polygons_np(points: np.ndarray, polys: list[np.ndarray]) -> np.ndarray:
+    """(N, 2) points x list of (K_i, 2) polygons -> (N, Z) bool, even-odd rule.
+    NumPy twin of ``rtmodt_tpu.ops.polygon.points_in_polygons`` for the host path."""
+    n = len(points)
+    out = np.zeros((n, len(polys)), dtype=bool)
+    if n == 0:
+        return out
+    px = points[:, 0][:, None]
+    py = points[:, 1][:, None]
+    for zi, poly in enumerate(polys):
+        vx, vy = poly[:, 0][None, :], poly[:, 1][None, :]
+        nx, ny = np.roll(poly[:, 0], -1)[None, :], np.roll(poly[:, 1], -1)[None, :]
+        straddle = (vy > py) != (ny > py)
+        denom = np.where(np.abs(ny - vy) < 1e-12, 1e-12, ny - vy)
+        x_cross = vx + (py - vy) / denom * (nx - vx)
+        out[:, zi] = (np.sum(straddle & (px < x_cross), axis=1) % 2) == 1
+    return out
+
+
+class ZoneEventEngine:
+    """Evaluate tracks against polygon zones and emit alert events."""
+
+    def __init__(
+        self,
+        zone_configs: Sequence[ZoneConfig | dict],
+        log_path: str | None = None,
+        alert: AlertConfig | None = None,
+        clock: str = "stream",
+    ) -> None:
+        self.zones = [self._parse_zone(z) for z in zone_configs]
+        self.alert = alert or AlertConfig()
+        if log_path is not None:
+            self.alert.log_path = log_path
+        self.clock = clock
+        self.log_path = Path(self.alert.log_path)
+        self.log_path.parent.mkdir(parents=True, exist_ok=True)
+
+        # track_id -> {zone_name -> first_seen_time}
+        self._occupancy: dict[int, dict[str, float]] = {}
+        # (track_id, zone_name) -> last_alert_time
+        self._cooldown: dict[tuple[int, str], float] = {}
+        logger.info(f"ZoneEventEngine loaded {len(self.zones)} zones "
+                    f"(clock={clock}, backend={self.alert.backend})")
+
+    @classmethod
+    def from_config(cls, cfg: EventsConfig) -> "ZoneEventEngine":
+        return cls(cfg.zones, alert=cfg.alert, clock=cfg.clock)
+
+    # ------------------------------------------------------------------
+    def process(self, tracks: Sequence, frame_id: int,
+                timestamp: float | None = None) -> list[ZoneEvent]:
+        """Check all tracks against all zones; emit + persist new events.
+
+        ``timestamp`` is the stream time of this frame (seconds).  With
+        ``clock: stream`` it drives dwell/cooldown; omitted or with
+        ``clock: wall``, wall time is used (reference behavior).
+        """
+        now = time.time() if (self.clock == "wall" or timestamp is None) else timestamp
+        events: list[ZoneEvent] = []
+        tracks = list(tracks)
+
+        if tracks and self.zones:
+            cents = np.array(
+                [[(t.xyxy[0] + t.xyxy[2]) / 2, (t.xyxy[1] + t.xyxy[3]) / 2] for t in tracks],
+                dtype=np.float64,
+            )
+            inside_mat = _points_in_polygons_np(cents, [z.polygon for z in self.zones])
+        else:
+            inside_mat = np.zeros((len(tracks), len(self.zones)), bool)
+
+        active_ids: set[int] = set()
+        for ti, track in enumerate(tracks):
+            active_ids.add(track.track_id)
+            cx = int((track.xyxy[0] + track.xyxy[2]) / 2)
+            cy = int((track.xyxy[1] + track.xyxy[3]) / 2)
+            for zi, zone in enumerate(self.zones):
+                if zone.classes is not None and int(track.class_id) not in zone.classes:
+                    continue
+                if inside_mat[ti, zi]:
+                    occ = self._occupancy.setdefault(track.track_id, {})
+                    occ.setdefault(zone.name, now)
+                    dwell = now - occ[zone.name]
+                    if dwell >= zone.dwell_time_sec:
+                        key = (track.track_id, zone.name)
+                        if now - self._cooldown.get(key, -1e18) >= zone.cooldown_sec:
+                            evt = ZoneEvent(
+                                timestamp_utc=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                                event_type=zone.trigger,
+                                zone_name=zone.name,
+                                track_id=track.track_id,
+                                class_id=int(track.class_id),
+                                class_name=getattr(track, "class_name", ""),
+                                dwell_time_sec=round(dwell, 2),
+                                bbox_xyxy=[float(v) for v in track.xyxy],
+                                centroid=[cx, cy],
+                                frame_id=frame_id,
+                            )
+                            events.append(evt)
+                            self._cooldown[key] = now
+                            self._emit(evt)
+                else:
+                    if track.track_id in self._occupancy:
+                        self._occupancy[track.track_id].pop(zone.name, None)
+
+        # purge state of vanished tracks (reference zone_engine.py:127-130)
+        for sid in set(self._occupancy) - active_ids:
+            del self._occupancy[sid]
+        return events
+
+    def get_zone_polygons(self) -> list[tuple[str, np.ndarray]]:
+        """For the visualization overlay (reference zone_engine.py:134-136)."""
+        return [(z.name, z.polygon.astype(np.int32)) for z in self.zones]
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _parse_zone(cfg: ZoneConfig | dict) -> Zone:
+        if isinstance(cfg, dict):
+            cfg = ZoneConfig(**cfg)
+        return Zone(
+            name=cfg.name,
+            polygon=np.asarray(cfg.polygon, dtype=np.float32),
+            trigger=cfg.trigger,
+            dwell_time_sec=cfg.dwell_time_sec,
+            cooldown_sec=cfg.cooldown_sec,
+            direction=cfg.direction,
+            classes=cfg.classes,
+        )
+
+    def _emit(self, evt: ZoneEvent) -> None:
+        backend = self.alert.backend
+        with open(self.log_path, "a") as f:
+            f.write(evt.to_json() + "\n")
+        if backend == "webhook" and self.alert.webhook_url:
+            self._post_webhook(evt)
+        elif backend == "mqtt":
+            logger.warning("mqtt alert backend not available in this build; "
+                           "event logged to JSONL only")
+        logger.info(f"EVENT | {evt.event_type} | zone={evt.zone_name} "
+                    f"track={evt.track_id} dwell={evt.dwell_time_sec:.1f}s")
+
+    def _post_webhook(self, evt: ZoneEvent) -> None:
+        import urllib.request
+
+        try:
+            req = urllib.request.Request(
+                self.alert.webhook_url,
+                data=evt.to_json().encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            urllib.request.urlopen(req, timeout=2.0)
+        except Exception as e:
+            logger.warning(f"webhook alert failed: {e}")

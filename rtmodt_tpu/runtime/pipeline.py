@@ -1,0 +1,302 @@
+"""The live pipeline: decode -> detect -> track -> events -> render.
+
+TPU-native inversion of the reference main loop (``tools/run_pipeline.py:
+119-166``): instead of five host stages with a GPU round-trip in the middle,
+the hot path is jitted XLA programs fed by a reader thread.
+
+Two execution modes (``profiling.per_stage``):
+  * per-stage (default): preprocess / inference / nms / tracking run as
+    separate jitted programs with ``block_until_ready`` timing between them -
+    same stage taxonomy as the reference profiler, comparable numbers.
+    Intermediate tensors STAY ON DEVICE between stages; only the final
+    visible-track arrays come back to the host.
+  * fused: ONE jitted detect+track step per frame (maximum throughput; the
+    per-stage breakdown collapses into "inference").
+
+Reference-bug fixes carried here (SURVEY.md 3.6): frames are consumed by id
+(no silent duplicate re-processing), the video writer uses the real frame
+size/fps, and the profiler also records true end-to-end frame time.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtmodt_tpu.config.loader import PipelineConfig
+from rtmodt_tpu.detection.detector import Detector
+from rtmodt_tpu.events.zone_engine import ZoneEventEngine
+from rtmodt_tpu.models.yolov8 import decode_predictions
+from rtmodt_tpu.ops.letterbox import letterbox, unletterbox_boxes
+from rtmodt_tpu.ops.nms import batched_nms_fixed
+from rtmodt_tpu.profiling.latency_profiler import LatencyProfiler
+from rtmodt_tpu.tracking.bytetrack import bytetrack_update, init_track_state
+from rtmodt_tpu.tracking.tracker import MultiObjectTracker
+from rtmodt_tpu.utils.logging import logger
+from rtmodt_tpu.visualization.renderer import FrameRenderer
+
+
+class Pipeline:
+    """Orchestrates one stream end-to-end. Use ``run()`` for the CLI loop or
+    ``step(frame, frame_id, ts)`` to drive it frame-by-frame."""
+
+    def __init__(self, cfg: PipelineConfig, warmup_shape: tuple[int, int] | None = None):
+        self.cfg = cfg
+        self.detector = Detector(cfg.detection, warmup=False)
+        self.tracker = MultiObjectTracker(
+            cfg.tracking.algorithm,
+            trail_length=cfg.tracking.trail_length,
+            bytetrack=cfg.tracking.bytetrack,
+        )
+        self.events: Optional[ZoneEventEngine] = (
+            ZoneEventEngine.from_config(cfg.events) if cfg.events.enabled and cfg.events.zones
+            else None
+        )
+        self.profiler = LatencyProfiler(
+            enabled=cfg.profiling.enabled,
+            warmup_frames=cfg.profiling.warmup_frames,
+            log_interval=cfg.profiling.log_interval,
+        )
+        v = cfg.visualization
+        self.renderer = FrameRenderer(
+            show_boxes=v.show_boxes, show_labels=v.show_labels,
+            show_trails=v.show_trails, show_zones=v.show_zones,
+            show_hud=v.show_hud, trail_length=v.trail_length,
+        ) if v.enabled else None
+
+        self._per_stage = cfg.profiling.per_stage
+        self._stage_fns: dict[tuple[int, int], Any] = {}
+        self._fused_fns: dict[tuple[int, int], Any] = {}
+        self._track_fn = jax.jit(partial(bytetrack_update, cfg=cfg.tracking.bytetrack))
+        if warmup_shape:
+            self.warmup(warmup_shape)
+
+    # ------------------------------------------------------------------
+    # jitted stage builders (cached per input resolution)
+    # ------------------------------------------------------------------
+    def _stages_for(self, h: int, w: int):
+        key = (h, w)
+        if key in self._stage_fns:
+            return self._stage_fns[key]
+        dcfg = self.cfg.detection
+        dtype = jnp.bfloat16 if dcfg.half else jnp.float32
+        model = self.detector.model
+        class_mask = self.detector._class_mask
+
+        @jax.jit
+        def pre_fn(frame_u8):
+            img, _ = letterbox(frame_u8, dcfg.input_size, dtype=dtype)
+            return img
+
+        @jax.jit
+        def fwd_fn(params, img):
+            return model.apply(params, img[None], train=False)
+
+        @jax.jit
+        def nms_fn(raw):
+            box_dist, cls_logits = raw
+            boxes, scores = decode_predictions(box_dist, cls_logits, dcfg.input_size)
+            res = batched_nms_fixed(
+                boxes[0], scores[0], dcfg.conf_threshold, dcfg.iou_threshold,
+                dcfg.max_detections, dcfg.nms_candidates, class_mask, dcfg.agnostic_nms,
+            )
+            from rtmodt_tpu.ops.letterbox import letterbox_meta
+            meta = letterbox_meta(h, w, dcfg.input_size)
+            return res._replace(boxes=unletterbox_boxes(res.boxes, meta))
+
+        self._stage_fns[key] = (pre_fn, fwd_fn, nms_fn)
+        return self._stage_fns[key]
+
+    def _fused_for(self, h: int, w: int):
+        key = (h, w)
+        if key in self._fused_fns:
+            return self._fused_fns[key]
+        dcfg = self.cfg.detection
+        bcfg = self.cfg.tracking.bytetrack
+        dtype = jnp.bfloat16 if dcfg.half else jnp.float32
+        model = self.detector.model
+        class_mask = self.detector._class_mask
+        donate = (1,) if self.cfg.parallel.donate_state else ()
+
+        @partial(jax.jit, donate_argnums=donate)
+        def step_fn(params, state, frame_u8):
+            img, meta = letterbox(frame_u8, dcfg.input_size, dtype=dtype)
+            box_dist, cls_logits = model.apply(params, img[None], train=False)
+            boxes, scores = decode_predictions(box_dist, cls_logits, dcfg.input_size)
+            res = batched_nms_fixed(
+                boxes[0], scores[0], dcfg.conf_threshold, dcfg.iou_threshold,
+                dcfg.max_detections, dcfg.nms_candidates, class_mask, dcfg.agnostic_nms,
+            )
+            res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
+            state, visible = bytetrack_update(
+                state, res.boxes, res.scores, res.classes, res.valid, bcfg)
+            return state, visible, res
+
+        self._fused_fns[key] = step_fn
+        return step_fn
+
+    # ------------------------------------------------------------------
+    def warmup(self, shape_hw: tuple[int, int], iters: int = 3) -> None:
+        h, w = shape_hw
+        dummy = np.zeros((h, w, 3), np.uint8)
+        t0 = time.perf_counter()
+        state = self.tracker.state if self.tracker._host is None else init_track_state(
+            self.cfg.tracking.bytetrack.max_tracks)
+        if self._per_stage:
+            pre, fwd, nms = self._stages_for(h, w)
+            for _ in range(iters):
+                img = pre(jnp.asarray(dummy))
+                raw = fwd(self.detector.params, img)
+                res = nms(raw)
+                if self.tracker._host is None:
+                    state, _ = self._track_fn(state, res.boxes, res.scores,
+                                              res.classes, res.valid)
+                jax.block_until_ready(res)
+        else:
+            step = self._fused_for(h, w)
+            for _ in range(iters):
+                state, visible, res = step(self.detector.params, state, jnp.asarray(dummy))
+                jax.block_until_ready(visible)
+        if self.tracker._host is None:
+            self.tracker.state = state
+        logger.info(f"pipeline warmup {w}x{h} done in {time.perf_counter() - t0:.1f}s")
+
+    # ------------------------------------------------------------------
+    def step(self, frame: np.ndarray, frame_id: int, timestamp: float | None = None):
+        """Process one frame. Returns (tracks, events, nms_result)."""
+        p = self.profiler
+        h, w = frame.shape[:2]
+        names = self.detector.class_names
+
+        if self._per_stage and self.tracker._host is None:
+            pre, fwd, nms = self._stages_for(h, w)
+            p.tick("preprocess")
+            img = pre(jnp.asarray(frame))
+            p.tock("preprocess", sync_on=img)
+            p.tick("inference")
+            raw = fwd(self.detector.params, img)
+            p.tock("inference", sync_on=raw)
+            p.tick("nms")
+            res = nms(raw)
+            p.tock("nms", sync_on=res)
+            p.tick("tracking")
+            self.tracker.state, visible = self._track_fn(
+                self.tracker.state, res.boxes, res.scores, res.classes, res.valid)
+            tracks = self.tracker.tracks_from_state(
+                self.tracker.state, np.asarray(visible), names)
+            p.tock("tracking")
+        elif self.tracker._host is not None:
+            # host-tracker mode (lapjv): detect on device, track on host
+            pre, fwd, nms = self._stages_for(h, w)
+            p.tick("preprocess")
+            img = pre(jnp.asarray(frame))
+            p.tock("preprocess", sync_on=img)
+            p.tick("inference")
+            raw = fwd(self.detector.params, img)
+            p.tock("inference", sync_on=raw)
+            p.tick("nms")
+            res = nms(raw)
+            host_res = jax.device_get(res)
+            p.tock("nms")
+            p.tick("tracking")
+            n = int(host_res.count)
+            from rtmodt_tpu.detection.detector import Detections
+            dets = Detections(np.asarray(host_res.boxes[:n], np.float32),
+                              np.asarray(host_res.scores[:n], np.float32),
+                              np.asarray(host_res.classes[:n], np.int32), names)
+            tracks = self.tracker.update(dets)
+            res = host_res
+            p.tock("tracking")
+        else:
+            step_fn = self._fused_for(h, w)
+            p.tick("inference")
+            self.tracker.state, visible, res = step_fn(
+                self.detector.params, self.tracker.state, jnp.asarray(frame))
+            tracks = self.tracker.tracks_from_state(
+                self.tracker.state, np.asarray(visible), names)
+            p.tock("inference")
+
+        p.tick("events")
+        events = self.events.process(tracks, frame_id, timestamp) if self.events else []
+        p.tock("events")
+        return tracks, events, res
+
+    # ------------------------------------------------------------------
+    def run(self, source: str | int | None = None, display: bool = False,
+            max_frames: int | None = None) -> dict[str, float]:
+        """The full CLI loop (reference run_pipeline.py:119-166)."""
+        import cv2
+
+        from rtmodt_tpu.ingestion.rtsp_reader import RTSPReader
+
+        icfg = self.cfg.ingestion
+        reader = RTSPReader(
+            source if source is not None else icfg.source,
+            backend=icfg.backend,
+            reconnect_delay_sec=icfg.reconnect_delay_sec,
+            max_reconnects=icfg.max_reconnects,
+            resolution=tuple(icfg.resolution) if icfg.resolution else None,
+            target_fps=icfg.target_fps,
+        )
+        writer = None
+        vcfg = self.cfg.visualization
+        zones = self.events.get_zone_polygons() if self.events else []
+        last_id = 0
+        frames = 0
+        p = self.profiler
+        warmed = False
+        try:
+            with reader:
+                while True:
+                    p.tick("decode")
+                    frame, fid, ts = reader.read_new(last_id, timeout=2.0)
+                    p.tock("decode")
+                    if frame is None:
+                        if reader.is_eof:
+                            logger.info("end of stream")
+                            break
+                        continue
+                    last_id = fid
+                    if not warmed:
+                        self.warmup(frame.shape[:2])
+                        warmed = True
+                    tracks, events, _ = self.step(frame, fid, ts)
+
+                    if self.renderer is not None:
+                        p.tick("visualization")
+                        self.renderer.render(frame, tracks, zones,
+                                             fps=p.current_fps,
+                                             latency_ms=p.summary().get("total_mean_ms", 0.0))
+                        p.tock("visualization")
+                    p.end_frame()
+
+                    if vcfg.save_video:
+                        if writer is None:
+                            os.makedirs(os.path.dirname(vcfg.save_path) or ".", exist_ok=True)
+                            fps_out = reader.fps if reader.fps > 0 else 25.0
+                            writer = cv2.VideoWriter(
+                                vcfg.save_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                fps_out, (frame.shape[1], frame.shape[0]))
+                        writer.write(frame)
+                    if display:
+                        cv2.imshow("RTMODT-TPU", frame)
+                        if cv2.waitKey(1) & 0xFF == ord("q"):
+                            break
+                    frames += 1
+                    if max_frames and frames >= max_frames:
+                        break
+        except KeyboardInterrupt:
+            logger.info("interrupted")
+        finally:
+            if writer is not None:
+                writer.release()
+            if display:
+                cv2.destroyAllWindows()
+        p.print_summary()
+        return p.summary()

@@ -1,0 +1,250 @@
+"""End-to-end pipeline smoke tests (synthetic video, random weights, CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rtmodt_tpu.config import load_config
+
+
+@pytest.fixture(scope="module")
+def small_cfg(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("pipe")
+    cfg = load_config(overrides={
+        "detection": {"model": "yolov8n", "input_size": 128, "conf_threshold": 0.01,
+                      "nms_candidates": 64, "max_detections": 20, "classes": None},
+        "tracking": {"bytetrack": {"max_tracks": 32}},
+        "events": {"alert": {"log_path": str(tmp / "events.jsonl")},
+                   "zones": [{"name": "z", "polygon": [[10, 10], [100, 10], [100, 100], [10, 100]],
+                              "dwell_time_sec": 0.0, "cooldown_sec": 0.0}]},
+        "profiling": {"warmup_frames": 0, "log_interval": 0},
+        "visualization": {"enabled": True},
+    })
+    return cfg
+
+
+class TestPipelineEndToEnd:
+    def test_step_per_stage(self, small_cfg):
+        from rtmodt_tpu.runtime.pipeline import Pipeline
+
+        pipe = Pipeline(small_cfg)
+        frame = np.random.default_rng(0).integers(0, 255, (160, 160, 3), np.uint8)
+        for fid in range(3):
+            tracks, events, res = pipe.step(frame, fid, timestamp=fid / 30.0)
+            assert res.boxes.shape[0] == 20
+        pipe.profiler.end_frame()
+        s = pipe.profiler.summary()
+        for stage in ("preprocess", "inference", "nms", "tracking", "events"):
+            assert f"{stage}_mean_ms" in s or pipe.profiler._frame_count == 0
+
+    def test_step_fused(self, small_cfg):
+        import dataclasses
+        from rtmodt_tpu.runtime.pipeline import Pipeline
+
+        cfg = dataclasses.replace(small_cfg,
+                                  profiling=dataclasses.replace(small_cfg.profiling,
+                                                                per_stage=False))
+        pipe = Pipeline(cfg)
+        frame = np.zeros((160, 160, 3), np.uint8)
+        for fid in range(3):
+            tracks, events, res = pipe.step(frame, fid)
+        assert pipe.tracker.state is not None
+
+    def test_run_on_video_file(self, small_cfg, tmp_path):
+        from rtmodt_tpu.runtime.pipeline import Pipeline
+        from rtmodt_tpu.utils.synthetic import write_synthetic_video
+
+        video = str(tmp_path / "synth.mp4")
+        write_synthetic_video(video, frames=12, h=160, w=160, n_objects=2)
+        pipe = Pipeline(small_cfg)
+        summary = pipe.run(source=video, max_frames=10)
+        assert pipe.profiler._frame_count >= 5
+        assert "decode_mean_ms" in summary
+
+    def test_save_video_matches_input_geometry(self, small_cfg, tmp_path):
+        """Reference bug 4 fix: writer adopts the actual frame size."""
+        import cv2
+        import dataclasses
+        from rtmodt_tpu.runtime.pipeline import Pipeline
+        from rtmodt_tpu.utils.synthetic import write_synthetic_video
+
+        video = str(tmp_path / "in.mp4")
+        out = str(tmp_path / "out.mp4")
+        write_synthetic_video(video, frames=8, h=160, w=240, n_objects=2)
+        cfg = dataclasses.replace(
+            small_cfg,
+            visualization=dataclasses.replace(small_cfg.visualization,
+                                              save_video=True, save_path=out))
+        Pipeline(cfg).run(source=video, max_frames=6)
+        cap = cv2.VideoCapture(out)
+        assert cap.isOpened()
+        assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 240
+        assert int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) == 160
+        cap.release()
+
+
+class TestReader:
+    def test_video_file_reader(self, tmp_path):
+        from rtmodt_tpu.ingestion.rtsp_reader import RTSPReader
+        from rtmodt_tpu.utils.synthetic import write_synthetic_video
+
+        video = str(tmp_path / "v.mp4")
+        write_synthetic_video(video, frames=10, h=120, w=160, fps=30.0)
+        with RTSPReader(video) as r:
+            seen = 0
+            last = 0
+            while True:
+                frame, fid, ts = r.read_new(last, timeout=2.0)
+                if frame is None:
+                    break
+                assert frame.shape == (120, 160, 3)
+                assert fid > last
+                last = fid
+                seen += 1
+            assert seen >= 5  # latest-frame semantics may skip some
+
+    def test_read_nonblocking_before_start(self):
+        from rtmodt_tpu.ingestion.rtsp_reader import RTSPReader
+
+        r = RTSPReader("nonexistent_dir/nope.mp4")
+        frame, fid, ts = r.read()
+        assert frame is None
+
+    def test_open_failure_raises(self):
+        from rtmodt_tpu.ingestion.rtsp_reader import RTSPReader
+
+        with pytest.raises(ConnectionError):
+            RTSPReader("nonexistent_dir/nope.mp4").start()
+
+
+class TestZoneEngine:
+    def _track(self, tid, box, cid=0):
+        from rtmodt_tpu.tracking.tracker import Track
+
+        return Track(track_id=tid, xyxy=np.asarray(box, np.float32),
+                     confidence=0.9, class_id=cid, class_name="person")
+
+    def test_dwell_and_cooldown_stream_clock(self, tmp_path):
+        from rtmodt_tpu.events.zone_engine import ZoneEventEngine
+
+        eng = ZoneEventEngine(
+            [{"name": "z1", "polygon": [[0, 0], [200, 0], [200, 200], [0, 200]],
+              "dwell_time_sec": 1.0, "cooldown_sec": 5.0}],
+            log_path=str(tmp_path / "ev.jsonl"), clock="stream")
+        inside = self._track(1, [50, 50, 150, 150])
+        # t=0: enters; t=0.5: dwell < 1s -> no event; t=1.0: event
+        assert eng.process([inside], 0, timestamp=0.0) == []
+        assert eng.process([inside], 1, timestamp=0.5) == []
+        evts = eng.process([inside], 2, timestamp=1.0)
+        assert len(evts) == 1
+        assert evts[0].zone_name == "z1"
+        assert evts[0].event_type == "intrusion"
+        assert evts[0].frame_id == 2
+        # cooldown: no repeat until 5s later
+        assert eng.process([inside], 3, timestamp=2.0) == []
+        assert len(eng.process([inside], 4, timestamp=6.5)) == 1
+
+    def test_exit_resets_dwell(self, tmp_path):
+        from rtmodt_tpu.events.zone_engine import ZoneEventEngine
+
+        eng = ZoneEventEngine(
+            [{"name": "z", "polygon": [[0, 0], [200, 0], [200, 200], [0, 200]],
+              "dwell_time_sec": 1.0, "cooldown_sec": 0.0}],
+            log_path=str(tmp_path / "ev.jsonl"), clock="stream")
+        inside = self._track(1, [50, 50, 150, 150])
+        outside = self._track(1, [500, 500, 600, 600])
+        eng.process([inside], 0, timestamp=0.0)
+        eng.process([outside], 1, timestamp=0.9)   # leaves -> reset
+        assert eng.process([inside], 2, timestamp=1.1) == []  # dwell restarted
+        assert len(eng.process([inside], 3, timestamp=2.2)) == 1
+
+    def test_jsonl_schema(self, tmp_path):
+        import json
+        from rtmodt_tpu.events.zone_engine import ZoneEventEngine
+
+        path = tmp_path / "ev.jsonl"
+        eng = ZoneEventEngine(
+            [{"name": "z", "polygon": [[0, 0], [200, 0], [200, 200], [0, 200]],
+              "dwell_time_sec": 0.0, "cooldown_sec": 0.0}],
+            log_path=str(path), clock="stream")
+        eng.process([self._track(7, [50, 50, 150, 150], cid=2)], 42, timestamp=1.0)
+        rec = json.loads(path.read_text().strip())
+        # exact reference schema (zone_engine.py:29-45)
+        assert set(rec) == {"timestamp_utc", "event_type", "zone_name", "track_id",
+                            "class_id", "class_name", "dwell_time_sec", "bbox_xyxy",
+                            "centroid", "frame_id", "metadata"}
+        assert rec["track_id"] == 7
+        assert rec["class_id"] == 2
+        assert rec["frame_id"] == 42
+
+    def test_class_filter(self, tmp_path):
+        from rtmodt_tpu.events.zone_engine import ZoneEventEngine
+
+        eng = ZoneEventEngine(
+            [{"name": "z", "polygon": [[0, 0], [200, 0], [200, 200], [0, 200]],
+              "dwell_time_sec": 0.0, "cooldown_sec": 0.0, "classes": [0]}],
+            log_path=str(tmp_path / "ev.jsonl"), clock="stream")
+        car = self._track(1, [50, 50, 150, 150], cid=2)
+        person = self._track(2, [50, 50, 150, 150], cid=0)
+        evts = eng.process([car, person], 0, timestamp=0.0)
+        assert [e.track_id for e in evts] == [2]
+
+
+class TestProfiler:
+    def test_stage_stats_and_schema(self):
+        import time
+        from rtmodt_tpu.profiling.latency_profiler import LatencyProfiler
+
+        p = LatencyProfiler(warmup_frames=2, log_interval=0)
+        for _ in range(10):
+            p.tick("decode")
+            time.sleep(0.001)
+            p.tock("decode")
+            p.tick("inference")
+            time.sleep(0.002)
+            p.tock("inference")
+            p.end_frame()
+        s = p.summary()
+        for key in ("decode_mean_ms", "decode_p95_ms", "decode_p99_ms",
+                    "inference_mean_ms", "total_mean_ms", "frame_mean_ms",
+                    "fps_mean", "fps_p5"):
+            assert key in s, key
+        assert s["inference_mean_ms"] >= s["decode_mean_ms"]
+        assert s["total_mean_ms"] >= s["inference_mean_ms"]
+        assert s["frame_mean_ms"] >= s["total_mean_ms"] * 0.9
+        assert p.current_fps > 0
+
+    def test_warmup_exclusion(self):
+        from rtmodt_tpu.profiling.latency_profiler import LatencyProfiler
+
+        p = LatencyProfiler(warmup_frames=5, log_interval=0)
+        for _ in range(3):
+            p.tick("decode")
+            p.tock("decode")
+            p.end_frame()
+        assert p.summary() == {}
+
+    def test_disabled_noop(self):
+        from rtmodt_tpu.profiling.latency_profiler import LatencyProfiler
+
+        p = LatencyProfiler(enabled=False)
+        p.tick("decode")
+        p.tock("decode")
+        p.end_frame()
+        assert p.summary() == {}
+
+
+class TestRenderer:
+    def test_render_draws(self):
+        from rtmodt_tpu.tracking.tracker import Track
+        from rtmodt_tpu.visualization.renderer import FrameRenderer
+
+        frame = np.zeros((200, 300, 3), np.uint8)
+        t = Track(track_id=3, xyxy=np.array([50, 50, 120, 160], np.float32),
+                  confidence=0.88, class_id=0, class_name="person",
+                  trail=[(60, 80), (70, 90), (85, 105)])
+        zones = [("z", np.array([[10, 10], [100, 10], [100, 100], [10, 100]], np.int32))]
+        out = FrameRenderer().render(frame, [t], zones, fps=30.0, latency_ms=5.0)
+        assert out is frame
+        assert frame.sum() > 0  # something was drawn

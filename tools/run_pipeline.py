@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""CLI entry point for the live pipeline.
+
+Flag parity with reference ``tools/run_pipeline.py:40-43``:
+``-c/--config``, ``-s/--source``, ``--display/--no-display`` - plus
+``--max-frames`` and ``--save-video`` conveniences.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import click
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rtmodt_tpu.config import load_config, default_config_path  # noqa: E402
+from rtmodt_tpu.utils.logging import logger  # noqa: E402
+
+
+@click.command()
+@click.option("-c", "--config", "config_path", default=None,
+              help="YAML config path (default: packaged default.yaml)")
+@click.option("-s", "--source", default=None,
+              help="override ingestion.source (RTSP URL / file / webcam index)")
+@click.option("--display/--no-display", default=False, help="show annotated window")
+@click.option("--max-frames", default=None, type=int, help="stop after N frames")
+@click.option("--save-video", is_flag=True, default=False,
+              help="write annotated video to visualization.save_path")
+def main(config_path, source, display, max_frames, save_video):
+    overrides = {}
+    if source is not None:
+        overrides["ingestion"] = {"source": source}
+    if save_video:
+        overrides["visualization"] = {"save_video": True}
+    cfg = load_config(config_path or default_config_path(), overrides)
+
+    os.makedirs(cfg.system.log_dir, exist_ok=True)
+    logger.remove()
+    import sys as _sys
+    logger.add(_sys.stderr, level=cfg.system.log_level)
+    logger.add(os.path.join(cfg.system.log_dir, "pipeline.log"),
+               level="DEBUG", rotation="50 MB")
+
+    from rtmodt_tpu.runtime.pipeline import Pipeline
+
+    pipe = Pipeline(cfg)
+    summary = pipe.run(display=display, max_frames=max_frames)
+    if summary:
+        click.echo("\n=== final profile ===")
+        for k, v in sorted(summary.items()):
+            click.echo(f"  {k}: {v:.2f}")
+
+
+if __name__ == "__main__":
+    main()
