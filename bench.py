@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Headline benchmark: end-to-end YOLOv8s detect+track FPS at 720p on one chip.
+
+Measures the full production path - 720p BGR frames entering from the host,
+fused letterbox -> YOLOv8s (bf16) -> DFL decode -> NMS -> ByteTrack step on
+device, track outputs consumed on the host every frame (pipelined window to
+hide transfer latency, as the real pipeline runs).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's claimed end-to-end mean of 87 FPS (YOLOv8s TRT FP16
++ ByteTrack, CUDA GPU - BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_E2E_FPS = 87.0
+
+
+def main() -> None:
+    from rtmodt_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+    import jax  # noqa: F401
+    globals()["jax"] = jax
+
+    from rtmodt_tpu.config import load_config
+    from rtmodt_tpu.runtime.pipeline import Pipeline
+    from rtmodt_tpu.utils.synthetic import moving_boxes_frame
+
+    chunk = int(__import__("os").environ.get("RTMODT_BENCH_CHUNK", "16"))
+    cfg = load_config(overrides={
+        "detection": {"model": "yolov8s", "input_size": 640},
+        "profiling": {"per_stage": False, "warmup_frames": 10, "log_interval": 0},
+        "visualization": {"enabled": False},
+        "events": {"enabled": True},
+        "parallel": {"pipeline_depth": 2},
+    })
+    pipe = Pipeline(cfg)
+
+    h, w = 720, 1280
+    n_prep = 48
+    frames = np.stack([moving_boxes_frame(t, h, w, n_objects=8)[0]
+                       for t in range(n_prep)])
+    chunks = [frames[i:i + chunk] for i in range(0, n_prep - chunk + 1, chunk)]
+
+    print(f"warmup/compile (chunk={chunk})...", file=sys.stderr)
+    t0 = time.perf_counter()
+    for _ in range(2):
+        outs, _ = pipe.submit_chunk(chunks[0])
+    jax.block_until_ready(outs.visible)
+    print(f"compile+warmup {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    from rtmodt_tpu.tracking.bytetrack import TrackOutputs
+
+    names = pipe.detector.class_names
+    depth = cfg.parallel.pipeline_depth
+    n_chunks = max(1, 600 // chunk)
+    warm_chunks = max(1, 48 // chunk)
+    inflight = []
+    lat_samples = []
+    t_start = None
+    done = 0
+
+    def consume(entry):
+        nonlocal done
+        cid, t_sub, outs = entry
+        host = jax.device_get(outs)  # one sync per chunk
+        for f in range(chunk):
+            per_frame = TrackOutputs(*(np.asarray(a[f]) for a in host))
+            tracks = pipe.tracker.tracks_from_outputs(per_frame, names)
+            if pipe.events:
+                pipe.events.process(tracks, cid * chunk + f, (cid * chunk + f) / 30.0)
+        if t_start is not None:
+            lat_samples.append((time.perf_counter() - t_sub) * 1e3)
+            done += chunk
+
+    for i in range(n_chunks):
+        if i == warm_chunks:
+            t_start = time.perf_counter()
+        t_submit = time.perf_counter()
+        outs, _res = pipe.submit_chunk(chunks[i % len(chunks)])
+        inflight.append((i, t_submit, outs))
+        if len(inflight) > depth:
+            consume(inflight.pop(0))
+    while inflight:
+        consume(inflight.pop(0))
+    elapsed = time.perf_counter() - t_start
+    fps = done / elapsed
+    # p99 latency of a frame = chunk completion latency (worst frame in chunk)
+    p99 = float(np.percentile(lat_samples, 99)) if lat_samples else 0.0
+
+    print(f"frames={done} elapsed={elapsed:.2f}s p99_latency={p99:.1f}ms",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "e2e_fps_720p_yolov8s_detect_track",
+        "value": round(fps, 1),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_E2E_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

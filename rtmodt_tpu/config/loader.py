@@ -139,6 +139,8 @@ class ParallelConfig:
     num_streams: int = 1
     mesh_axes: dict[str, int] = field(default_factory=dict)  # e.g. {"data": 8}
     donate_state: bool = True
+    pipeline_depth: int = 2   # in-flight frames between submit and host consume
+                              # (hides host<->device latency; 0 = lowest latency)
 
 
 @dataclass

@@ -47,6 +47,9 @@ class Pipeline:
     ``step(frame, frame_id, ts)`` to drive it frame-by-frame."""
 
     def __init__(self, cfg: PipelineConfig, warmup_shape: tuple[int, int] | None = None):
+        from rtmodt_tpu.utils.jax_setup import setup_jax
+
+        setup_jax()
         self.cfg = cfg
         self.detector = Detector(cfg.detection, warmup=False)
         self.tracker = MultiObjectTracker(
@@ -73,6 +76,7 @@ class Pipeline:
         self._per_stage = cfg.profiling.per_stage
         self._stage_fns: dict[tuple[int, int], Any] = {}
         self._fused_fns: dict[tuple[int, int], Any] = {}
+        self._chunk_fns: dict[tuple[int, int, int], Any] = {}
         self._track_fn = jax.jit(partial(bytetrack_update, cfg=cfg.tracking.bytetrack))
         if warmup_shape:
             self.warmup(warmup_shape)
@@ -134,12 +138,64 @@ class Pipeline:
                 dcfg.max_detections, dcfg.nms_candidates, class_mask, dcfg.agnostic_nms,
             )
             res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
-            state, visible = bytetrack_update(
+            state, outputs = bytetrack_update(
                 state, res.boxes, res.scores, res.classes, res.valid, bcfg)
-            return state, visible, res
+            return state, outputs, res
 
         self._fused_fns[key] = step_fn
         return step_fn
+
+    def _chunk_for(self, h: int, w: int, k: int):
+        """Jitted K-frame streaming step: ``lax.scan`` of the fused detect+track
+        body over a (K, H, W, 3) frame chunk, carrying tracker state through.
+
+        Semantically identical to K sequential per-frame steps, but costs ONE
+        dispatch + ONE host sync per K frames - this is what keeps the TPU fed
+        when host<->device latency is high (SURVEY.md 7 hard part 3).
+        """
+        key = (h, w, k)
+        if key in self._chunk_fns:
+            return self._chunk_fns[key]
+        dcfg = self.cfg.detection
+        bcfg = self.cfg.tracking.bytetrack
+        dtype = jnp.bfloat16 if dcfg.half else jnp.float32
+        model = self.detector.model
+        class_mask = self.detector._class_mask
+        donate = (1,) if self.cfg.parallel.donate_state else ()
+
+        @partial(jax.jit, donate_argnums=donate)
+        def chunk_fn(params, state, frames_u8):
+            def body(st, frame_u8):
+                img, meta = letterbox(frame_u8, dcfg.input_size, dtype=dtype)
+                box_dist, cls_logits = model.apply(params, img[None], train=False)
+                boxes, scores = decode_predictions(box_dist, cls_logits, dcfg.input_size)
+                res = batched_nms_fixed(
+                    boxes[0], scores[0], dcfg.conf_threshold, dcfg.iou_threshold,
+                    dcfg.max_detections, dcfg.nms_candidates, class_mask,
+                    dcfg.agnostic_nms,
+                )
+                res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
+                st, outputs = bytetrack_update(
+                    st, res.boxes, res.scores, res.classes, res.valid, bcfg)
+                return st, (outputs, res)
+
+            state, (outs, ress) = jax.lax.scan(body, state, frames_u8)
+            return state, outs, ress
+
+        self._chunk_fns[key] = chunk_fn
+        return chunk_fn
+
+    def submit_chunk(self, frames: np.ndarray):
+        """Async-submit a (K, H, W, 3) uint8 frame chunk; returns device
+        futures (outputs, res) with a leading K axis. No host sync."""
+        k, h, w = frames.shape[:3]
+        chunk_fn = self._chunk_for(h, w, k)
+        self.tracker.state, outs, ress = chunk_fn(
+            self.detector.params, self.tracker.state, jax.device_put(frames))
+        for leaf in jax.tree.leaves((outs, ress)):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+        return outs, ress
 
     # ------------------------------------------------------------------
     def warmup(self, shape_hw: tuple[int, int], iters: int = 3) -> None:
@@ -151,7 +207,7 @@ class Pipeline:
         if self._per_stage:
             pre, fwd, nms = self._stages_for(h, w)
             for _ in range(iters):
-                img = pre(jnp.asarray(dummy))
+                img = pre(jax.device_put(dummy))
                 raw = fwd(self.detector.params, img)
                 res = nms(raw)
                 if self.tracker._host is None:
@@ -161,8 +217,9 @@ class Pipeline:
         else:
             step = self._fused_for(h, w)
             for _ in range(iters):
-                state, visible, res = step(self.detector.params, state, jnp.asarray(dummy))
-                jax.block_until_ready(visible)
+                state, outputs, res = step(self.detector.params, state,
+                                           jax.device_put(dummy))
+                jax.block_until_ready(outputs.visible)
         if self.tracker._host is None:
             self.tracker.state = state
         logger.info(f"pipeline warmup {w}x{h} done in {time.perf_counter() - t0:.1f}s")
@@ -177,7 +234,7 @@ class Pipeline:
         if self._per_stage and self.tracker._host is None:
             pre, fwd, nms = self._stages_for(h, w)
             p.tick("preprocess")
-            img = pre(jnp.asarray(frame))
+            img = pre(jax.device_put(frame))
             p.tock("preprocess", sync_on=img)
             p.tick("inference")
             raw = fwd(self.detector.params, img)
@@ -186,16 +243,15 @@ class Pipeline:
             res = nms(raw)
             p.tock("nms", sync_on=res)
             p.tick("tracking")
-            self.tracker.state, visible = self._track_fn(
+            self.tracker.state, outputs = self._track_fn(
                 self.tracker.state, res.boxes, res.scores, res.classes, res.valid)
-            tracks = self.tracker.tracks_from_state(
-                self.tracker.state, np.asarray(visible), names)
+            tracks = self.tracker.tracks_from_outputs(outputs, names)
             p.tock("tracking")
         elif self.tracker._host is not None:
             # host-tracker mode (lapjv): detect on device, track on host
             pre, fwd, nms = self._stages_for(h, w)
             p.tick("preprocess")
-            img = pre(jnp.asarray(frame))
+            img = pre(jax.device_put(frame))
             p.tock("preprocess", sync_on=img)
             p.tick("inference")
             raw = fwd(self.detector.params, img)
@@ -216,16 +272,31 @@ class Pipeline:
         else:
             step_fn = self._fused_for(h, w)
             p.tick("inference")
-            self.tracker.state, visible, res = step_fn(
-                self.detector.params, self.tracker.state, jnp.asarray(frame))
-            tracks = self.tracker.tracks_from_state(
-                self.tracker.state, np.asarray(visible), names)
+            self.tracker.state, outputs, res = step_fn(
+                self.detector.params, self.tracker.state, jax.device_put(frame))
+            tracks = self.tracker.tracks_from_outputs(outputs, names)
             p.tock("inference")
 
         p.tick("events")
         events = self.events.process(tracks, frame_id, timestamp) if self.events else []
         p.tock("events")
         return tracks, events, res
+
+    # ------------------------------------------------------------------
+    def submit(self, frame: np.ndarray):
+        """Fused-mode async submit: enqueue one frame's detect+track step and
+        return device futures (outputs, res) WITHOUT any host sync.  Pair with
+        ``MultiObjectTracker.tracks_from_outputs`` when the result is needed.
+        This is what hides host<->device latency behind device compute."""
+        h, w = frame.shape[:2]
+        step_fn = self._fused_for(h, w)
+        self.tracker.state, outputs, res = step_fn(
+            self.detector.params, self.tracker.state, jax.device_put(frame))
+        # start the device->host copies in the background
+        for leaf in jax.tree.leaves((outputs, res)):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+        return outputs, res
 
     # ------------------------------------------------------------------
     def run(self, source: str | int | None = None, display: bool = False,
@@ -247,10 +318,47 @@ class Pipeline:
         writer = None
         vcfg = self.cfg.visualization
         zones = self.events.get_zone_polygons() if self.events else []
+        names = self.detector.class_names
+        depth = (self.cfg.parallel.pipeline_depth
+                 if (not self._per_stage and self.tracker._host is None) else 0)
+        from collections import deque
+        inflight: deque = deque()
         last_id = 0
         frames = 0
         p = self.profiler
         warmed = False
+
+        def consume(entry) -> bool:
+            """Host-side half of one frame: tracks, events, render, write."""
+            nonlocal writer
+            frame, fid, ts, outputs = entry
+            p.tick("tracking")
+            tracks = self.tracker.tracks_from_outputs(outputs, names)
+            p.tock("tracking")
+            p.tick("events")
+            events = self.events.process(tracks, fid, ts) if self.events else []
+            p.tock("events")
+            del events
+            if self.renderer is not None:
+                p.tick("visualization")
+                self.renderer.render(frame, tracks, zones, fps=p.current_fps,
+                                     latency_ms=p.summary().get("total_mean_ms", 0.0))
+                p.tock("visualization")
+            p.end_frame()
+            if vcfg.save_video:
+                if writer is None:
+                    os.makedirs(os.path.dirname(vcfg.save_path) or ".", exist_ok=True)
+                    fps_out = reader.fps if reader.fps > 0 else 25.0
+                    writer = cv2.VideoWriter(
+                        vcfg.save_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                        fps_out, (frame.shape[1], frame.shape[0]))
+                writer.write(frame)
+            if display:
+                cv2.imshow("RTMODT-TPU", frame)
+                if cv2.waitKey(1) & 0xFF == ord("q"):
+                    return False
+            return True
+
         try:
             with reader:
                 while True:
@@ -266,30 +374,41 @@ class Pipeline:
                     if not warmed:
                         self.warmup(frame.shape[:2])
                         warmed = True
-                    tracks, events, _ = self.step(frame, fid, ts)
 
-                    if self.renderer is not None:
-                        p.tick("visualization")
-                        self.renderer.render(frame, tracks, zones,
-                                             fps=p.current_fps,
-                                             latency_ms=p.summary().get("total_mean_ms", 0.0))
-                        p.tock("visualization")
-                    p.end_frame()
-
-                    if vcfg.save_video:
-                        if writer is None:
-                            os.makedirs(os.path.dirname(vcfg.save_path) or ".", exist_ok=True)
-                            fps_out = reader.fps if reader.fps > 0 else 25.0
-                            writer = cv2.VideoWriter(
-                                vcfg.save_path, cv2.VideoWriter_fourcc(*"mp4v"),
-                                fps_out, (frame.shape[1], frame.shape[0]))
-                        writer.write(frame)
-                    if display:
-                        cv2.imshow("RTMODT-TPU", frame)
-                        if cv2.waitKey(1) & 0xFF == ord("q"):
-                            break
+                    if depth > 0:
+                        # async submit; consume the oldest once the window is full
+                        p.tick("inference")
+                        outputs, _res = self.submit(frame)
+                        p.tock("inference")
+                        inflight.append((frame, fid, ts, outputs))
+                        if len(inflight) > depth:
+                            if not consume(inflight.popleft()):
+                                break
+                    else:
+                        tracks, events, _ = self.step(frame, fid, ts)
+                        if self.renderer is not None:
+                            p.tick("visualization")
+                            self.renderer.render(frame, tracks, zones, fps=p.current_fps,
+                                                 latency_ms=p.summary().get("total_mean_ms", 0.0))
+                            p.tock("visualization")
+                        p.end_frame()
+                        if vcfg.save_video:
+                            if writer is None:
+                                os.makedirs(os.path.dirname(vcfg.save_path) or ".", exist_ok=True)
+                                fps_out = reader.fps if reader.fps > 0 else 25.0
+                                writer = cv2.VideoWriter(
+                                    vcfg.save_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                    fps_out, (frame.shape[1], frame.shape[0]))
+                            writer.write(frame)
+                        if display:
+                            cv2.imshow("RTMODT-TPU", frame)
+                            if cv2.waitKey(1) & 0xFF == ord("q"):
+                                break
                     frames += 1
                     if max_frames and frames >= max_frames:
+                        break
+                while inflight:  # drain the pipeline window
+                    if not consume(inflight.popleft()):
                         break
         except KeyboardInterrupt:
             logger.info("interrupted")

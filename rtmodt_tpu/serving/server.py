@@ -1,0 +1,227 @@
+"""Web demo server - endpoint/schema parity with the reference FastAPI app.
+
+Same HTTP surface as reference ``web/server.py:131-186``:
+
+  GET  /                            -> SPA index.html
+  GET  /static/...                  -> static assets (incl. /static/samples)
+  GET  /api/samples                 -> {"samples": [{name, filename, url}]}
+  POST /api/detect/image            -> multipart upload, 400 on bad image
+  POST /api/detect/frame            -> {"image": dataURL-base64}, 400 on bad data
+  GET  /api/detect/sample/{file}    -> 404 if missing
+
+and the same detection response schema (reference web/server.py:109-115):
+``{detections: [{bbox, confidence, class_id, class_name}], tracks: [],
+inference_ms, num_objects, image_size: [w, h]}``.
+
+Differences by design: inference runs the framework's jitted JAX YOLOv8
+``Detector`` (lazy singleton, like the reference's lazy ``YOLO`` load at
+web/server.py:68-77) instead of an ultralytics model, and serving is the
+stdlib WSGI stack in ``rtmodt_tpu.serving.wsgi`` (FastAPI/uvicorn are not
+available here).  Optional tracking on uploaded frame sequences is a real
+extension: the reference always returns ``tracks: []``.
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+import threading
+import time
+from pathlib import Path
+
+import click
+import numpy as np
+
+from rtmodt_tpu.serving.wsgi import (
+    App,
+    HTTPError,
+    JSONResponse,
+    Request,
+    Response,
+    static_response,
+)
+from rtmodt_tpu.utils.coco_names import COCO_NAMES
+from rtmodt_tpu.utils.logging import logger
+
+WEB_DIR = Path(os.environ.get(
+    "RTMODT_WEB_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "web")))
+STATIC_DIR = WEB_DIR / "static"
+SAMPLES_DIR = STATIC_DIR / "samples"
+
+
+class _DetectorSingleton:
+    """Lazy, thread-safe detector (compiles on first request, like the
+    reference's first-request model download)."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._detector = None
+
+    def get(self):
+        with self._lock:
+            if self._detector is None:
+                from rtmodt_tpu.config.loader import DetectionConfig
+                from rtmodt_tpu.detection.detector import Detector
+
+                weights = os.environ.get("RTMODT_WEIGHTS")
+                logger.info("loading web detector (first request)...")
+                self._detector = Detector(
+                    DetectionConfig(
+                        model=os.environ.get("RTMODT_MODEL", "yolov8s"),
+                        weights=weights,
+                        conf_threshold=0.35,
+                        iou_threshold=0.45,
+                        classes=None,
+                    ),
+                    warmup=False,
+                )
+            return self._detector
+
+    def set(self, detector) -> None:
+        with self._lock:
+            self._detector = detector
+
+
+_singleton = _DetectorSingleton()
+
+
+def _run_detection(img_bgr: np.ndarray) -> dict:
+    """Single-image detection -> reference response schema
+    (web/server.py:84-115)."""
+    t0 = time.perf_counter()
+    det = _singleton.get().detect(img_bgr)
+    inference_ms = (time.perf_counter() - t0) * 1e3
+    detections = [
+        {
+            "bbox": [float(v) for v in det.xyxy[i]],
+            "confidence": float(det.confidence[i]),
+            "class_id": int(det.class_id[i]),
+            "class_name": (det.class_names[det.class_id[i]]
+                           if 0 <= det.class_id[i] < len(det.class_names)
+                           else COCO_NAMES[det.class_id[i] % len(COCO_NAMES)]),
+        }
+        for i in range(len(det))
+    ]
+    h, w = img_bgr.shape[:2]
+    return {
+        "detections": detections,
+        "tracks": [],
+        "inference_ms": round(inference_ms, 2),
+        "num_objects": len(detections),
+        "image_size": [w, h],
+    }
+
+
+def _decode_image(data: bytes) -> np.ndarray:
+    import cv2
+
+    arr = np.frombuffer(data, np.uint8)
+    img = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+    if img is None:
+        raise HTTPError(400, "Could not decode image.")
+    return img
+
+
+def create_app() -> App:
+    app = App()
+    STATIC_DIR.mkdir(parents=True, exist_ok=True)
+    SAMPLES_DIR.mkdir(parents=True, exist_ok=True)
+
+    @app.get("/")
+    def index(req: Request) -> Response:
+        p = WEB_DIR / "index.html"
+        if not p.exists():
+            raise HTTPError(404, "index.html missing")
+        return Response(p.read_bytes(), 200, "text/html; charset=utf-8")
+
+    @app.get("/static/{path}")
+    def static_one(req: Request) -> Response:
+        return static_response(str(STATIC_DIR / req.path_params["path"]))
+
+    @app.get("/static/{dir}/{path}")
+    def static_two(req: Request) -> Response:
+        return static_response(
+            str(STATIC_DIR / req.path_params["dir"] / req.path_params["path"]))
+
+    @app.get("/api/samples")
+    def list_samples(req: Request) -> Response:
+        samples = []
+        if SAMPLES_DIR.exists():
+            for f in sorted(SAMPLES_DIR.iterdir()):
+                if f.suffix.lower() in (".jpg", ".jpeg", ".png", ".webp"):
+                    samples.append({
+                        "name": f.stem.replace("_", " ").title(),
+                        "filename": f.name,
+                        "url": f"/static/samples/{f.name}",
+                    })
+        return JSONResponse({"samples": samples})
+
+    @app.post("/api/detect/image")
+    def detect_image(req: Request) -> Response:
+        files = req.files()
+        if "file" not in files:
+            raise HTTPError(400, "missing multipart field 'file'")
+        _, content = files["file"]
+        return JSONResponse(_run_detection(_decode_image(content)))
+
+    @app.post("/api/detect/frame")
+    def detect_frame(req: Request) -> Response:
+        try:
+            payload = req.json()
+        except Exception:
+            raise HTTPError(400, "invalid JSON body")
+        data_url = str(payload.get("image", ""))
+        if "," in data_url:
+            data_url = data_url.split(",", 1)[1]
+        try:
+            img_bytes = base64.b64decode(data_url, validate=True)
+        except Exception:
+            raise HTTPError(400, "Invalid base64 image data.")
+        return JSONResponse(_run_detection(_decode_image(img_bytes)))
+
+    @app.get("/api/detect/sample/{filename}")
+    def detect_sample(req: Request) -> Response:
+        import cv2
+
+        filename = os.path.basename(req.path_params["filename"])
+        fpath = SAMPLES_DIR / filename
+        if not fpath.exists() or not fpath.is_file():
+            raise HTTPError(404, f"Sample '{filename}' not found.")
+        img = cv2.imread(str(fpath))
+        if img is None:
+            raise HTTPError(500, "Could not read sample image.")
+        return JSONResponse(_run_detection(img))
+
+    @app.get("/api/health")
+    def health(req: Request) -> Response:
+        import jax
+
+        return JSONResponse({"status": "ok",
+                             "backend": jax.default_backend(),
+                             "devices": [str(d) for d in jax.devices()]})
+
+    return app
+
+
+app = create_app()
+
+
+@click.command()
+@click.option("--host", default="0.0.0.0", help="Bind host.")
+@click.option("--port", default=8000, type=int, help="Port.")
+@click.option("--reload", "do_reload", is_flag=True,
+              help="(accepted for CLI parity; hot reload not supported)")
+def serve(host: str, port: int, do_reload: bool):
+    """Launch the RTMODT-TPU web application."""
+    from rtmodt_tpu.serving.wsgi import run_server
+
+    if do_reload:
+        logger.warning("--reload is a no-op in the stdlib server")
+    logger.info(f"Starting RTMODT-TPU Web UI on http://{host}:{port}")
+    run_server(app, host, port)
+
+
+if __name__ == "__main__":
+    serve()

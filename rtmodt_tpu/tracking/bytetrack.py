@@ -54,6 +54,20 @@ class TrackState(NamedTuple):
     next_id: jnp.ndarray     # () i32
 
 
+class TrackOutputs(NamedTuple):
+    """Compact per-slot outputs of one tracking step - the ONLY data the host
+    needs per frame (~7 KB at S=256), so the expensive full-state device->host
+    fetch never happens on the hot path."""
+
+    boxes: jnp.ndarray       # (S, 4) f32
+    track_id: jnp.ndarray    # (S,) i32
+    class_id: jnp.ndarray    # (S,) i32
+    confidence: jnp.ndarray  # (S,) f32
+    age: jnp.ndarray         # (S,) i32
+    tsu: jnp.ndarray         # (S,) i32
+    visible: jnp.ndarray     # (S,) bool
+
+
 def init_track_state(max_tracks: int = 256) -> TrackState:
     s = max_tracks
     return TrackState(
@@ -122,8 +136,8 @@ def bytetrack_update(
     det_cls: jnp.ndarray,     # (D,) int32
     det_valid: jnp.ndarray,   # (D,) bool
     cfg: ByteTrackConfig,
-) -> tuple[TrackState, jnp.ndarray]:
-    """One tracking step. Returns (new_state, visible_mask (S,)).
+) -> tuple[TrackState, TrackOutputs]:
+    """One tracking step. Returns (new_state, TrackOutputs).
 
     Visible tracks are active slots matched this frame (tsu == 0), the
     reference's return contract (tracker.py:141 under intended semantics).
@@ -200,4 +214,8 @@ def bytetrack_update(
     state = state._replace(tsu=tsu, active=active)
 
     visible = state.active & (state.tsu == 0)
-    return state, visible
+    outputs = TrackOutputs(
+        boxes=state.boxes, track_id=state.track_id, class_id=state.class_id,
+        confidence=state.confidence, age=state.age, tsu=state.tsu, visible=visible,
+    )
+    return state, outputs

@@ -101,21 +101,17 @@ class MultiObjectTracker:
         conf[:d] = detections.confidence
         cls[:d] = detections.class_id
         valid[:d] = True
-        self.state, visible = self._step(self.state, boxes, conf, cls, valid)
-        return self.tracks_from_state(self.state, np.asarray(visible), names)
+        self.state, outputs = self._step(self.state, boxes, conf, cls, valid)
+        return self.tracks_from_outputs(outputs, names)
 
-    def update_from_device(self, state: TrackState, visible, class_names: list[str]) -> list[Track]:
-        """Build Track objects from a device-side step's outputs (fused pipeline)."""
-        self.state = state
-        return self.tracks_from_state(state, np.asarray(visible), class_names)
-
-    def tracks_from_state(self, state: TrackState, visible: np.ndarray,
-                          names: list[str]) -> list[Track]:
-        host = jax.device_get(state)
-        out: list[Track] = []
-        order = np.argsort(host.track_id[visible]) if visible.any() else []
+    def tracks_from_outputs(self, outputs, names: list[str]) -> list[Track]:
+        """Build host Track objects from a step's TrackOutputs (device or host
+        arrays). Fetches only the compact output leaves, never the full state."""
+        host = jax.device_get(outputs)
+        visible = np.asarray(host.visible)
         idx = np.where(visible)[0]
-        for i in idx[order] if len(idx) else []:
+        out: list[Track] = []
+        for i in idx[np.argsort(host.track_id[idx])] if len(idx) else []:
             r = {
                 "track_id": int(host.track_id[i]),
                 "xyxy": np.asarray(host.boxes[i], np.float32),

@@ -1,0 +1,269 @@
+/* RTMODT-TPU web demo SPA.
+ * Three modes: sample gallery / drag-drop upload / live webcam capture loop,
+ * driving the same REST API as the reference backend (/api/samples,
+ * /api/detect/{image,frame,sample/{f}}). */
+
+"use strict";
+
+const canvas = document.getElementById("result-canvas");
+const ctx = canvas.getContext("2d");
+const loader = document.getElementById("loader");
+const toast = document.getElementById("toast");
+const detList = document.getElementById("detections-list");
+
+const PALETTE = [
+  "#ff5d5d", "#ffb020", "#ffe85d", "#9bff5d", "#38e0a5", "#35d4e8",
+  "#4d8dff", "#8a5dff", "#e05df0", "#ff5da8", "#c2ff5d", "#5dfff3",
+];
+
+let currentImage = null;   // HTMLImageElement or video frame bitmap
+let webcamStream = null;
+let webcamTimer = null;
+let webcamBusy = false;
+
+/* ---------- mode switching ---------- */
+document.querySelectorAll(".tab").forEach((tab) => {
+  tab.addEventListener("click", () => switchMode(tab.dataset.mode));
+});
+
+function switchMode(mode) {
+  document.querySelectorAll(".tab").forEach((t) =>
+    t.classList.toggle("active", t.dataset.mode === mode));
+  document.querySelectorAll(".panel").forEach((p) =>
+    p.classList.toggle("active", p.id === `panel-${mode}`));
+  if (mode !== "webcam") stopWebcam();
+}
+
+/* ---------- samples ---------- */
+async function loadSamples() {
+  const grid = document.getElementById("sample-grid");
+  try {
+    const res = await fetch("/api/samples");
+    const data = await res.json();
+    if (!data.samples.length) {
+      grid.innerHTML =
+        '<p class="muted">No samples found. Run <code>python tools/download_samples.py</code> ' +
+        "or drop files into <code>web/static/samples/</code>.</p>";
+      return;
+    }
+    grid.innerHTML = "";
+    for (const s of data.samples) {
+      const card = document.createElement("div");
+      card.className = "sample-card";
+      card.innerHTML = `<img src="${s.url}" alt="${s.name}" loading="lazy" />
+                        <span>${s.name}</span>`;
+      card.addEventListener("click", () => detectSample(s));
+      grid.appendChild(card);
+    }
+  } catch (err) {
+    grid.innerHTML = `<p class="muted">Failed to load samples: ${err}</p>`;
+  }
+}
+
+async function detectSample(sample) {
+  showLoader(true);
+  try {
+    const img = await loadImage(sample.url);
+    currentImage = img;
+    const res = await fetch(`/api/detect/sample/${sample.filename}`);
+    if (!res.ok) throw new Error((await res.json()).detail || res.status);
+    drawResults(await res.json());
+  } catch (err) {
+    showToast(`Detection failed: ${err.message || err}`);
+  } finally {
+    showLoader(false);
+  }
+}
+
+/* ---------- upload ---------- */
+const dropzone = document.getElementById("dropzone");
+const fileInput = document.getElementById("file-input");
+
+dropzone.addEventListener("click", () => fileInput.click());
+fileInput.addEventListener("change", () => {
+  if (fileInput.files.length) handleFile(fileInput.files[0]);
+});
+["dragover", "dragenter"].forEach((ev) =>
+  dropzone.addEventListener(ev, (e) => {
+    e.preventDefault();
+    dropzone.classList.add("hover");
+  }));
+["dragleave", "drop"].forEach((ev) =>
+  dropzone.addEventListener(ev, (e) => {
+    e.preventDefault();
+    dropzone.classList.remove("hover");
+  }));
+dropzone.addEventListener("drop", (e) => {
+  if (e.dataTransfer.files.length) handleFile(e.dataTransfer.files[0]);
+});
+
+async function handleFile(file) {
+  showLoader(true);
+  try {
+    let blob = file;
+    if (file.type.startsWith("video/")) {
+      blob = await firstVideoFrame(file);
+    }
+    currentImage = await loadImage(URL.createObjectURL(blob));
+    const form = new FormData();
+    form.append("file", blob, file.name.replace(/\.\w+$/, ".jpg"));
+    const res = await fetch("/api/detect/image", { method: "POST", body: form });
+    if (!res.ok) throw new Error((await res.json()).detail || res.status);
+    drawResults(await res.json());
+  } catch (err) {
+    showToast(`Upload failed: ${err.message || err}`);
+  } finally {
+    showLoader(false);
+  }
+}
+
+function firstVideoFrame(file) {
+  return new Promise((resolve, reject) => {
+    const video = document.createElement("video");
+    video.muted = true;
+    video.src = URL.createObjectURL(file);
+    video.addEventListener("loadeddata", () => { video.currentTime = 0.5; });
+    video.addEventListener("seeked", () => {
+      const c = document.createElement("canvas");
+      c.width = video.videoWidth;
+      c.height = video.videoHeight;
+      c.getContext("2d").drawImage(video, 0, 0);
+      c.toBlob((b) => (b ? resolve(b) : reject(new Error("frame capture failed"))),
+               "image/jpeg", 0.9);
+    });
+    video.addEventListener("error", () => reject(new Error("cannot read video")));
+  });
+}
+
+/* ---------- webcam ---------- */
+document.getElementById("webcam-start").addEventListener("click", startWebcam);
+document.getElementById("webcam-stop").addEventListener("click", stopWebcam);
+
+async function startWebcam() {
+  try {
+    webcamStream = await navigator.mediaDevices.getUserMedia({
+      video: { width: 1280, height: 720 },
+    });
+  } catch (err) {
+    showToast(`Camera unavailable: ${err.message}`);
+    return;
+  }
+  const video = document.getElementById("webcam-video");
+  video.srcObject = webcamStream;
+  video.hidden = false;
+  document.getElementById("webcam-start").disabled = true;
+  document.getElementById("webcam-stop").disabled = false;
+  const interval = parseInt(document.getElementById("webcam-interval").value, 10);
+  webcamTimer = setInterval(() => captureAndDetect(video), interval);
+}
+
+function stopWebcam() {
+  if (webcamTimer) clearInterval(webcamTimer);
+  webcamTimer = null;
+  if (webcamStream) webcamStream.getTracks().forEach((t) => t.stop());
+  webcamStream = null;
+  const video = document.getElementById("webcam-video");
+  video.hidden = true;
+  document.getElementById("webcam-start").disabled = false;
+  document.getElementById("webcam-stop").disabled = true;
+}
+
+async function captureAndDetect(video) {
+  if (webcamBusy || video.readyState < 2) return;
+  webcamBusy = true;
+  try {
+    const c = document.createElement("canvas");
+    c.width = video.videoWidth;
+    c.height = video.videoHeight;
+    c.getContext("2d").drawImage(video, 0, 0);
+    currentImage = await loadImage(c.toDataURL("image/jpeg", 0.8));
+    const res = await fetch("/api/detect/frame", {
+      method: "POST",
+      headers: { "Content-Type": "application/json" },
+      body: JSON.stringify({ image: c.toDataURL("image/jpeg", 0.8) }),
+    });
+    if (res.ok) drawResults(await res.json());
+  } catch (err) {
+    /* skip frame on error */
+  } finally {
+    webcamBusy = false;
+  }
+}
+
+/* ---------- rendering ---------- */
+function loadImage(src) {
+  return new Promise((resolve, reject) => {
+    const img = new Image();
+    img.onload = () => resolve(img);
+    img.onerror = () => reject(new Error("image load failed"));
+    img.src = src;
+  });
+}
+
+function drawResults(data) {
+  const [iw, ih] = data.image_size;
+  canvas.width = iw;
+  canvas.height = ih;
+  if (currentImage) ctx.drawImage(currentImage, 0, 0, iw, ih);
+  else { ctx.fillStyle = "#10141c"; ctx.fillRect(0, 0, iw, ih); }
+
+  // prefer tracks (persistent ids) when present, like the reference SPA
+  const items = (data.tracks && data.tracks.length) ? data.tracks : data.detections;
+  const scale = Math.max(1, iw / 960);
+  ctx.lineWidth = 2 * scale;
+  ctx.font = `${13 * scale}px ui-monospace, monospace`;
+
+  for (const d of items) {
+    const [x1, y1, x2, y2] = d.bbox;
+    const key = d.track_id !== undefined ? d.track_id : d.class_id;
+    const color = PALETTE[((key % PALETTE.length) + PALETTE.length) % PALETTE.length];
+    ctx.strokeStyle = color;
+    ctx.fillStyle = color + "26";
+    ctx.fillRect(x1, y1, x2 - x1, y2 - y1);
+    ctx.strokeRect(x1, y1, x2 - x1, y2 - y1);
+    const label = (d.track_id !== undefined ? `#${d.track_id} ` : "") +
+      `${d.class_name} ${(d.confidence * 100).toFixed(0)}%`;
+    const tw = ctx.measureText(label).width + 8 * scale;
+    ctx.fillStyle = color;
+    ctx.fillRect(x1, Math.max(0, y1 - 18 * scale), tw, 18 * scale);
+    ctx.fillStyle = "#0b0e14";
+    ctx.fillText(label, x1 + 4 * scale, Math.max(13 * scale, y1 - 5 * scale));
+    if (d.trail && d.trail.length > 1) {
+      ctx.beginPath();
+      ctx.moveTo(d.trail[0][0], d.trail[0][1]);
+      for (const [tx, ty] of d.trail.slice(1)) ctx.lineTo(tx, ty);
+      ctx.strokeStyle = color;
+      ctx.stroke();
+    }
+  }
+
+  document.getElementById("stat-objects").textContent = data.num_objects;
+  document.getElementById("stat-latency").textContent =
+    data.inference_ms.toFixed(1);
+  document.getElementById("stat-size").textContent = `${iw}×${ih}`;
+
+  detList.innerHTML = items.length
+    ? items.map((d) => {
+        const key = d.track_id !== undefined ? d.track_id : d.class_id;
+        const color = PALETTE[((key % PALETTE.length) + PALETTE.length) % PALETTE.length];
+        return `<div class="det-row">
+          <span class="dot" style="background:${color}"></span>
+          <span class="det-name">${d.class_name}</span>
+          <span class="det-conf">${(d.confidence * 100).toFixed(1)}%</span>
+        </div>`;
+      }).join("")
+    : '<p class="muted">No objects detected.</p>';
+}
+
+/* ---------- ui helpers ---------- */
+function showLoader(on) { loader.hidden = !on; }
+
+let toastTimer = null;
+function showToast(msg) {
+  toast.textContent = msg;
+  toast.hidden = false;
+  clearTimeout(toastTimer);
+  toastTimer = setTimeout(() => (toast.hidden = true), 4000);
+}
+
+loadSamples();
