@@ -133,7 +133,11 @@ class Detector:
         rng = jax.random.PRNGKey(0)
         shape = (1, self.cfg.input_size, self.cfg.input_size, 3)
         dtype = jnp.bfloat16 if self.cfg.half else jnp.float32
-        return self.model.init(rng, jnp.zeros(shape, dtype), train=False)
+        # init on CPU: the accelerator never needs to compile the (huge) init
+        # program, and params transfer over in one put
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            variables = self.model.init(rng, jnp.zeros(shape, dtype), train=False)
+        return jax.device_put(variables)
 
     # -- inference -------------------------------------------------------
     def _get_step(self, h: int, w: int):
