@@ -1,0 +1,206 @@
+"""Training data pipeline: YOLO-format datasets with mosaic/flip/HSV aug.
+
+Replaces the ultralytics dataloader the reference trains with (multi-worker
+mosaic/mixup augmentation - reference ``config/training.yaml``).  Host-side
+NumPy/OpenCV producing fixed-shape ``Batch`` pytrees (images letterboxed to
+``input_size``, GT padded to ``max_boxes``) with a background prefetch
+thread, ready for ``jax.device_put`` sharding.
+
+Dataset layout (YOLO convention, as written by ``tools/download_dataset.py``):
+  root/images/{split}/*.jpg + root/labels/{split}/*.txt
+  label rows: ``class cx cy w h`` normalized to [0, 1].
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from dataclasses import dataclass
+
+import numpy as np
+
+from rtmodt_tpu.training.train_step import Batch
+from rtmodt_tpu.utils.logging import logger
+
+
+@dataclass
+class AugConfig:
+    mosaic: float = 1.0
+    fliplr: float = 0.5
+    hsv_h: float = 0.015
+    hsv_s: float = 0.7
+    hsv_v: float = 0.4
+    scale: float = 0.5          # random scale +- fraction (inside mosaic)
+    translate: float = 0.1
+
+
+class YoloDataset:
+    def __init__(self, root: str, split: str = "train", input_size: int = 640,
+                 max_boxes: int = 64, augment: bool = True,
+                 aug: AugConfig | None = None, seed: int = 0):
+        self.root = root
+        self.input_size = input_size
+        self.max_boxes = max_boxes
+        self.augment = augment
+        self.aug = aug or AugConfig()
+        self.rng = np.random.default_rng(seed)
+
+        img_dir = os.path.join(root, "images", split)
+        lbl_dir = os.path.join(root, "labels", split)
+        if not os.path.isdir(img_dir):
+            raise FileNotFoundError(f"no image dir: {img_dir}")
+        self.items: list[tuple[str, str]] = []
+        for f in sorted(os.listdir(img_dir)):
+            if f.lower().endswith((".jpg", ".jpeg", ".png")):
+                stem = os.path.splitext(f)[0]
+                self.items.append((os.path.join(img_dir, f),
+                                   os.path.join(lbl_dir, stem + ".txt")))
+        if not self.items:
+            raise FileNotFoundError(f"no images in {img_dir}")
+        logger.info(f"dataset {split}: {len(self.items)} images")
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    # ------------------------------------------------------------------
+    def _load_raw(self, idx: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """-> (image BGR, boxes xyxy pixel, labels)"""
+        import cv2
+
+        img_path, lbl_path = self.items[idx]
+        img = cv2.imread(img_path)
+        h, w = img.shape[:2]
+        boxes, labels = [], []
+        if os.path.exists(lbl_path):
+            with open(lbl_path) as f:
+                for line in f:
+                    p = line.split()
+                    if len(p) < 5:
+                        continue
+                    c, cx, cy, bw, bh = int(p[0]), *map(float, p[1:5])
+                    boxes.append([(cx - bw / 2) * w, (cy - bh / 2) * h,
+                                  (cx + bw / 2) * w, (cy + bh / 2) * h])
+                    labels.append(c)
+        return img, np.asarray(boxes, np.float32).reshape(-1, 4), \
+            np.asarray(labels, np.int32)
+
+    def _letterbox_sample(self, img, boxes):
+        import cv2
+
+        s = self.input_size
+        h, w = img.shape[:2]
+        r = min(s / h, s / w)
+        nh, nw = round(h * r), round(w * r)
+        img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        top = (s - nh) // 2
+        left = (s - nw) // 2
+        canvas = np.full((s, s, 3), 114, np.uint8)
+        canvas[top:top + nh, left:left + nw] = img
+        if len(boxes):
+            boxes = boxes * r + np.array([left, top, left, top], np.float32)
+        return canvas, boxes
+
+    def _mosaic(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """4-image mosaic at 2x then random-crop back to input_size."""
+        import cv2
+
+        s = self.input_size
+        canvas = np.full((2 * s, 2 * s, 3), 114, np.uint8)
+        all_boxes, all_labels = [], []
+        cx = int(self.rng.uniform(0.5, 1.5) * s)
+        cy = int(self.rng.uniform(0.5, 1.5) * s)
+        for qi, (x0, y0, x1, y1) in enumerate([
+            (0, 0, cx, cy), (cx, 0, 2 * s, cy),
+            (0, cy, cx, 2 * s), (cx, cy, 2 * s, 2 * s),
+        ]):
+            img, boxes, labels = self._load_raw(self.rng.integers(len(self.items)))
+            qw, qh = x1 - x0, y1 - y0
+            ih, iw = img.shape[:2]
+            r = max(qw / iw, qh / ih)
+            img = cv2.resize(img, (int(iw * r) + 1, int(ih * r) + 1))
+            ox = self.rng.integers(0, max(img.shape[1] - qw, 0) + 1)
+            oy = self.rng.integers(0, max(img.shape[0] - qh, 0) + 1)
+            canvas[y0:y1, x0:x1] = img[oy:oy + qh, ox:ox + qw]
+            if len(boxes):
+                b = boxes * r
+                b -= np.array([ox, oy, ox, oy], np.float32)
+                b += np.array([x0, y0, x0, y0], np.float32)
+                all_boxes.append(b)
+                all_labels.append(labels)
+            del qi
+        boxes = np.concatenate(all_boxes) if all_boxes else np.zeros((0, 4), np.float32)
+        labels = np.concatenate(all_labels) if all_labels else np.zeros((0,), np.int32)
+        # random crop window of size s
+        jx = self.rng.integers(0, s + 1)
+        jy = self.rng.integers(0, s + 1)
+        crop = canvas[jy:jy + s, jx:jx + s]
+        if len(boxes):
+            boxes -= np.array([jx, jy, jx, jy], np.float32)
+        return crop, boxes, labels
+
+    def _hsv(self, img: np.ndarray) -> np.ndarray:
+        import cv2
+
+        a = self.aug
+        gains = 1.0 + self.rng.uniform(-1, 1, 3) * [a.hsv_h, a.hsv_s, a.hsv_v]
+        hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV).astype(np.float32)
+        hsv[..., 0] = (hsv[..., 0] * gains[0]) % 180
+        hsv[..., 1] = np.clip(hsv[..., 1] * gains[1], 0, 255)
+        hsv[..., 2] = np.clip(hsv[..., 2] * gains[2], 0, 255)
+        return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2BGR)
+
+    def sample(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        s = self.input_size
+        if self.augment and self.rng.random() < self.aug.mosaic:
+            img, boxes, labels = self._mosaic()
+        else:
+            img, boxes, labels = self._load_raw(self.rng.integers(len(self.items)))
+            img, boxes = self._letterbox_sample(img, boxes)
+        if self.augment:
+            img = self._hsv(img)
+            if self.rng.random() < self.aug.fliplr:
+                img = img[:, ::-1]
+                if len(boxes):
+                    boxes[:, [0, 2]] = s - boxes[:, [2, 0]]
+        # clip + drop degenerate boxes
+        if len(boxes):
+            boxes = np.clip(boxes, 0, s)
+            keep = ((boxes[:, 2] - boxes[:, 0]) > 2) & ((boxes[:, 3] - boxes[:, 1]) > 2)
+            boxes, labels = boxes[keep], labels[keep]
+        return img, boxes, labels
+
+    def make_batch(self, batch_size: int) -> Batch:
+        s, m = self.input_size, self.max_boxes
+        images = np.zeros((batch_size, s, s, 3), np.uint8)
+        gt_boxes = np.zeros((batch_size, m, 4), np.float32)
+        gt_labels = np.zeros((batch_size, m), np.int32)
+        gt_mask = np.zeros((batch_size, m), bool)
+        for i in range(batch_size):
+            img, boxes, labels = self.sample()
+            images[i] = img[..., ::-1]  # BGR -> RGB (model convention)
+            n = min(len(boxes), m)
+            gt_boxes[i, :n] = boxes[:n]
+            gt_labels[i, :n] = labels[:n]
+            gt_mask[i, :n] = True
+        return Batch(images, gt_boxes, gt_labels, gt_mask)
+
+    def batches(self, batch_size: int, prefetch: int = 2):
+        """Generator with a background producer thread."""
+        q: queue.Queue = queue.Queue(maxsize=prefetch)
+        stop = threading.Event()
+
+        def producer():
+            while not stop.is_set():
+                try:
+                    q.put(self.make_batch(batch_size), timeout=1.0)
+                except queue.Full:
+                    continue
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()

@@ -1,8 +1,10 @@
 """Test harness config: force JAX onto a virtual 8-device CPU platform.
 
 This is the standard JAX trick for exercising pjit/shard_map sharding logic
-without real TPU hardware (SURVEY.md 4 "What the TPU build needs instead").
-Must run before jax is imported anywhere.
+without real TPU hardware (SURVEY.md 4).  NOTE: in this environment the
+remote-TPU (axon) plugin overrides the ``JAX_PLATFORMS`` env var, so the
+platform must ALSO be pinned via ``jax.config`` before first backend use -
+otherwise every test compiles through the TPU tunnel.
 """
 
 import os
@@ -11,6 +13,11 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", "tests must not run against the TPU tunnel"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,156 @@
+"""Training-stack tests: TAL assigner invariants, loss sanity, sharded
+train step on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    from rtmodt_tpu.models.yolov8 import build_model
+
+    model = build_model("yolov8n", num_classes=4, dtype=jnp.float32)
+    input_size = 64
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, input_size, input_size, 3)), train=False)
+    return model, variables, input_size
+
+
+def synth_batch(b=2, m=4, s=64, nc=4, seed=0):
+    from rtmodt_tpu.training.train_step import Batch
+
+    rng = np.random.default_rng(seed)
+    images = rng.random((b, s, s, 3), np.float32)
+    boxes = np.zeros((b, m, 4), np.float32)
+    labels = np.zeros((b, m), np.int32)
+    mask = np.zeros((b, m), bool)
+    for i in range(b):
+        n = rng.integers(1, m + 1)
+        for j in range(n):
+            x1, y1 = rng.uniform(0, s - 20, 2)
+            w, h = rng.uniform(8, 20, 2)
+            boxes[i, j] = (x1, y1, min(x1 + w, s), min(y1 + h, s))
+            labels[i, j] = rng.integers(0, nc)
+            mask[i, j] = True
+    return Batch(jnp.asarray(images), jnp.asarray(boxes),
+                 jnp.asarray(labels), jnp.asarray(mask))
+
+
+class TestAssigner:
+    def test_assigns_inside_anchors_only(self):
+        from rtmodt_tpu.models.yolov8 import make_anchors
+        from rtmodt_tpu.training.assigner import assign
+
+        s = 64
+        anchors, _ = make_anchors(s)
+        a = anchors.shape[0]
+        nc = 4
+        gt = jnp.asarray([[[8.0, 8.0, 40.0, 40.0]]])         # one box
+        labels = jnp.asarray([[2]], dtype=jnp.int32)
+        mask = jnp.asarray([[True]])
+        scores = jnp.full((1, a, nc), 0.5)
+        boxes = jnp.tile(gt[:, 0:1], (1, a, 1))              # perfect iou preds
+        res = assign(scores, boxes, anchors, gt, labels, mask)
+        fg = np.asarray(res.fg_mask[0])
+        assert fg.any()
+        inside = (np.asarray(anchors)[:, 0] >= 8) & (np.asarray(anchors)[:, 0] < 40) \
+            & (np.asarray(anchors)[:, 1] >= 8) & (np.asarray(anchors)[:, 1] < 40)
+        assert not (fg & ~inside).any()
+        ts = np.asarray(res.target_scores[0])
+        assert (ts[fg, 2] > 0).all()           # correct class channel
+        assert ts[:, [0, 1, 3]].sum() == 0
+
+    def test_empty_gt_no_fg(self):
+        from rtmodt_tpu.models.yolov8 import make_anchors
+        from rtmodt_tpu.training.assigner import assign
+
+        anchors, _ = make_anchors(64)
+        a = anchors.shape[0]
+        res = assign(jnp.full((1, a, 4), 0.5), jnp.zeros((1, a, 4)), anchors,
+                     jnp.zeros((1, 2, 4)), jnp.zeros((1, 2), jnp.int32),
+                     jnp.zeros((1, 2), bool))
+        assert not bool(np.asarray(res.fg_mask).any())
+
+    def test_topk_cap(self):
+        from rtmodt_tpu.models.yolov8 import make_anchors
+        from rtmodt_tpu.training.assigner import assign
+
+        anchors, _ = make_anchors(64)
+        a = anchors.shape[0]
+        gt = jnp.asarray([[[0.0, 0.0, 64.0, 64.0]]])  # covers every anchor
+        res = assign(jnp.full((1, a, 4), 0.9),
+                     jnp.tile(gt[:, 0:1], (1, a, 1)), anchors, gt,
+                     jnp.zeros((1, 1), jnp.int32), jnp.ones((1, 1), bool),
+                     topk=10)
+        assert int(np.asarray(res.fg_mask).sum()) <= 10
+
+
+class TestLoss:
+    def test_loss_finite_and_positive(self, tiny_setup):
+        from rtmodt_tpu.training.loss import yolo_loss
+
+        model, variables, s = tiny_setup
+        batch = synth_batch(s=s)
+        box_dist, cls_logits = model.apply(variables, batch.images, train=False)
+        lb = yolo_loss(box_dist, cls_logits, batch.gt_boxes, batch.gt_labels,
+                       batch.gt_mask, s)
+        assert np.isfinite(float(lb.total))
+        assert float(lb.total) > 0
+        assert int(lb.num_fg) > 0
+
+    def test_empty_gt_loss_finite(self, tiny_setup):
+        from rtmodt_tpu.training.loss import yolo_loss
+        from rtmodt_tpu.training.train_step import Batch
+
+        model, variables, s = tiny_setup
+        b = synth_batch(s=s)
+        empty = Batch(b.images, jnp.zeros_like(b.gt_boxes),
+                      jnp.zeros_like(b.gt_labels), jnp.zeros_like(b.gt_mask))
+        box_dist, cls_logits = model.apply(variables, empty.images, train=False)
+        lb = yolo_loss(box_dist, cls_logits, empty.gt_boxes, empty.gt_labels,
+                       empty.gt_mask, s)
+        assert np.isfinite(float(lb.total))
+        assert int(lb.num_fg) == 0
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, tiny_setup):
+        from rtmodt_tpu.training.train_step import (
+            create_train_state, make_optimizer, make_schedule, train_step)
+        from functools import partial
+
+        model, variables, s = tiny_setup
+        tx = make_optimizer(make_schedule(1e-3, 0.01, 100, 5))
+        state = create_train_state(model, tx, s, jax.random.PRNGKey(0), variables)
+        step = jax.jit(partial(train_step, model=model, tx=tx, input_size=s))
+        batch = synth_batch(s=s)
+        losses = []
+        for _ in range(8):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0], losses
+        assert int(state.step) == 8
+        assert np.isfinite(losses).all()
+
+    def test_sharded_train_step_8dev(self, tiny_setup):
+        from rtmodt_tpu.parallel.mesh import create_mesh, replicate
+        from rtmodt_tpu.training.train_step import (
+            create_train_state, make_optimizer, make_schedule,
+            make_sharded_train_step)
+
+        model, variables, s = tiny_setup
+        n = jax.device_count()
+        assert n == 8, "conftest must provide 8 virtual devices"
+        mesh = create_mesh(n)
+        tx = make_optimizer(make_schedule(1e-3, 0.01, 100, 5))
+        state = create_train_state(model, tx, s, jax.random.PRNGKey(0), variables)
+        state = replicate(state, mesh)
+        step, put_batch = make_sharded_train_step(model, tx, s, mesh)
+        batch = put_batch(synth_batch(b=8, s=s))
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        # params remain replicated; grads were all-reduced
+        state, m2 = step(state, batch)
+        assert float(m2["loss"]) < float(metrics["loss"]) * 1.5
