@@ -130,12 +130,15 @@ class Detector:
             logger.warning(f"weights not found at {path}, trying fallback")
         logger.warning("no weights available - using random initialization "
                        "(detections will be meaningless; supply detection.weights)")
-        rng = jax.random.PRNGKey(0)
         shape = (1, self.cfg.input_size, self.cfg.input_size, 3)
         dtype = jnp.bfloat16 if self.cfg.half else jnp.float32
-        # init on CPU: the accelerator never needs to compile the (huge) init
-        # program, and params transfer over in one put
+        # init ENTIRELY on CPU (including the PRNG key): the accelerator never
+        # compiles the huge init program, and - critically - no accelerator
+        # array ever feeds a CPU computation (mixing backends that way
+        # permanently degrades accelerator transfer throughput ~50x under the
+        # remote-TPU runtime; see docs/PERF_NOTES.md)
         with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            rng = jax.random.PRNGKey(0)
             variables = self.model.init(rng, jnp.zeros(shape, dtype), train=False)
         return jax.device_put(variables)
 

@@ -46,20 +46,32 @@ def greedy_assign(
         sim = jnp.where(row_valid[:, None], sim, neg)
     if col_valid is not None:
         sim = jnp.where(col_valid[None, :], sim, neg)
-
+    # Parallel mutual-best rounds == sequential global-max greedy (for
+    # distinct similarities): the global max pair is mutually best, and
+    # removing any OTHER mutually-best pair never affects it - so committing
+    # every mutually-best pair per round reproduces greedy's matching in
+    # O(rounds) VPU sweeps instead of min(r, c) sequential argmax steps.
+    # With argmax's first-index tie-break, the lexicographically smallest
+    # global-max entry is always mutual, so every round makes progress.
     def cond(carry):
         sim, _, _, it = carry
         return (it < min(r, c)) & (jnp.max(sim) >= threshold)
 
     def body(carry):
         sim, row_to_col, col_to_row, it = carry
-        flat = jnp.argmax(sim)
-        i = (flat // c).astype(jnp.int32)
-        j = (flat % c).astype(jnp.int32)
-        row_to_col = row_to_col.at[i].set(j)
-        col_to_row = col_to_row.at[j].set(i)
-        sim = sim.at[i, :].set(neg)
-        sim = sim.at[:, j].set(neg)
+        row_best = jnp.argmax(sim, axis=1).astype(jnp.int32)   # (R,)
+        col_best = jnp.argmax(sim, axis=0).astype(jnp.int32)   # (C,)
+        row_val = jnp.max(sim, axis=1)
+        mutual = (col_best[row_best] == jnp.arange(r, dtype=jnp.int32)) & \
+            (row_val >= threshold)
+        # commit all mutual pairs at once
+        row_to_col = jnp.where(mutual, row_best, row_to_col)
+        col_to_row = col_to_row.at[jnp.where(mutual, row_best, c)].set(
+            jnp.arange(r, dtype=jnp.int32), mode="drop")
+        row_gone = mutual
+        col_gone = jnp.zeros((c,), bool).at[jnp.where(mutual, row_best, c)].set(
+            True, mode="drop")
+        sim = jnp.where(row_gone[:, None] | col_gone[None, :], neg, sim)
         return sim, row_to_col, col_to_row, it + 1
 
     init = (

@@ -1,0 +1,150 @@
+"""Multi-stream detect+track across the device mesh.
+
+The TPU-native scaling axis this workload actually has (SURVEY.md 2.3): N
+concurrent camera streams batched on a leading stream axis, sharded over the
+mesh's ``data`` dimension with ``NamedSharding`` - the TPU analog of "N
+independent GPU processes", but as ONE SPMD program.  Per-stream tracker
+state is a batched pytree carried across steps; XLA partitions the whole
+detect+track program per device with zero collectives on the hot path
+(streams are independent), so throughput scales linearly over ICI-connected
+chips.
+
+Layouts:
+  * ``step(frames (S, H, W, 3))``          - one frame per stream;
+  * ``step_chunk(frames (T, S, H, W, 3))`` - scan over T, vmap over S
+    (transfer-amortized streaming, same as the single-stream chunk mode).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rtmodt_tpu.config.loader import PipelineConfig
+from rtmodt_tpu.detection.detector import Detector
+from rtmodt_tpu.models.yolov8 import decode_predictions
+from rtmodt_tpu.ops.letterbox import letterbox, unletterbox_boxes
+from rtmodt_tpu.ops.nms import batched_nms_fixed
+from rtmodt_tpu.tracking.bytetrack import (
+    TrackState,
+    bytetrack_update,
+    init_track_state,
+)
+from rtmodt_tpu.utils.logging import logger
+
+
+def init_multistream_state(num_streams: int, max_tracks: int) -> TrackState:
+    """Batched tracker state: every leaf gains a leading stream axis."""
+    one = init_track_state(max_tracks)
+    return jax.tree.map(lambda x: jnp.broadcast_to(x, (num_streams,) + x.shape), one)
+
+
+class MultiStreamPipeline:
+    """Runs S streams as one SPMD detect+track program over the mesh."""
+
+    def __init__(self, cfg: PipelineConfig, num_streams: int | None = None,
+                 mesh: Mesh | None = None):
+        self.cfg = cfg
+        self.num_streams = num_streams or cfg.parallel.num_streams
+        if mesh is None:
+            from rtmodt_tpu.parallel.mesh import create_mesh
+
+            n_dev = jax.device_count()
+            use = n_dev if self.num_streams % n_dev == 0 else 1
+            mesh = create_mesh(use)
+        self.mesh = mesh
+        if self.num_streams % mesh.devices.size != 0:
+            raise ValueError(f"num_streams={self.num_streams} must be divisible "
+                             f"by mesh size {mesh.devices.size}")
+        self.detector = Detector(cfg.detection, warmup=False)
+        self.state = init_multistream_state(self.num_streams,
+                                            cfg.tracking.bytetrack.max_tracks)
+        self._stream_shard = NamedSharding(mesh, P("data"))
+        self._repl = NamedSharding(mesh, P())
+        self.state = jax.device_put(self.state, self._stream_shard)
+        self.params = jax.device_put(self.detector.params, self._repl)
+        self._jitted: dict[Any, Any] = {}
+        logger.info(f"multi-stream pipeline: {self.num_streams} streams over "
+                    f"{mesh.devices.size} device(s)")
+
+    # ------------------------------------------------------------------
+    def _frame_body(self, params, state, frame_u8):
+        """Per-stream fused body (unbatched; vmapped by callers)."""
+        dcfg = self.cfg.detection
+        bcfg = self.cfg.tracking.bytetrack
+        dtype = jnp.bfloat16 if dcfg.half else jnp.float32
+        img, meta = letterbox(frame_u8, dcfg.input_size, dtype=dtype)
+        box_dist, cls_logits = self.detector.model.apply(params, img[None], train=False)
+        boxes, scores = decode_predictions(box_dist, cls_logits, dcfg.input_size)
+        res = batched_nms_fixed(
+            boxes[0], scores[0], dcfg.conf_threshold, dcfg.iou_threshold,
+            dcfg.max_detections, dcfg.nms_candidates,
+            self.detector._class_mask, dcfg.agnostic_nms)
+        res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
+        state, outputs = bytetrack_update(
+            state, res.boxes, res.scores, res.classes, res.valid, bcfg)
+        return state, outputs, res
+
+    def _step_for(self, h: int, w: int):
+        key = ("step", h, w)
+        if key not in self._jitted:
+            def step(params, state, frames):
+                return jax.vmap(
+                    lambda st, fr: self._frame_body(params, st, fr)
+                )(state, frames)
+
+            self._jitted[key] = jax.jit(
+                step,
+                in_shardings=(self._repl, self._stream_shard, self._stream_shard),
+                out_shardings=(self._stream_shard,) * 3,
+                donate_argnums=(1,),
+            )
+        return self._jitted[key]
+
+    def _chunk_for(self, h: int, w: int, t: int):
+        key = ("chunk", h, w, t)
+        if key not in self._jitted:
+            def chunk(params, state, frames_tshw):
+                def body(st, frames_s):
+                    st, outs, ress = jax.vmap(
+                        lambda s, f: self._frame_body(params, s, f)
+                    )(st, frames_s)
+                    return st, (outs, ress)
+
+                state, (outs, ress) = jax.lax.scan(body, state, frames_tshw)
+                return state, outs, ress
+
+            self._jitted[key] = jax.jit(
+                chunk,
+                in_shardings=(self._repl, self._stream_shard,
+                              NamedSharding(self.mesh, P(None, "data"))),
+                out_shardings=(self._stream_shard,
+                               NamedSharding(self.mesh, P(None, "data")),
+                               NamedSharding(self.mesh, P(None, "data"))),
+                donate_argnums=(1,),
+            )
+        return self._jitted[key]
+
+    # ------------------------------------------------------------------
+    def step(self, frames: np.ndarray):
+        """frames (S, H, W, 3) uint8 -> (outputs, res) with leading S axis."""
+        s, h, w = frames.shape[:3]
+        assert s == self.num_streams
+        fn = self._step_for(h, w)
+        self.state, outs, ress = fn(
+            self.params, self.state, jax.device_put(frames, self._stream_shard))
+        return outs, ress
+
+    def step_chunk(self, frames: np.ndarray):
+        """frames (T, S, H, W, 3) -> outputs with leading (T, S) axes."""
+        t, s, h, w = frames.shape[:4]
+        assert s == self.num_streams
+        fn = self._chunk_for(h, w, t)
+        sharded = jax.device_put(frames, NamedSharding(self.mesh, P(None, "data")))
+        self.state, outs, ress = fn(self.params, self.state, sharded)
+        return outs, ress

@@ -185,6 +185,75 @@ class Pipeline:
         self._chunk_fns[key] = chunk_fn
         return chunk_fn
 
+    def _packed_chunk_for(self, src_h: int, src_w: int, k: int):
+        """K-frame streaming step over PACKED I420 input (``ops.yuv``): the
+        host ships 12-bit/px decoder-native frames at model content size
+        (7.5x less link traffic than BGR 720p); chroma upsample + YUV->RGB +
+        normalize + pad fuse into the jitted program on device."""
+        key = ("i420", src_h, src_w, k)
+        if key in self._chunk_fns:
+            return self._chunk_fns[key]
+        from rtmodt_tpu.ops.letterbox import letterbox_meta
+        from rtmodt_tpu.ops.yuv import content_dims, letterbox_from_i420
+
+        dcfg = self.cfg.detection
+        bcfg = self.cfg.tracking.bytetrack
+        dtype = jnp.bfloat16 if dcfg.half else jnp.float32
+        model = self.detector.model
+        class_mask = self.detector._class_mask
+        donate = (1,) if self.cfg.parallel.donate_state else ()
+        size = dcfg.input_size
+        ch, cw = content_dims(src_h, src_w, size)
+        pad_left = int(round((size - cw) / 2 - 0.1))
+        pad_top = int(round((size - ch) / 2 - 0.1))
+        scale = min(ch / src_h, cw / src_w)
+        meta = letterbox_meta(src_h, src_w, size)._replace(
+            scale=scale, pad_left=pad_left, pad_top=pad_top,
+            new_w=cw, new_h=ch)
+
+        @partial(jax.jit, donate_argnums=donate)
+        def chunk_fn(params, state, yuv_chunk):
+            def body(st, yuv):
+                img = letterbox_from_i420(yuv, ch, cw, size, pad_left, pad_top,
+                                          dtype=dtype)
+                box_dist, cls_logits = model.apply(params, img[None], train=False)
+                boxes, scores = decode_predictions(box_dist, cls_logits, size)
+                res = batched_nms_fixed(
+                    boxes[0], scores[0], dcfg.conf_threshold, dcfg.iou_threshold,
+                    dcfg.max_detections, dcfg.nms_candidates, class_mask,
+                    dcfg.agnostic_nms,
+                )
+                res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
+                st, outputs = bytetrack_update(
+                    st, res.boxes, res.scores, res.classes, res.valid, bcfg)
+                return st, (outputs, res)
+
+            state, (outs, ress) = jax.lax.scan(body, state, yuv_chunk)
+            return state, outs, ress
+
+        self._chunk_fns[key] = chunk_fn
+        return chunk_fn
+
+    def submit_chunk_packed(self, frames_bgr: np.ndarray):
+        """Pack a (K, H, W, 3) BGR chunk to I420 on host and async-submit."""
+        from rtmodt_tpu.ops.yuv import pack_i420
+
+        k, h, w = frames_bgr.shape[:3]
+        yuv = np.stack([pack_i420(frames_bgr[i], self.cfg.detection.input_size)[0]
+                        for i in range(k)])
+        return self.submit_packed_yuv(yuv, h, w)
+
+    def submit_packed_yuv(self, yuv_chunk: np.ndarray, src_h: int, src_w: int):
+        """Async-submit an already-packed (K, ch*3/2, cw) I420 chunk."""
+        k = yuv_chunk.shape[0]
+        chunk_fn = self._packed_chunk_for(src_h, src_w, k)
+        self.tracker.state, outs, ress = chunk_fn(
+            self.detector.params, self.tracker.state, jax.device_put(yuv_chunk))
+        for leaf in jax.tree.leaves((outs, ress)):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+        return outs, ress
+
     def submit_chunk(self, frames: np.ndarray):
         """Async-submit a (K, H, W, 3) uint8 frame chunk; returns device
         futures (outputs, res) with a leading K axis. No host sync."""

@@ -56,9 +56,12 @@ def create_train_state(model: Any, tx: optax.GradientTransformation,
                        input_size: int, rng: jax.Array,
                        init_variables: Any | None = None) -> TrainState:
     if init_variables is None:
+        # keep rng + init on one backend (mixing accelerator arrays into CPU
+        # computations degrades transfer throughput under remote-TPU runtimes)
         with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            cpu_rng = jax.device_put(jax.device_get(rng))
             init_variables = model.init(
-                rng, jnp.zeros((1, input_size, input_size, 3), jnp.float32),
+                cpu_rng, jnp.zeros((1, input_size, input_size, 3), jnp.float32),
                 train=False)
     params = init_variables["params"]
     batch_stats = init_variables.get("batch_stats", {})

@@ -1,0 +1,82 @@
+"""Multi-stream SPMD pipeline tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+
+
+@pytest.fixture(scope="module")
+def ms_pipe():
+    from rtmodt_tpu.config import load_config
+    from rtmodt_tpu.parallel.mesh import create_mesh
+    from rtmodt_tpu.parallel.multistream import MultiStreamPipeline
+
+    cfg = load_config(overrides={
+        "detection": {"model": "yolov8n", "input_size": 128, "conf_threshold": 0.01,
+                      "nms_candidates": 32, "max_detections": 8, "classes": None},
+        "tracking": {"bytetrack": {"max_tracks": 16}},
+        "profiling": {"per_stage": False},
+        "visualization": {"enabled": False},
+        "events": {"enabled": False},
+    })
+    mesh = create_mesh(8)
+    return MultiStreamPipeline(cfg, num_streams=8, mesh=mesh)
+
+
+class TestMultiStream:
+    def test_step_shapes_and_sharding(self, ms_pipe):
+        frames = np.random.default_rng(0).integers(
+            0, 255, (8, 160, 160, 3), np.uint8)
+        outs, ress = ms_pipe.step(frames)
+        assert outs.boxes.shape == (8, 16, 4)
+        assert ress.boxes.shape == (8, 8, 4)
+        # state is stream-sharded over the mesh
+        shard_counts = {len(x.sharding.device_set) for x in
+                        jax.tree.leaves(ms_pipe.state)}
+        assert shard_counts == {8}
+
+    def test_streams_are_independent(self, ms_pipe):
+        """Identical content in two streams must produce identical track ids
+        (each stream has its own id space and state)."""
+        from rtmodt_tpu.parallel.multistream import init_multistream_state
+
+        # fresh state: earlier tests leave per-stream tracks behind
+        ms_pipe.state = jax.device_put(
+            init_multistream_state(8, ms_pipe.cfg.tracking.bytetrack.max_tracks),
+            ms_pipe._stream_shard)
+        rng = np.random.default_rng(1)
+        base = rng.integers(0, 255, (160, 160, 3), np.uint8)
+        frames = np.stack([base] * 8)
+        for _ in range(2):
+            outs, _ = ms_pipe.step(frames)
+        host = jax.device_get(outs)
+        ref = host.visible[0]
+        for s in range(1, 8):
+            np.testing.assert_array_equal(host.visible[s], ref)
+            np.testing.assert_array_equal(host.track_id[s], host.track_id[0])
+
+    def test_chunk_step(self, ms_pipe):
+        frames = np.random.default_rng(2).integers(
+            0, 255, (3, 8, 160, 160, 3), np.uint8)
+        outs, ress = ms_pipe.step_chunk(frames)
+        assert outs.boxes.shape == (3, 8, 16, 4)
+        assert bool(np.isfinite(jax.device_get(ress.scores)).all())
+
+
+class TestMeshHelpers:
+    def test_create_mesh_and_shard(self):
+        from rtmodt_tpu.parallel.mesh import create_mesh, shard_batch, replicate
+
+        mesh = create_mesh(8)
+        batch = np.zeros((16, 4), np.float32)
+        sharded = shard_batch(batch, mesh)
+        assert len(sharded.sharding.device_set) == 8
+        repl = replicate({"w": np.ones((3, 3))}, mesh)
+        assert len(repl["w"].sharding.device_set) == 8
+        np.testing.assert_array_equal(np.asarray(repl["w"]), 1.0)
+
+    def test_create_mesh_too_many(self):
+        from rtmodt_tpu.parallel.mesh import create_mesh
+
+        with pytest.raises(ValueError):
+            create_mesh(99)

