@@ -61,6 +61,7 @@ class DetectionConfig:
     nms_candidates: int = 300           # top-k pool entering NMS (static shape)
     classes: list[int] | None = None    # keep-list, e.g. [0,1,2,3,5,7]
     agnostic_nms: bool = False
+    nms_impl: str = "fixpoint"          # fixpoint (XLA) | pallas (fused kernel)
     half: bool = True                   # bf16 on TPU
 
 

@@ -83,6 +83,7 @@ def batched_nms_fixed(
     num_candidates: int = 300,
     class_mask: jnp.ndarray | None = None,
     agnostic: bool = False,
+    impl: str = "fixpoint",
 ) -> NMSResult:
     """Class-aware NMS with fully static shapes.
 
@@ -114,8 +115,14 @@ def batched_nms_fixed(
     else:
         offset_boxes = cand_boxes + (cand_classes.astype(f32) * _CLASS_OFFSET)[:, None]
 
-    iou = pairwise_iou(offset_boxes, offset_boxes)
-    keep = _greedy_suppress(iou, cand_scores, iou_thresh) & (cand_scores > 0.0)
+    if impl == "pallas":
+        from rtmodt_tpu.ops.pallas.nms_kernel import pallas_greedy_suppress
+
+        keep = pallas_greedy_suppress(offset_boxes, cand_scores, iou_thresh)
+    else:
+        iou = pairwise_iou(offset_boxes, offset_boxes)
+        keep = _greedy_suppress(iou, cand_scores, iou_thresh)
+    keep = keep & (cand_scores > 0.0)
 
     kept_scores = jnp.where(keep, cand_scores, -1.0)
     m = min(max_det, k)

@@ -84,7 +84,7 @@ class MultiStreamPipeline:
         res = batched_nms_fixed(
             boxes[0], scores[0], dcfg.conf_threshold, dcfg.iou_threshold,
             dcfg.max_detections, dcfg.nms_candidates,
-            self.detector._class_mask, dcfg.agnostic_nms)
+            self.detector._class_mask, dcfg.agnostic_nms, impl=dcfg.nms_impl)
         res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
         state, outputs = bytetrack_update(
             state, res.boxes, res.scores, res.classes, res.valid, bcfg)

@@ -109,6 +109,7 @@ class Pipeline:
             res = batched_nms_fixed(
                 boxes[0], scores[0], dcfg.conf_threshold, dcfg.iou_threshold,
                 dcfg.max_detections, dcfg.nms_candidates, class_mask, dcfg.agnostic_nms,
+                impl=dcfg.nms_impl,
             )
             from rtmodt_tpu.ops.letterbox import letterbox_meta
             meta = letterbox_meta(h, w, dcfg.input_size)
@@ -136,6 +137,7 @@ class Pipeline:
             res = batched_nms_fixed(
                 boxes[0], scores[0], dcfg.conf_threshold, dcfg.iou_threshold,
                 dcfg.max_detections, dcfg.nms_candidates, class_mask, dcfg.agnostic_nms,
+                impl=dcfg.nms_impl,
             )
             res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
             state, outputs = bytetrack_update(
@@ -172,7 +174,7 @@ class Pipeline:
                 res = batched_nms_fixed(
                     boxes[0], scores[0], dcfg.conf_threshold, dcfg.iou_threshold,
                     dcfg.max_detections, dcfg.nms_candidates, class_mask,
-                    dcfg.agnostic_nms,
+                    dcfg.agnostic_nms, impl=dcfg.nms_impl,
                 )
                 res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
                 st, outputs = bytetrack_update(
@@ -221,7 +223,7 @@ class Pipeline:
                 res = batched_nms_fixed(
                     boxes[0], scores[0], dcfg.conf_threshold, dcfg.iou_threshold,
                     dcfg.max_detections, dcfg.nms_candidates, class_mask,
-                    dcfg.agnostic_nms,
+                    dcfg.agnostic_nms, impl=dcfg.nms_impl,
                 )
                 res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
                 st, outputs = bytetrack_update(

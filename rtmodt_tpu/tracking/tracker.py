@@ -19,6 +19,7 @@ from dataclasses import dataclass, field
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from rtmodt_tpu.config.loader import ByteTrackConfig
@@ -74,6 +75,35 @@ class MultiObjectTracker:
             self._step = jax.jit(partial(bytetrack_update, cfg=self.cfg))
         logger.info(f"Tracker initialised: {self.algorithm} "
                     f"({self.cfg.assignment}/{self.cfg.motion_model})")
+
+    def save_state(self, path: str) -> None:
+        """Serialize tracker state for stream-resume - a capability the
+        reference lacks (its tracker state dies with the process,
+        SURVEY.md 5.4)."""
+        import numpy as np
+
+        if self._host is not None:
+            raise NotImplementedError("host-tracker state save not supported")
+        host = jax.device_get(self.state)
+        np.savez(path, **host._asdict(),
+                 trail_ids=np.asarray(list(self._trail_map.keys()), np.int64),
+                 trail_data=np.asarray(
+                     [t + [(-1, -1)] * (self._trail_maxlen - len(t))
+                      for t in self._trail_map.values()], np.int64
+                 ).reshape(len(self._trail_map), -1, 2))
+
+    def load_state(self, path: str) -> None:
+        import numpy as np
+
+        from rtmodt_tpu.tracking.bytetrack import TrackState
+
+        with np.load(path) as z:
+            fields = {k: jnp.asarray(z[k]) for k in TrackState._fields}
+            self.state = TrackState(**fields)
+            self._trail_map.clear()
+            for tid, trail in zip(z["trail_ids"], z["trail_data"]):
+                pts = [(int(x), int(y)) for x, y in trail if x >= 0]
+                self._trail_map[int(tid)] = pts
 
     def reset(self) -> None:
         self._trail_map.clear()

@@ -107,6 +107,26 @@ class TestByteTrack:
             MultiObjectTracker("sort2000")
 
 
+class TestStateSerialization:
+    def test_save_load_roundtrip(self, tmp_path):
+        cfg = ByteTrackConfig(match_thresh=0.3)
+        tr = MultiObjectTracker("bytetrack", bytetrack=cfg)
+        box = [100, 100, 200, 300]
+        for t in range(5):
+            tr.update(dets([walk(box, t)], [0.9]))
+        path = str(tmp_path / "tracker_state.npz")
+        tr.save_state(path)
+
+        tr2 = MultiObjectTracker("bytetrack", bytetrack=cfg)
+        tr2.load_state(path)
+        # resumed tracker continues the SAME id
+        out_a = tr.update(dets([walk(box, 5)], [0.9]))
+        out_b = tr2.update(dets([walk(box, 5)], [0.9]))
+        assert out_a[0].track_id == out_b[0].track_id == 1
+        np.testing.assert_allclose(out_a[0].xyxy, out_b[0].xyxy, atol=1e-4)
+        assert len(out_b[0].trail) == len(out_a[0].trail)
+
+
 class TestDeviceHostParity:
     """Device greedy tracker vs host LAPJV tracker on well-separated scenes
     (where greedy and optimal assignment agree) must produce identical ids."""
