@@ -144,3 +144,42 @@ class _Logger:
 
 
 logger = _Logger()
+
+
+def configure_from_yaml(path: str) -> None:
+    """Apply a declarative logging config (config/logging.yaml schema).
+
+    The reference SHIPS such a file but never loads it (SURVEY.md 5.5);
+    here it actually works.
+    """
+    import json
+    import logging as _logging
+
+    import yaml
+
+    with open(path) as f:
+        cfg = yaml.safe_load(f) or {}
+    logger.remove()
+    con = cfg.get("console", {})
+    if con.get("enabled", True):
+        logger.add(sys.stderr, level=con.get("level", "INFO"),
+                   colorize=con.get("colorize"))
+    fl = cfg.get("file", {})
+    if fl.get("enabled"):
+        logger.add(fl.get("path", "logs/rtmodt.log"),
+                   level=fl.get("level", "DEBUG"),
+                   rotation=fl.get("rotation"))
+    js = cfg.get("jsonl", {})
+    if js.get("enabled"):
+        hid = logger.add(js.get("path", "logs/rtmodt.jsonl"),
+                         level=js.get("level", "INFO"))
+
+        class _JsonFormatter(_logging.Formatter):
+            def format(self, record: _logging.LogRecord) -> str:
+                return json.dumps({
+                    "time": self.formatTime(record),
+                    "level": record.levelname,
+                    "message": record.getMessage(),
+                })
+
+        logger._handler_ids[hid].setFormatter(_JsonFormatter())
