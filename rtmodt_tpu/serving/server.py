@@ -87,9 +87,46 @@ class _DetectorSingleton:
 _singleton = _DetectorSingleton()
 
 
-def _run_detection(img_bgr: np.ndarray) -> dict:
+class _TrackerSessions:
+    """Per-client tracker state for the webcam loop.
+
+    The reference's web path never tracks (``tracks`` is always ``[]``,
+    web/server.py:111); here a client that sends a ``session_id`` with its
+    frames gets persistent-ID tracks + trails across requests.  Sessions
+    expire after ``ttl`` seconds idle.
+    """
+
+    def __init__(self, ttl: float = 120.0, max_sessions: int = 32):
+        self._lock = threading.Lock()
+        self._sessions: dict[str, tuple[float, object]] = {}
+        self.ttl = ttl
+        self.max_sessions = max_sessions
+
+    def get(self, session_id: str):
+        from rtmodt_tpu.tracking.tracker import MultiObjectTracker
+
+        now = time.time()
+        with self._lock:
+            for sid in [s for s, (t, _) in self._sessions.items()
+                        if now - t > self.ttl]:
+                del self._sessions[sid]
+            if session_id not in self._sessions:
+                if len(self._sessions) >= self.max_sessions:
+                    oldest = min(self._sessions, key=lambda s: self._sessions[s][0])
+                    del self._sessions[oldest]
+                self._sessions[session_id] = (now, MultiObjectTracker("bytetrack"))
+            t, tracker = self._sessions[session_id]
+            self._sessions[session_id] = (now, tracker)
+            return tracker
+
+
+_sessions = _TrackerSessions()
+
+
+def _run_detection(img_bgr: np.ndarray, session_id: str | None = None) -> dict:
     """Single-image detection -> reference response schema
-    (web/server.py:84-115)."""
+    (web/server.py:84-115).  With a ``session_id``, detections also flow
+    through a per-session ByteTrack and ``tracks`` is populated."""
     t0 = time.perf_counter()
     det = _singleton.get().detect(img_bgr)
     inference_ms = (time.perf_counter() - t0) * 1e3
@@ -104,10 +141,23 @@ def _run_detection(img_bgr: np.ndarray) -> dict:
         }
         for i in range(len(det))
     ]
+    tracks = []
+    if session_id:
+        tracker = _sessions.get(session_id)
+        for t in tracker.update(det):
+            tracks.append({
+                "track_id": int(t.track_id),
+                "bbox": [float(v) for v in t.xyxy],
+                "confidence": float(t.confidence),
+                "class_id": int(t.class_id),
+                "class_name": t.class_name,
+                "age": int(t.age),
+                "trail": [[int(x), int(y)] for x, y in t.trail],
+            })
     h, w = img_bgr.shape[:2]
     return {
         "detections": detections,
-        "tracks": [],
+        "tracks": tracks,
         "inference_ms": round(inference_ms, 2),
         "num_objects": len(detections),
         "image_size": [w, h],
@@ -179,7 +229,10 @@ def create_app() -> App:
             img_bytes = base64.b64decode(data_url, validate=True)
         except Exception:
             raise HTTPError(400, "Invalid base64 image data.")
-        return JSONResponse(_run_detection(_decode_image(img_bytes)))
+        session_id = payload.get("session_id") or None
+        if session_id is not None:
+            session_id = str(session_id)[:64]
+        return JSONResponse(_run_detection(_decode_image(img_bytes), session_id))
 
     @app.get("/api/detect/sample/{filename}")
     def detect_sample(req: Request) -> Response:

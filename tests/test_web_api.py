@@ -147,3 +147,30 @@ class TestDetectionAPI:
 
     def test_method_not_allowed(self, client):
         assert client.post("/api/samples").status_code == 405
+
+    def test_session_tracking_populates_tracks(self, client):
+        """With a session_id, repeated frames yield persistent-ID tracks -
+        a real extension over the reference (its tracks are always [])."""
+        import base64
+
+        payload = {"image": base64.b64encode(_jpeg_bytes(100, 100)).decode(),
+                   "session_id": "test-sess-1"}
+        ids = []
+        for _ in range(3):
+            r = client.post("/api/detect/frame", json_body=payload)
+            assert r.status_code == 200
+            data = r.json()
+            assert len(data["tracks"]) == 1
+            t = data["tracks"][0]
+            assert set(t) == {"track_id", "bbox", "confidence", "class_id",
+                              "class_name", "age", "trail"}
+            ids.append(t["track_id"])
+        assert len(set(ids)) == 1          # ID persists across requests
+        assert data["tracks"][0]["age"] == 3
+
+    def test_no_session_keeps_reference_contract(self, client):
+        import base64
+
+        payload = {"image": base64.b64encode(_jpeg_bytes()).decode()}
+        r = client.post("/api/detect/frame", json_body=payload)
+        assert r.json()["tracks"] == []

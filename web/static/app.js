@@ -20,6 +20,8 @@ let currentImage = null;   // HTMLImageElement or video frame bitmap
 let webcamStream = null;
 let webcamTimer = null;
 let webcamBusy = false;
+// per-tab tracker session: the backend keeps ByteTrack state for this id
+const sessionId = `web-${Math.random().toString(36).slice(2, 10)}`;
 
 /* ---------- mode switching ---------- */
 document.querySelectorAll(".tab").forEach((tab) => {
@@ -180,7 +182,8 @@ async function captureAndDetect(video) {
     const res = await fetch("/api/detect/frame", {
       method: "POST",
       headers: { "Content-Type": "application/json" },
-      body: JSON.stringify({ image: c.toDataURL("image/jpeg", 0.8) }),
+      body: JSON.stringify({ image: c.toDataURL("image/jpeg", 0.8),
+                             session_id: sessionId }),
     });
     if (res.ok) drawResults(await res.json());
   } catch (err) {
