@@ -49,13 +49,16 @@ def main() -> None:
                        for t in range(n_prep)])
     chunks = [frames[i:i + chunk] for i in range(0, n_prep - chunk + 1, chunk)]
 
-    # frames travel as decoder-native I420 at model content size (see
+    # frames travel as decoder-native planar I420 at model content size (see
     # rtmodt_tpu/ops/yuv.py) - 7.5x less host->device traffic than raw BGR
-    from rtmodt_tpu.ops.yuv import pack_i420
+    from rtmodt_tpu.ops.yuv import pack_i420_planar
 
     def pack(chunk_bgr):
-        return np.stack([pack_i420(f, cfg.detection.input_size)[0]
-                         for f in chunk_bgr])
+        planes = [pack_i420_planar(f, cfg.detection.input_size)[0]
+                  for f in chunk_bgr]
+        return (np.stack([p[0] for p in planes]),
+                np.stack([p[1] for p in planes]),
+                np.stack([p[2] for p in planes]))
 
     print(f"warmup/compile (chunk={chunk})...", file=sys.stderr)
     t0 = time.perf_counter()

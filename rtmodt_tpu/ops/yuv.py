@@ -48,6 +48,53 @@ def pack_i420(frame_bgr: np.ndarray, size: int) -> tuple[np.ndarray, LetterboxMe
     return yuv, meta
 
 
+def pack_i420_planar(frame_bgr: np.ndarray, size: int):
+    """Like :func:`pack_i420` but returns separate (y, u, v) planes - the
+    transport layout the device decodes cheapest (no cross-lane reshapes).
+
+    Returns ((y (ch, cw), u (ch/2, cw/2), v (ch/2, cw/2)) uint8, meta).
+    """
+    yuv, meta = pack_i420(frame_bgr, size)
+    ch, cw = meta.new_h, meta.new_w
+    y = yuv[:ch]
+    n_chroma = (ch // 2) * (cw // 2)
+    chroma = yuv[ch:].reshape(-1)          # U then V, flat (handles ch % 4 != 0)
+    u = chroma[:n_chroma].reshape(ch // 2, cw // 2)
+    v = chroma[n_chroma:2 * n_chroma].reshape(ch // 2, cw // 2)
+    return (np.ascontiguousarray(y), np.ascontiguousarray(u),
+            np.ascontiguousarray(v)), meta
+
+
+def planar_letterbox(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                     size: int, pad_left: int, pad_top: int,
+                     dtype=jnp.bfloat16, pad_value: float = 114.0) -> jnp.ndarray:
+    """Planar I420 -> padded normalized RGB (size, size, 3), bf16 throughout.
+
+    Chroma upsample + BT.601 + /255 + letterbox pad in one fused graph; all
+    arithmetic in the compute dtype, single (h, w, 3) materialization.
+    """
+    ch, cw = y.shape
+    yf = y.astype(dtype)
+    uf = u.astype(dtype) - jnp.asarray(128.0, dtype)
+    vf = v.astype(dtype) - jnp.asarray(128.0, dtype)
+
+    def up2(p):
+        p = jnp.broadcast_to(p[:, None, :, None], (ch // 2, 2, cw // 2, 2))
+        return p.reshape(ch, cw)
+
+    uf = up2(uf)
+    vf = up2(vf)
+    scale = jnp.asarray(1.0 / 255.0, dtype)
+    r = (yf + jnp.asarray(1.403, dtype) * vf) * scale
+    g = (yf - jnp.asarray(0.344, dtype) * uf - jnp.asarray(0.714, dtype) * vf) * scale
+    b = (yf + jnp.asarray(1.773, dtype) * uf) * scale
+    rgb = jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 1.0)
+    pad_bottom = size - ch - pad_top
+    pad_right = size - cw - pad_left
+    return jnp.pad(rgb, ((pad_top, pad_bottom), (pad_left, pad_right), (0, 0)),
+                   constant_values=jnp.asarray(pad_value / 255.0, dtype))
+
+
 def i420_to_rgb(yuv: jnp.ndarray, ch: int, cw: int,
                 dtype=jnp.bfloat16) -> jnp.ndarray:
     """Device-side I420 -> RGB [0,1] (ch, cw, 3). Fused VPU math under jit.
@@ -58,8 +105,10 @@ def i420_to_rgb(yuv: jnp.ndarray, ch: int, cw: int,
     """
     f32 = jnp.float32
     y = yuv[:ch].astype(f32)
-    u = yuv[ch:ch + ch // 4].reshape(ch // 2, cw // 2).astype(f32) - 128.0
-    v = yuv[ch + ch // 4:ch + ch // 2].reshape(ch // 2, cw // 2).astype(f32) - 128.0
+    n_chroma = (ch // 2) * (cw // 2)
+    chroma = yuv[ch:].reshape(-1)
+    u = chroma[:n_chroma].reshape(ch // 2, cw // 2).astype(f32) - 128.0
+    v = chroma[n_chroma:2 * n_chroma].reshape(ch // 2, cw // 2).astype(f32) - 128.0
 
     def up2(p):  # nearest 2x chroma upsample via broadcast/reshape (no gather)
         p = jnp.broadcast_to(p[:, None, :, None], (ch // 2, 2, cw // 2, 2))

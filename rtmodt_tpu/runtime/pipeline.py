@@ -188,15 +188,20 @@ class Pipeline:
         return chunk_fn
 
     def _packed_chunk_for(self, src_h: int, src_w: int, k: int):
-        """K-frame streaming step over PACKED I420 input (``ops.yuv``): the
-        host ships 12-bit/px decoder-native frames at model content size
-        (7.5x less link traffic than BGR 720p); chroma upsample + YUV->RGB +
-        normalize + pad fuse into the jitted program on device."""
+        """K-frame streaming step over PLANAR I420 input (``ops.yuv``).
+
+        Structure exploits what is and is not sequential: detection has no
+        frame-to-frame dependency, so preprocessing, the model forward, DFL
+        decode and NMS all run BATCHED over the K frames (bigger convs, MXU-
+        friendly); only the ByteTrack update scans sequentially - it is the
+        sole true recurrence.  The host ships 12-bit/px decoder-native frames
+        at model content size (7.5x less link traffic than BGR 720p).
+        """
         key = ("i420", src_h, src_w, k)
         if key in self._chunk_fns:
             return self._chunk_fns[key]
         from rtmodt_tpu.ops.letterbox import letterbox_meta
-        from rtmodt_tpu.ops.yuv import content_dims, letterbox_from_i420
+        from rtmodt_tpu.ops.yuv import content_dims, planar_letterbox
 
         dcfg = self.cfg.detection
         bcfg = self.cfg.tracking.bytetrack
@@ -214,43 +219,53 @@ class Pipeline:
             new_w=cw, new_h=ch)
 
         @partial(jax.jit, donate_argnums=donate)
-        def chunk_fn(params, state, yuv_chunk):
-            def body(st, yuv):
-                img = letterbox_from_i420(yuv, ch, cw, size, pad_left, pad_top,
-                                          dtype=dtype)
-                box_dist, cls_logits = model.apply(params, img[None], train=False)
-                boxes, scores = decode_predictions(box_dist, cls_logits, size)
+        def chunk_fn(params, state, y, u, v):
+            imgs = jax.vmap(lambda yy, uu, vv: planar_letterbox(
+                yy, uu, vv, size, pad_left, pad_top, dtype=dtype))(y, u, v)
+            box_dist, cls_logits = model.apply(params, imgs, train=False)
+            boxes, scores = decode_predictions(box_dist, cls_logits, size)
+
+            def one_nms(b, s):
                 res = batched_nms_fixed(
-                    boxes[0], scores[0], dcfg.conf_threshold, dcfg.iou_threshold,
+                    b, s, dcfg.conf_threshold, dcfg.iou_threshold,
                     dcfg.max_detections, dcfg.nms_candidates, class_mask,
-                    dcfg.agnostic_nms, impl=dcfg.nms_impl,
-                )
-                res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
+                    dcfg.agnostic_nms, impl=dcfg.nms_impl)
+                return res._replace(boxes=unletterbox_boxes(res.boxes, meta))
+
+            ress = jax.vmap(one_nms)(boxes, scores)   # parallel across frames
+
+            def body(st, res):
                 st, outputs = bytetrack_update(
                     st, res.boxes, res.scores, res.classes, res.valid, bcfg)
-                return st, (outputs, res)
+                return st, outputs
 
-            state, (outs, ress) = jax.lax.scan(body, state, yuv_chunk)
+            state, outs = jax.lax.scan(body, state, ress)
             return state, outs, ress
 
         self._chunk_fns[key] = chunk_fn
         return chunk_fn
 
     def submit_chunk_packed(self, frames_bgr: np.ndarray):
-        """Pack a (K, H, W, 3) BGR chunk to I420 on host and async-submit."""
-        from rtmodt_tpu.ops.yuv import pack_i420
+        """Pack a (K, H, W, 3) BGR chunk to planar I420 on host, async-submit."""
+        from rtmodt_tpu.ops.yuv import pack_i420_planar
 
         k, h, w = frames_bgr.shape[:3]
-        yuv = np.stack([pack_i420(frames_bgr[i], self.cfg.detection.input_size)[0]
-                        for i in range(k)])
-        return self.submit_packed_yuv(yuv, h, w)
+        planes = [pack_i420_planar(frames_bgr[i], self.cfg.detection.input_size)[0]
+                  for i in range(k)]
+        y = np.stack([p[0] for p in planes])
+        u = np.stack([p[1] for p in planes])
+        v = np.stack([p[2] for p in planes])
+        return self.submit_packed_yuv((y, u, v), h, w)
 
-    def submit_packed_yuv(self, yuv_chunk: np.ndarray, src_h: int, src_w: int):
-        """Async-submit an already-packed (K, ch*3/2, cw) I420 chunk."""
-        k = yuv_chunk.shape[0]
+    def submit_packed_yuv(self, planes: tuple[np.ndarray, np.ndarray, np.ndarray],
+                          src_h: int, src_w: int):
+        """Async-submit packed planar I420: (y (K,ch,cw), u, v) uint8."""
+        y, u, v = planes
+        k = y.shape[0]
         chunk_fn = self._packed_chunk_for(src_h, src_w, k)
         self.tracker.state, outs, ress = chunk_fn(
-            self.detector.params, self.tracker.state, jax.device_put(yuv_chunk))
+            self.detector.params, self.tracker.state,
+            jax.device_put(y), jax.device_put(u), jax.device_put(v))
         for leaf in jax.tree.leaves((outs, ress)):
             if hasattr(leaf, "copy_to_host_async"):
                 leaf.copy_to_host_async()

@@ -152,6 +152,49 @@ class TestPolygon:
         np.testing.assert_array_equal(a, b)
 
 
+class TestYUVTransport:
+    def test_device_decode_matches_cv2(self, rng):
+        import cv2
+        import jax.numpy as jnp
+        from rtmodt_tpu.ops.yuv import pack_i420, i420_to_rgb, content_dims
+
+        frame = cv2.GaussianBlur(
+            rng.integers(0, 255, (180, 320, 3), np.uint8), (15, 15), 5)
+        yuv, meta = pack_i420(frame, 160)
+        ch, cw = content_dims(180, 320, 160)
+        ref = cv2.cvtColor(yuv, cv2.COLOR_YUV2BGR_I420)[..., ::-1].astype(np.float32) / 255
+        got = np.asarray(i420_to_rgb(jnp.asarray(yuv), ch, cw, dtype=jnp.float32))
+        assert np.abs(got - ref).mean() < 0.02  # chroma-interp differences only
+
+    def test_planar_equals_packed(self, rng):
+        import jax.numpy as jnp
+        from rtmodt_tpu.ops.yuv import (pack_i420, pack_i420_planar,
+                                        letterbox_from_i420, planar_letterbox)
+
+        frame = rng.integers(0, 255, (180, 320, 3), np.uint8)
+        yuv, meta = pack_i420(frame, 160)
+        (y, u, v), meta2 = pack_i420_planar(frame, 160)
+        assert meta == meta2
+        a = np.asarray(letterbox_from_i420(
+            jnp.asarray(yuv), meta.new_h, meta.new_w, 160,
+            meta.pad_left, meta.pad_top, dtype=jnp.float32))
+        b = np.asarray(planar_letterbox(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), 160,
+            meta.pad_left, meta.pad_top, dtype=jnp.float32))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_geometry_matches_letterbox(self):
+        from rtmodt_tpu.ops.letterbox import letterbox_meta
+        from rtmodt_tpu.ops.yuv import pack_i420
+
+        frame = np.zeros((720, 1280, 3), np.uint8)
+        _, meta = pack_i420(frame, 640)
+        ref = letterbox_meta(720, 1280, 640)
+        assert meta.scale == ref.scale
+        assert meta.pad_top == ref.pad_top
+        assert (meta.new_h, meta.new_w) == (ref.new_h, ref.new_w)
+
+
 class TestAssignment:
     def test_greedy_simple(self):
         from rtmodt_tpu.ops import greedy_assign

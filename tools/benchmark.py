@@ -49,9 +49,10 @@ def main(model, imgsz, height, width, frames, mode, chunk, json_out):
     scene = [moving_boxes_frame(t, height, width, 8)[0] for t in range(64)]
 
     if mode == "chunked":
-        from rtmodt_tpu.ops.yuv import pack_i420
+        from rtmodt_tpu.ops.yuv import pack_i420_planar
 
-        yuv = np.stack([pack_i420(f, imgsz)[0] for f in scene[:chunk]])
+        planes = [pack_i420_planar(f, imgsz)[0] for f in scene[:chunk]]
+        yuv = tuple(np.stack([p[i] for p in planes]) for i in range(3))
         pipe.submit_packed_yuv(yuv, height, width)  # compile
         t0 = time.perf_counter()
         done = 0
