@@ -96,11 +96,71 @@ def main(config_path, epochs, batch_size, imgsz, data_root, resume, max_steps):
         box_gain=cfg["loss"]["box"], cls_gain=cfg["loss"]["cls"],
         dfl_gain=cfg["loss"]["dfl"])
 
+    # EMA of params (ultralytics-style model averaging for eval/export)
+    ema_decay = float(cfg.get("ema_decay", 0.0))
+    ema_params = jax.device_get(state.params) if ema_decay else None
+    ema_fn = jax.jit(lambda e, p: jax.tree.map(
+        lambda a, b: ema_decay * a + (1.0 - ema_decay) * b, e, p))
+    if ema_decay:
+        ema_params = jax.device_put(ema_params)
+
+    def run_validation(params, batch_stats, step):
+        """Val mAP over the dataset's COCO GT (if present)."""
+        gt_json = os.path.join(cfg["data"]["root"], "val_coco_gt.json")
+        val_dir = os.path.join(cfg["data"]["root"], "images",
+                               cfg["data"]["val_split"])
+        if not (os.path.exists(gt_json) and os.path.isdir(val_dir)):
+            logger.info("no val GT json found; skipping val mAP")
+            return None
+        import json as _json
+
+        import cv2
+
+        from rtmodt_tpu.evaluation.coco_eval import COCODetEval
+        from rtmodt_tpu.models.yolov8 import decode_predictions
+        from rtmodt_tpu.ops.letterbox import letterbox, unletterbox_boxes
+        from rtmodt_tpu.ops.nms import batched_nms_fixed
+
+        @jax.jit
+        def val_detect(p, bs, frame):
+            img, meta = letterbox(frame, s, dtype=jnp.float32)
+            bd, cl = model.apply({"params": p, "batch_stats": bs},
+                                 img[None], train=False)
+            boxes, scores = decode_predictions(bd, cl, s)
+            res = batched_nms_fixed(boxes[0], scores[0], 0.001, 0.6, 300, 1000)
+            return res._replace(boxes=unletterbox_boxes(res.boxes, meta))
+
+        with open(gt_json) as f:
+            gt = _json.load(f)
+        preds = []
+        for im in gt["images"]:
+            frame = cv2.imread(os.path.join(val_dir, im["file_name"]))
+            if frame is None:
+                continue
+            r = jax.device_get(val_detect(params, batch_stats,
+                                          jnp.asarray(frame)))
+            for i in range(int(r.count)):
+                x1, y1, x2, y2 = (float(v) for v in r.boxes[i])
+                preds.append({"image_id": im["id"],
+                              "category_id": int(r.classes[i]) + 1,
+                              "bbox": [x1, y1, x2 - x1, y2 - y1],
+                              "score": float(r.scores[i])})
+        result = COCODetEval(gt, preds).evaluate(0.5)
+        logger.info(f"val @ step {step}: mAP50={result['mAP_50']:.4f} "
+                    f"recall={result['recall']:.4f}")
+        return result
+
     gstep = int(jax.device_get(state.step))
+    val_every = steps_per_epoch * max(1, int(cfg.get("val_interval", 1)))
+    best_map = -1.0
+    no_improve = 0
+    patience = int(cfg.get("patience", 0))
     t0 = time.perf_counter()
     try:
         for batch in ds.batches(bsz):
             state, metrics = step_fn(state, put_batch(batch))
+            if ema_decay:
+                ema_params = ema_fn(ema_params, state.params)
             gstep += 1
             if gstep % 50 == 0:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
@@ -110,20 +170,37 @@ def main(config_path, epochs, batch_size, imgsz, data_root, resume, max_steps):
                             f"loss={m['loss']:.3f} box={m['box_loss']:.3f} "
                             f"cls={m['cls_loss']:.3f} dfl={m['dfl_loss']:.3f} "
                             f"fg={int(m['num_fg'])} {rate:.1f} img/s")
-            epoch = gstep // steps_per_epoch
-            if gstep % (steps_per_epoch * cfg["checkpoint"]["save_period"]) == 0:
+            if gstep % val_every == 0:
+                eval_params = ema_params if ema_decay else state.params
+                r = run_validation(eval_params, state.batch_stats, gstep)
+                if r is not None:
+                    if r["mAP_50"] > best_map:
+                        best_map, no_improve = r["mAP_50"], 0
+                    else:
+                        no_improve += 1
+                    ckpt.save(gstep, state, metrics={"map50": r["mAP_50"]})
+                    if patience and no_improve >= patience:
+                        logger.info(f"early stop: no val improvement for "
+                                    f"{patience} evals")
+                        break
+            elif gstep % (steps_per_epoch * cfg["checkpoint"]["save_period"]) == 0:
                 ckpt.save(gstep, state)
             if max_steps and gstep >= max_steps:
                 logger.info("max-steps reached")
                 break
             if gstep >= total_steps:
                 break
-            del epoch
     except KeyboardInterrupt:
         logger.info("interrupted")
     ckpt.save(gstep, state)
+    if ema_decay:
+        from rtmodt_tpu.models.weights import save_npz
+
+        save_npz({"params": jax.device_get(ema_params),
+                  "batch_stats": jax.device_get(state.batch_stats)},
+                 os.path.join(cfg["checkpoint"]["dir"], "ema_final.npz"))
     ckpt.close()
-    logger.info(f"training done at step {gstep}")
+    logger.info(f"training done at step {gstep} (best mAP50={best_map:.4f})")
 
 
 if __name__ == "__main__":
