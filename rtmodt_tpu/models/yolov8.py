@@ -196,14 +196,18 @@ class YOLOv8(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 skip_stem: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
         ch = lambda c: _scale_channels(c, self.width)  # noqa: E731
         c5 = _make_divisible(512 * self.width * self.ratio, 8)
         d = lambda n: _depth(n, self.depth)  # noqa: E731
         dt = self.dtype
 
-        # Backbone
-        x = ConvBN(ch(64), 3, 2, dtype=dt, name="stem")(x, train)           # /2
+        # Backbone.  ``skip_stem=True`` means x is already the post-stem
+        # feature map (e.g. produced by ``planar_stem_apply`` straight from
+        # packed YUV planes - the (H, W, 3) image tensor never exists).
+        if not skip_stem:
+            x = ConvBN(ch(64), 3, 2, dtype=dt, name="stem")(x, train)       # /2
         x = ConvBN(ch(128), 3, 2, dtype=dt, name="down1")(x, train)         # /4
         x = C2f(ch(128), d(3), True, dtype=dt, name="c2f1")(x, train)
         x = ConvBN(ch(256), 3, 2, dtype=dt, name="down2")(x, train)         # /8

@@ -1,0 +1,110 @@
+"""Planar YUV stem: the first conv consumes Y/U/V planes directly.
+
+The measured bottleneck of the streaming path was not the network - it was
+materializing the (H, W, 3) RGB tensor: a 3-wide trailing dim wastes 125/128
+TPU lanes for every elementwise op that touches it (~8.7 ms/frame at 640 px).
+
+YUV->RGB is linear and chroma upsampling is linear, so both compose with the
+stem convolution algebraically:
+
+    stem(rgb)  where  rgb = (A @ [y, u, v] + A @ [0,-128,-128]) / 255
+  = conv_y(Y) + conv_u(U) + conv_v(V) + const
+
+with ``conv_y`` the stem kernel contracted against A[:,0]/255 (3x3, stride 2
+on the full-res Y plane) and ``conv_u/v`` 2x2 stride-1 kernels on the
+half-res chroma planes (each stride-2 3x3 output tap reads a 2x2 chroma
+neighborhood; the taps collapse by summation).  All operands are 2-D planes
+with lane-aligned widths - the RGB tensor never exists.
+
+Exactness: identical to the reference path everywhere except (a) out-of-gamut
+YUV combos that the standard path would clip to [0,1], and (b) a 1-pixel
+border ring of the /2 feature map where the standard path's zero-padding
+carries no chroma offset.  Both are sub-noise for detection and vanish
+inside letterbox padding; the parity test bounds the interior error.
+
+BT.601 matrix (matches ``ops.yuv``): R = Y + 1.403 Vc, G = Y - 0.344 Uc
+- 0.714 Vc, B = Y + 1.773 Uc  (Uc = U - 128, Vc = V - 128).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# columns: contribution of (Y, U, V) to each of (R, G, B)
+_A = np.array([
+    [1.0, 0.0, 1.403],
+    [1.0, -0.344, -0.714],
+    [1.0, 1.773, 0.0],
+], dtype=np.float32)
+_OFFSET = (_A @ np.array([0.0, -128.0, -128.0], np.float32)) / 255.0  # per RGB ch
+
+
+def _chroma_kernel(wc: jnp.ndarray) -> jnp.ndarray:
+    """Collapse a (3, 3, C) stride-2 kernel into the equivalent (2, 2, 1, C)
+    stride-1 kernel over the half-resolution plane."""
+    k = jnp.stack([
+        jnp.stack([wc[0, 0], wc[0, 1] + wc[0, 2]], axis=0),
+        jnp.stack([wc[1, 0] + wc[2, 0],
+                   wc[1, 1] + wc[1, 2] + wc[2, 1] + wc[2, 2]], axis=0),
+    ], axis=0)                                    # (2, 2, C)
+    return k[:, :, None, :]
+
+
+def planar_stem_apply(stem_params: dict, stem_stats: dict,
+                      y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                      dtype=jnp.bfloat16, bn_eps: float = 1e-3) -> jnp.ndarray:
+    """Apply the stem ConvBN+SiLU to LETTERBOXED planes.
+
+    Args:
+      stem_params/stem_stats: the model's ``stem`` param/batch_stats subtrees.
+      y: (B, S, S) uint8 Y plane padded with 114.
+      u, v: (B, S/2, S/2) uint8 chroma planes padded with 128.
+    Returns (B, S/2, S/2, C) post-stem features.
+    """
+    w = stem_params["conv"]["kernel"].astype(jnp.float32)      # (3, 3, 3, C)
+    a = jnp.asarray(_A)
+    # fold the color matrix + /255 into per-source kernels
+    wy = jnp.einsum("ijco,c->ijo", w, a[:, 0]) / 255.0          # (3, 3, C)
+    wu = jnp.einsum("ijco,c->ijo", w, a[:, 1]) / 255.0
+    wv = jnp.einsum("ijco,c->ijo", w, a[:, 2]) / 255.0
+    const = jnp.einsum("ijco,c->o", w, jnp.asarray(_OFFSET))    # (C,)
+
+    dn = jax.lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
+                                        ("NHWC", "HWIO", "NHWC"))
+
+    def conv(x, k, stride, pad):
+        return jax.lax.conv_general_dilated(
+            x.astype(dtype)[..., None], k.astype(dtype), stride, pad,
+            dimension_numbers=dn, preferred_element_type=jnp.float32)
+
+    out = conv(y, wy[:, :, None, :], (2, 2), ((1, 1), (1, 1)))
+    out = out + conv(u, _chroma_kernel(wu), (1, 1), ((1, 0), (1, 0)))
+    out = out + conv(v, _chroma_kernel(wv), (1, 1), ((1, 0), (1, 0)))
+    out = out + const[None, None, None, :]
+
+    bn = stem_params["bn"]
+    mean = stem_stats["bn"]["mean"].astype(jnp.float32)
+    var = stem_stats["bn"]["var"].astype(jnp.float32)
+    out = (out - mean) * jax.lax.rsqrt(var + bn_eps)
+    out = out * bn["scale"].astype(jnp.float32) + bn["bias"].astype(jnp.float32)
+    return jax.nn.silu(out).astype(dtype)
+
+
+def pad_planes(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, size: int,
+               pad_left: int, pad_top: int):
+    """Letterbox-pad content planes to the model grid (Y: 114, chroma: 128).
+
+    Requires even pad offsets so the chroma grid stays aligned; callers round
+    the letterbox pads to even (content dims are already even).
+    """
+    ch, cw = y.shape[-2:]
+    pb = size - ch - pad_top
+    pr = size - cw - pad_left
+    y_p = jnp.pad(y, ((0, 0), (pad_top, pb), (pad_left, pr)), constant_values=114)
+    u_p = jnp.pad(u, ((0, 0), (pad_top // 2, pb // 2), (pad_left // 2, pr // 2)),
+                  constant_values=128)
+    v_p = jnp.pad(v, ((0, 0), (pad_top // 2, pb // 2), (pad_left // 2, pr // 2)),
+                  constant_values=128)
+    return y_p, u_p, v_p

@@ -40,10 +40,12 @@ def pack_i420(frame_bgr: np.ndarray, size: int) -> tuple[np.ndarray, LetterboxMe
     ch, cw = content_dims(h, w, size)
     resized = cv2.resize(frame_bgr, (cw, ch), interpolation=cv2.INTER_LINEAR)
     yuv = cv2.cvtColor(resized, cv2.COLOR_BGR2YUV_I420)
-    # meta must reflect the EXACT scale used (even-rounded content dims)
+    # meta must reflect the EXACT scale used (even-rounded content dims).
+    # Pads are rounded DOWN to even so the half-res chroma grid stays aligned
+    # (<= 1 px shift vs ultralytics centering; see ops/planar_stem.py).
     scale = min(ch / h, cw / w)
-    pad_left = int(round((size - cw) / 2 - 0.1))
-    pad_top = int(round((size - ch) / 2 - 0.1))
+    pad_left = (int(round((size - cw) / 2 - 0.1)) // 2) * 2
+    pad_top = (int(round((size - ch) / 2 - 0.1)) // 2) * 2
     meta = LetterboxMeta(scale, pad_left, pad_top, cw, ch, w, h)
     return yuv, meta
 

@@ -201,7 +201,8 @@ class Pipeline:
         if key in self._chunk_fns:
             return self._chunk_fns[key]
         from rtmodt_tpu.ops.letterbox import letterbox_meta
-        from rtmodt_tpu.ops.yuv import content_dims, planar_letterbox
+        from rtmodt_tpu.ops.planar_stem import pad_planes, planar_stem_apply
+        from rtmodt_tpu.ops.yuv import content_dims
 
         dcfg = self.cfg.detection
         bcfg = self.cfg.tracking.bytetrack
@@ -211,8 +212,8 @@ class Pipeline:
         donate = (1,) if self.cfg.parallel.donate_state else ()
         size = dcfg.input_size
         ch, cw = content_dims(src_h, src_w, size)
-        pad_left = int(round((size - cw) / 2 - 0.1))
-        pad_top = int(round((size - ch) / 2 - 0.1))
+        pad_left = (int(round((size - cw) / 2 - 0.1)) // 2) * 2
+        pad_top = (int(round((size - ch) / 2 - 0.1)) // 2) * 2
         scale = min(ch / src_h, cw / src_w)
         meta = letterbox_meta(src_h, src_w, size)._replace(
             scale=scale, pad_left=pad_left, pad_top=pad_top,
@@ -220,9 +221,14 @@ class Pipeline:
 
         @partial(jax.jit, donate_argnums=donate)
         def chunk_fn(params, state, y, u, v):
-            imgs = jax.vmap(lambda yy, uu, vv: planar_letterbox(
-                yy, uu, vv, size, pad_left, pad_top, dtype=dtype))(y, u, v)
-            box_dist, cls_logits = model.apply(params, imgs, train=False)
+            # planar stem: the (S, S, 3) image tensor never exists (see
+            # ops/planar_stem.py) - color conversion folds into conv weights
+            yp, up, vp = pad_planes(y, u, v, size, pad_left, pad_top)
+            feats = planar_stem_apply(
+                params["params"]["stem"], params["batch_stats"]["stem"],
+                yp, up, vp, dtype=dtype)
+            box_dist, cls_logits = model.apply(params, feats, train=False,
+                                               skip_stem=True)
             boxes, scores = decode_predictions(box_dist, cls_logits, size)
 
             def one_nms(b, s):
