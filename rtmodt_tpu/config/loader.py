@@ -62,6 +62,7 @@ class DetectionConfig:
     classes: list[int] | None = None    # keep-list, e.g. [0,1,2,3,5,7]
     agnostic_nms: bool = False
     nms_impl: str = "fixpoint"          # fixpoint (XLA) | pallas (fused kernel)
+    fuse_bn: bool = True                # fold BN into convs for inference
     half: bool = True                   # bf16 on TPU
 
 

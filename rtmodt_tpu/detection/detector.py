@@ -106,6 +106,14 @@ class Detector:
         dtype = jnp.bfloat16 if self.cfg.half else jnp.float32
         self.model = build_model(self.cfg.model, self.cfg.num_classes, dtype=dtype)
         self.params = self._load_params()
+        if self.cfg.fuse_bn:
+            # deploy-time BN folding (the TRT-engine analog); exact inference
+            from rtmodt_tpu.models.weights import fuse_bn
+
+            self.params = jax.device_put(jax.tree.map(
+                jnp.asarray, fuse_bn(jax.device_get(self.params))))
+            self.model = build_model(self.cfg.model, self.cfg.num_classes,
+                                     dtype=dtype, fused=True)
         if self.cfg.classes:
             mask = np.zeros((self.cfg.num_classes,), bool)
             mask[np.asarray(self.cfg.classes)] = True

@@ -107,6 +107,35 @@ def load_ultralytics_pt(path: str) -> dict[str, Any]:
     return convert_ultralytics_state_dict(state)
 
 
+def fuse_bn(variables: dict[str, Any], eps: float = 1e-3) -> dict[str, Any]:
+    """Fold BatchNorm into conv weights -> params for a ``fused=True`` model.
+
+    The deploy-time graph optimization analogous to the reference's TensorRT
+    engine build (detector prefers a prebuilt engine, reference
+    detector.py:82-90): per output channel,
+    ``k' = k * scale / sqrt(var + eps)``, ``b' = bias - mean * scale /
+    sqrt(var + eps)``.  Inference-only (training needs live BN stats).
+    """
+    params = traverse_util.flatten_dict(variables["params"])
+    stats = traverse_util.flatten_dict(variables.get("batch_stats", {}))
+    out: dict[tuple[str, ...], Any] = {}
+    for key, kernel in params.items():
+        if key[-2:] == ("conv", "kernel"):
+            prefix = key[:-2]
+            bn_scale = params.get(prefix + ("bn", "scale"))
+            if bn_scale is not None:
+                mean = stats[prefix + ("bn", "mean")]
+                var = stats[prefix + ("bn", "var")]
+                bias = params[prefix + ("bn", "bias")]
+                factor = bn_scale / np.sqrt(np.asarray(var) + eps)
+                out[prefix + ("conv", "kernel")] = np.asarray(kernel) * factor
+                out[prefix + ("conv", "bias")] = np.asarray(bias) - np.asarray(mean) * factor
+                continue
+        if key[-2:-1] != ("bn",):
+            out[key] = kernel
+    return {"params": traverse_util.unflatten_dict(out)}
+
+
 def save_npz(variables: dict[str, Any], path: str) -> None:
     flat = traverse_util.flatten_dict(variables, sep="/")
     np.savez(path, **{k: np.asarray(v) for k, v in flat.items()})

@@ -51,12 +51,18 @@ def _depth(n: int, depth: float) -> int:
 
 
 class ConvBN(nn.Module):
-    """Conv2d (no bias) + BatchNorm + SiLU - the universal YOLOv8 conv block."""
+    """Conv2d + BatchNorm + SiLU - the universal YOLOv8 conv block.
+
+    With ``fused=True`` the BN is folded into the conv (bias enabled, no BN
+    modules) - the deploy-time graph optimization analogous to the
+    reference's TensorRT engine build; see ``models.weights.fuse_bn``.
+    """
 
     features: int
     kernel: int = 1
     stride: int = 1
     dtype: Any = jnp.bfloat16
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -66,18 +72,19 @@ class ConvBN(nn.Module):
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             padding=((pad, pad), (pad, pad)),
-            use_bias=False,
+            use_bias=self.fused,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.97,
-            epsilon=1e-3,
-            dtype=jnp.float32,
-            name="bn",
-        )(x)
+        if not self.fused:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.97,
+                epsilon=1e-3,
+                dtype=jnp.float32,
+                name="bn",
+            )(x)
         return nn.silu(x).astype(self.dtype)
 
 
@@ -87,12 +94,15 @@ class Bottleneck(nn.Module):
     expansion: float = 0.5
     kernels: tuple[int, int] = (3, 3)
     dtype: Any = jnp.bfloat16
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         hidden = int(self.features * self.expansion)
-        y = ConvBN(hidden, self.kernels[0], dtype=self.dtype, name="cv1")(x, train)
-        y = ConvBN(self.features, self.kernels[1], dtype=self.dtype, name="cv2")(y, train)
+        y = ConvBN(hidden, self.kernels[0], dtype=self.dtype, fused=self.fused,
+                   name="cv1")(x, train)
+        y = ConvBN(self.features, self.kernels[1], dtype=self.dtype,
+                   fused=self.fused, name="cv2")(y, train)
         if self.shortcut and x.shape[-1] == self.features:
             y = x + y
         return y
@@ -106,21 +116,21 @@ class C2f(nn.Module):
     shortcut: bool = False
     expansion: float = 0.5
     dtype: Any = jnp.bfloat16
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         hidden = int(self.features * self.expansion)
-        y = ConvBN(2 * hidden, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBN(2 * hidden, 1, dtype=self.dtype, fused=self.fused,
+                   name="cv1")(x, train)
         parts = [y[..., :hidden], y[..., hidden:]]
         for i in range(self.n):
             parts.append(
-                Bottleneck(hidden, self.shortcut, 1.0, (3, 3), dtype=self.dtype, name=f"m{i}")(
-                    parts[-1], train
-                )
+                Bottleneck(hidden, self.shortcut, 1.0, (3, 3), dtype=self.dtype,
+                           fused=self.fused, name=f"m{i}")(parts[-1], train)
             )
-        return ConvBN(self.features, 1, dtype=self.dtype, name="cv2")(
-            jnp.concatenate(parts, axis=-1), train
-        )
+        return ConvBN(self.features, 1, dtype=self.dtype, fused=self.fused,
+                      name="cv2")(jnp.concatenate(parts, axis=-1), train)
 
 
 class SPPF(nn.Module):
@@ -129,11 +139,13 @@ class SPPF(nn.Module):
     features: int
     pool: int = 5
     dtype: Any = jnp.bfloat16
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         hidden = self.features // 2
-        x = ConvBN(hidden, 1, dtype=self.dtype, name="cv1")(x, train)
+        x = ConvBN(hidden, 1, dtype=self.dtype, fused=self.fused,
+                   name="cv1")(x, train)
         p = self.pool
         pad = p // 2
 
@@ -143,9 +155,8 @@ class SPPF(nn.Module):
         y1 = mp(x)
         y2 = mp(y1)
         y3 = mp(y2)
-        return ConvBN(self.features, 1, dtype=self.dtype, name="cv2")(
-            jnp.concatenate([x, y1, y2, y3], axis=-1), train
-        )
+        return ConvBN(self.features, 1, dtype=self.dtype, fused=self.fused,
+                      name="cv2")(jnp.concatenate([x, y1, y2, y3], axis=-1), train)
 
 
 def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
@@ -161,6 +172,7 @@ class DetectHead(nn.Module):
     num_classes: int
     channels: Sequence[int]  # per-level input channels (P3, P4, P5)
     dtype: Any = jnp.bfloat16
+    fused: bool = False
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -168,12 +180,16 @@ class DetectHead(nn.Module):
         c3 = max(self.channels[0], min(self.num_classes, 100))
         box_out, cls_out = [], []
         for i, f in enumerate(feats):
-            b = ConvBN(c2, 3, dtype=self.dtype, name=f"box{i}_0")(f, train)
-            b = ConvBN(c2, 3, dtype=self.dtype, name=f"box{i}_1")(b, train)
+            b = ConvBN(c2, 3, dtype=self.dtype, fused=self.fused,
+                       name=f"box{i}_0")(f, train)
+            b = ConvBN(c2, 3, dtype=self.dtype, fused=self.fused,
+                       name=f"box{i}_1")(b, train)
             b = nn.Conv(4 * REG_MAX, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
                         name=f"box{i}_2")(b)
-            c = ConvBN(c3, 3, dtype=self.dtype, name=f"cls{i}_0")(f, train)
-            c = ConvBN(c3, 3, dtype=self.dtype, name=f"cls{i}_1")(c, train)
+            c = ConvBN(c3, 3, dtype=self.dtype, fused=self.fused,
+                       name=f"cls{i}_0")(f, train)
+            c = ConvBN(c3, 3, dtype=self.dtype, fused=self.fused,
+                       name=f"cls{i}_1")(c, train)
             c = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
                         name=f"cls{i}_2")(c)
             n = f.shape[0]
@@ -194,6 +210,7 @@ class YOLOv8(nn.Module):
     width: float = 0.50
     ratio: float = 2.0
     dtype: Any = jnp.bfloat16
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -207,43 +224,44 @@ class YOLOv8(nn.Module):
         # feature map (e.g. produced by ``planar_stem_apply`` straight from
         # packed YUV planes - the (H, W, 3) image tensor never exists).
         if not skip_stem:
-            x = ConvBN(ch(64), 3, 2, dtype=dt, name="stem")(x, train)       # /2
-        x = ConvBN(ch(128), 3, 2, dtype=dt, name="down1")(x, train)         # /4
-        x = C2f(ch(128), d(3), True, dtype=dt, name="c2f1")(x, train)
-        x = ConvBN(ch(256), 3, 2, dtype=dt, name="down2")(x, train)         # /8
-        p3 = C2f(ch(256), d(6), True, dtype=dt, name="c2f2")(x, train)
-        x = ConvBN(ch(512), 3, 2, dtype=dt, name="down3")(p3, train)        # /16
-        p4 = C2f(ch(512), d(6), True, dtype=dt, name="c2f3")(x, train)
-        x = ConvBN(c5, 3, 2, dtype=dt, name="down4")(p4, train)             # /32
-        x = C2f(c5, d(3), True, dtype=dt, name="c2f4")(x, train)
-        p5 = SPPF(c5, 5, dtype=dt, name="sppf")(x, train)
+            x = ConvBN(ch(64), 3, 2, dtype=dt, fused=self.fused, name="stem")(x, train)       # /2
+        x = ConvBN(ch(128), 3, 2, dtype=dt, fused=self.fused, name="down1")(x, train)         # /4
+        x = C2f(ch(128), d(3), True, dtype=dt, fused=self.fused, name="c2f1")(x, train)
+        x = ConvBN(ch(256), 3, 2, dtype=dt, fused=self.fused, name="down2")(x, train)         # /8
+        p3 = C2f(ch(256), d(6), True, dtype=dt, fused=self.fused, name="c2f2")(x, train)
+        x = ConvBN(ch(512), 3, 2, dtype=dt, fused=self.fused, name="down3")(p3, train)        # /16
+        p4 = C2f(ch(512), d(6), True, dtype=dt, fused=self.fused, name="c2f3")(x, train)
+        x = ConvBN(c5, 3, 2, dtype=dt, fused=self.fused, name="down4")(p4, train)             # /32
+        x = C2f(c5, d(3), True, dtype=dt, fused=self.fused, name="c2f4")(x, train)
+        p5 = SPPF(c5, 5, dtype=dt, fused=self.fused, name="sppf")(x, train)
 
         # PAN neck (top-down then bottom-up)
         u4 = jnp.concatenate([_upsample2x(p5), p4], axis=-1)
-        n4 = C2f(ch(512), d(3), False, dtype=dt, name="neck_td4")(u4, train)
+        n4 = C2f(ch(512), d(3), False, dtype=dt, fused=self.fused, name="neck_td4")(u4, train)
         u3 = jnp.concatenate([_upsample2x(n4), p3], axis=-1)
-        n3 = C2f(ch(256), d(3), False, dtype=dt, name="neck_td3")(u3, train)  # P3 out
-        dn3 = ConvBN(ch(256), 3, 2, dtype=dt, name="neck_dn3")(n3, train)
-        n4b = C2f(ch(512), d(3), False, dtype=dt, name="neck_bu4")(
+        n3 = C2f(ch(256), d(3), False, dtype=dt, fused=self.fused, name="neck_td3")(u3, train)  # P3 out
+        dn3 = ConvBN(ch(256), 3, 2, dtype=dt, fused=self.fused, name="neck_dn3")(n3, train)
+        n4b = C2f(ch(512), d(3), False, dtype=dt, fused=self.fused, name="neck_bu4")(
             jnp.concatenate([dn3, n4], axis=-1), train
         )                                                                     # P4 out
-        dn4 = ConvBN(ch(512), 3, 2, dtype=dt, name="neck_dn4")(n4b, train)
-        n5 = C2f(c5, d(3), False, dtype=dt, name="neck_bu5")(
+        dn4 = ConvBN(ch(512), 3, 2, dtype=dt, fused=self.fused, name="neck_dn4")(n4b, train)
+        n5 = C2f(c5, d(3), False, dtype=dt, fused=self.fused, name="neck_bu5")(
             jnp.concatenate([dn4, p5], axis=-1), train
         )                                                                     # P5 out
 
         head_ch = (ch(256), ch(512), c5)
-        return DetectHead(self.num_classes, head_ch, dtype=dt, name="head")(
+        return DetectHead(self.num_classes, head_ch, dtype=dt, fused=self.fused, name="head")(
             [n3, n4b, n5], train
         )
 
 
 def build_model(variant: str = "yolov8s", num_classes: int = 80,
-                dtype: Any = jnp.bfloat16) -> YOLOv8:
+                dtype: Any = jnp.bfloat16, fused: bool = False) -> YOLOv8:
     if variant not in YOLOV8_VARIANTS:
         raise KeyError(f"unknown model '{variant}'; choose from {sorted(YOLOV8_VARIANTS)}")
     depth, width, ratio = YOLOV8_VARIANTS[variant]
-    return YOLOv8(num_classes=num_classes, depth=depth, width=width, ratio=ratio, dtype=dtype)
+    return YOLOv8(num_classes=num_classes, depth=depth, width=width, ratio=ratio,
+                  dtype=dtype, fused=fused)
 
 
 def make_anchors(input_size: int, strides: Sequence[int] = STRIDES,

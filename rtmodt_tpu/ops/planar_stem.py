@@ -52,13 +52,14 @@ def _chroma_kernel(wc: jnp.ndarray) -> jnp.ndarray:
     return k[:, :, None, :]
 
 
-def planar_stem_apply(stem_params: dict, stem_stats: dict,
+def planar_stem_apply(stem_params: dict, stem_stats: dict | None,
                       y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                       dtype=jnp.bfloat16, bn_eps: float = 1e-3) -> jnp.ndarray:
     """Apply the stem ConvBN+SiLU to LETTERBOXED planes.
 
     Args:
       stem_params/stem_stats: the model's ``stem`` param/batch_stats subtrees.
+        ``stem_stats=None`` means a BN-fused stem (conv has a bias instead).
       y: (B, S, S) uint8 Y plane padded with 114.
       u, v: (B, S/2, S/2) uint8 chroma planes padded with 128.
     Returns (B, S/2, S/2, C) post-stem features.
@@ -84,11 +85,14 @@ def planar_stem_apply(stem_params: dict, stem_stats: dict,
     out = out + conv(v, _chroma_kernel(wv), (1, 1), ((1, 0), (1, 0)))
     out = out + const[None, None, None, :]
 
-    bn = stem_params["bn"]
-    mean = stem_stats["bn"]["mean"].astype(jnp.float32)
-    var = stem_stats["bn"]["var"].astype(jnp.float32)
-    out = (out - mean) * jax.lax.rsqrt(var + bn_eps)
-    out = out * bn["scale"].astype(jnp.float32) + bn["bias"].astype(jnp.float32)
+    if stem_stats is None:  # BN already folded into the conv (fused model)
+        out = out + stem_params["conv"]["bias"].astype(jnp.float32)
+    else:
+        bn = stem_params["bn"]
+        mean = stem_stats["bn"]["mean"].astype(jnp.float32)
+        var = stem_stats["bn"]["var"].astype(jnp.float32)
+        out = (out - mean) * jax.lax.rsqrt(var + bn_eps)
+        out = out * bn["scale"].astype(jnp.float32) + bn["bias"].astype(jnp.float32)
     return jax.nn.silu(out).astype(dtype)
 
 

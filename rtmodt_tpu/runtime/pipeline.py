@@ -224,9 +224,10 @@ class Pipeline:
             # planar stem: the (S, S, 3) image tensor never exists (see
             # ops/planar_stem.py) - color conversion folds into conv weights
             yp, up, vp = pad_planes(y, u, v, size, pad_left, pad_top)
+            stem_stats = (params["batch_stats"]["stem"]
+                          if "batch_stats" in params else None)
             feats = planar_stem_apply(
-                params["params"]["stem"], params["batch_stats"]["stem"],
-                yp, up, vp, dtype=dtype)
+                params["params"]["stem"], stem_stats, yp, up, vp, dtype=dtype)
             box_dist, cls_logits = model.apply(params, feats, train=False,
                                                skip_stem=True)
             boxes, scores = decode_predictions(box_dist, cls_logits, size)
