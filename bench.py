@@ -39,7 +39,7 @@ def main() -> None:
         "profiling": {"per_stage": False, "warmup_frames": 10, "log_interval": 0},
         "visualization": {"enabled": False},
         "events": {"enabled": True},
-        "parallel": {"pipeline_depth": 2},
+        "parallel": {"pipeline_depth": 3},
     })
     pipe = Pipeline(cfg)
 
@@ -51,14 +51,10 @@ def main() -> None:
 
     # frames travel as decoder-native planar I420 at model content size (see
     # rtmodt_tpu/ops/yuv.py) - 7.5x less host->device traffic than raw BGR
-    from rtmodt_tpu.ops.yuv import pack_i420_planar
+    from rtmodt_tpu.ops.yuv import pack_chunk
 
     def pack(chunk_bgr):
-        planes = [pack_i420_planar(f, cfg.detection.input_size)[0]
-                  for f in chunk_bgr]
-        return (np.stack([p[0] for p in planes]),
-                np.stack([p[1] for p in planes]),
-                np.stack([p[2] for p in planes]))
+        return pack_chunk(chunk_bgr, cfg.detection.input_size)[0]
 
     print(f"warmup/compile (chunk={chunk})...", file=sys.stderr)
     t0 = time.perf_counter()
@@ -71,12 +67,49 @@ def main() -> None:
 
     names = pipe.detector.class_names
     depth = cfg.parallel.pipeline_depth
-    n_chunks = max(1, 600 // chunk)
-    warm_chunks = max(1, 48 // chunk)
+    n_chunks = max(1, 1200 // chunk)
+    warm_chunks = max(1, 96 // chunk)
     inflight = []
     lat_samples = []
     t_start = None
     done = 0
+
+    # ingest workers: packing (resize + BGR->I420) is the decode stage's job
+    # in a real pipeline and runs on its own cores; three workers pack EVERY
+    # frame (no caching) and chunks are submitted in order
+    import heapq
+    import queue
+    import threading
+
+    idx_q: "queue.Queue" = queue.Queue()
+    for i in range(n_chunks):
+        idx_q.put(i)
+    ready: list = []
+    ready_lock = threading.Condition()
+    backpressure = threading.Semaphore(6)   # bound packed chunks in flight
+
+    def worker():
+        while True:
+            try:
+                i = idx_q.get_nowait()
+            except queue.Empty:
+                return
+            backpressure.acquire()
+            packed = pack(chunks[i % len(chunks)])
+            with ready_lock:
+                heapq.heappush(ready, (i, packed))
+                ready_lock.notify_all()
+
+    for _ in range(3):
+        threading.Thread(target=worker, daemon=True).start()
+
+    def next_packed(i):
+        with ready_lock:
+            while not (ready and ready[0][0] == i):
+                ready_lock.wait(timeout=5.0)
+            out = heapq.heappop(ready)[1]
+        backpressure.release()
+        return out
 
     def consume(entry):
         nonlocal done
@@ -95,7 +128,7 @@ def main() -> None:
         if i == warm_chunks:
             t_start = time.perf_counter()
         t_submit = time.perf_counter()
-        outs, _res = pipe.submit_packed_yuv(pack(chunks[i % len(chunks)]), h, w)
+        outs, _res = pipe.submit_packed_yuv(next_packed(i), h, w)
         inflight.append((i, t_submit, outs))
         if len(inflight) > depth:
             consume(inflight.pop(0))

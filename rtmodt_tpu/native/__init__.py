@@ -52,6 +52,58 @@ def _load() -> ctypes.CDLL | None:
     return _lib
 
 
+_fp_lib: ctypes.CDLL | None = None
+
+
+def _load_framepack() -> ctypes.CDLL | None:
+    global _fp_lib, _tried_build
+    if _fp_lib is not None:
+        return _fp_lib
+    path = os.path.join(_DIR, "libframepack.so")
+    if not os.path.exists(path) and not _tried_build:
+        _tried_build = True
+        try:
+            from rtmodt_tpu.native.build import build_all
+            build_all()
+        except Exception as e:
+            logger.warning(f"native build failed ({e})")
+    if os.path.exists(path):
+        lib = ctypes.CDLL(path)
+        lib.pack_i420_chunk.restype = None
+        lib.pack_i420_chunk.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
+        ]
+        _fp_lib = lib
+    return _fp_lib
+
+
+def pack_i420_chunk_native(frames: np.ndarray, ch: int, cw: int,
+                           num_threads: int = 0):
+    """C++ chunk packer: (N, H, W, 3) BGR -> planar (y, u, v) uint8 arrays.
+
+    Resize + BT.601 conversion for the whole chunk in one GIL-free native
+    call (multithreaded). Returns None if the native lib is unavailable
+    (callers fall back to the cv2 per-frame path).
+    """
+    lib = _load_framepack()
+    if lib is None:
+        return None
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape[:3]
+    y = np.empty((n, ch, cw), np.uint8)
+    u = np.empty((n, ch // 2, cw // 2), np.uint8)
+    v = np.empty((n, ch // 2, cw // 2), np.uint8)
+    if num_threads <= 0:
+        num_threads = min(8, os.cpu_count() or 4)
+    lib.pack_i420_chunk(frames, n, h, w, ch, cw, y, u, v, num_threads)
+    return y, u, v
+
+
 def lapjv(cost: np.ndarray, cost_limit: float = np.inf) -> np.ndarray:
     """Solve min-cost assignment; returns row->col (-1 = unassigned).
 

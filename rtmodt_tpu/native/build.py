@@ -11,6 +11,7 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 
 _TARGETS = {
     "liblapjv.so": ["lapjv.cpp"],
+    "libframepack.so": ["framepack.cpp"],
 }
 
 

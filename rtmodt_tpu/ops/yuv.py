@@ -97,6 +97,40 @@ def planar_letterbox(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                    constant_values=jnp.asarray(pad_value / 255.0, dtype))
 
 
+def pack_chunk(frames_bgr: np.ndarray, size: int,
+               out: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None):
+    """Pack a (N, H, W, 3) BGR chunk into planar I420 chunk arrays.
+
+    Writes into preallocated (y, u, v) chunk buffers when given (no
+    intermediate np.stack allocations - this path runs on ingest worker
+    threads where cv2 releases the GIL for the heavy ops).
+    Returns ((y (N, ch, cw), u, v), meta).
+    """
+    import cv2
+
+    n, h, w = frames_bgr.shape[:3]
+    ch, cw = content_dims(h, w, size)
+    if out is None:
+        out = (np.empty((n, ch, cw), np.uint8),
+               np.empty((n, ch // 2, cw // 2), np.uint8),
+               np.empty((n, ch // 2, cw // 2), np.uint8))
+    y, u, v = out
+    n_chroma = (ch // 2) * (cw // 2)
+    meta = None
+    for i in range(n):
+        resized = cv2.resize(frames_bgr[i], (cw, ch), interpolation=cv2.INTER_LINEAR)
+        yuv = cv2.cvtColor(resized, cv2.COLOR_BGR2YUV_I420)
+        y[i] = yuv[:ch]
+        chroma = yuv[ch:].reshape(-1)
+        u[i] = chroma[:n_chroma].reshape(ch // 2, cw // 2)
+        v[i] = chroma[n_chroma:2 * n_chroma].reshape(ch // 2, cw // 2)
+    scale = min(ch / h, cw / w)
+    pad_left = (int(round((size - cw) / 2 - 0.1)) // 2) * 2
+    pad_top = (int(round((size - ch) / 2 - 0.1)) // 2) * 2
+    meta = LetterboxMeta(scale, pad_left, pad_top, cw, ch, w, h)
+    return (y, u, v), meta
+
+
 def i420_to_rgb(yuv: jnp.ndarray, ch: int, cw: int,
                 dtype=jnp.bfloat16) -> jnp.ndarray:
     """Device-side I420 -> RGB [0,1] (ch, cw, 3). Fused VPU math under jit.
