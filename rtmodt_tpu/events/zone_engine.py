@@ -9,9 +9,9 @@ public API.
 
 TPU-native differences:
   * containment is a single vectorized even-odd test over (tracks x zones)
-    (``rtmodt_tpu.ops.polygon``) instead of a Python loop over
-    ``cv2.pointPolygonTest`` - the same math also runs on-device inside the
-    fused pipeline step;
+    instead of a Python loop over ``cv2.pointPolygonTest`` - the same math
+    exists as a jittable device op in ``rtmodt_tpu.ops.polygon`` for fusion
+    into device steps;
   * dwell timing uses STREAM timestamps by default (``clock: stream``) so
     offline/faster-than-realtime runs trigger identically to live ones; the
     reference's wall-clock behavior (its bug 2, SURVEY.md 3.6) is available

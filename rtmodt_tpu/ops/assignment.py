@@ -35,9 +35,10 @@ def greedy_assign(
 
     Matches are taken in descending similarity order; a match requires
     ``similarity >= threshold`` (the reference's greedy/lapjv accept rule,
-    tracker.py:188 / :170).  Invalid rows/cols never match.  The loop runs
-    at most min(R, C) iterations and terminates early (lax.while_loop) once no
-    pair clears the threshold.
+    tracker.py:188 / :170).  Invalid rows/cols never match.  Implemented as
+    parallel mutual-best rounds (identical result, see comment below); the
+    while_loop ends as soon as no pair clears the threshold - typically 2-4
+    rounds, min(R, C) worst case.
     """
     r, c = similarity.shape
     sim = similarity.astype(jnp.float32)
