@@ -273,7 +273,9 @@ class Pipeline:
         self.tracker.state, outs, ress = chunk_fn(
             self.detector.params, self.tracker.state,
             jax.device_put(y), jax.device_put(u), jax.device_put(v))
-        for leaf in jax.tree.leaves((outs, ress)):
+        # prefetch only the track outputs; raw detections (ress) stay on
+        # device unless the caller actually fetches them
+        for leaf in jax.tree.leaves(outs):
             if hasattr(leaf, "copy_to_host_async"):
                 leaf.copy_to_host_async()
         return outs, ress

@@ -134,6 +134,32 @@ class MultiObjectTracker:
         self.state, outputs = self._step(self.state, boxes, conf, cls, valid)
         return self.tracks_from_outputs(outputs, names)
 
+    def tracks_chunk_from_outputs(self, host_outputs, names: list[str]) -> list[list[Track]]:
+        """Bulk host conversion for a CHUNK of TrackOutputs (leading K axis):
+        one vectorized visibility pass, Track objects built only for visible
+        slots. Cheaper than K separate ``tracks_from_outputs`` calls."""
+        visible = np.asarray(host_outputs.visible)          # (K, S)
+        track_id = np.asarray(host_outputs.track_id)
+        boxes = np.asarray(host_outputs.boxes)
+        conf = np.asarray(host_outputs.confidence)
+        cls = np.asarray(host_outputs.class_id)
+        age = np.asarray(host_outputs.age)
+        tsu = np.asarray(host_outputs.tsu)
+        out: list[list[Track]] = []
+        for f in range(visible.shape[0]):
+            idx = np.where(visible[f])[0]
+            idx = idx[np.argsort(track_id[f, idx])] if len(idx) else idx
+            frame_tracks = [self._to_track({
+                "track_id": int(track_id[f, i]),
+                "xyxy": boxes[f, i],
+                "confidence": float(conf[f, i]),
+                "class_id": int(cls[f, i]),
+                "age": int(age[f, i]),
+                "time_since_update": int(tsu[f, i]),
+            }, names) for i in idx]
+            out.append(frame_tracks)
+        return out
+
     def tracks_from_outputs(self, outputs, names: list[str]) -> list[Track]:
         """Build host Track objects from a step's TrackOutputs (device or host
         arrays). Fetches only the compact output leaves, never the full state."""
