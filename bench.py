@@ -63,7 +63,6 @@ def main() -> None:
     jax.block_until_ready(outs.visible)
     print(f"compile+warmup {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    from rtmodt_tpu.tracking.bytetrack import TrackOutputs
 
     names = pipe.detector.class_names
     depth = cfg.parallel.pipeline_depth

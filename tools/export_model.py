@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 @click.option("--weights", "-w", default=None,
               help="source weights (.pt/.npz/orbax dir); default random init")
 @click.option("--model", default="yolov8s")
-@click.option("--format", "fmt", default="npz",
+@click.option("-f", "--format", "fmt", default="npz",
               type=click.Choice(["npz", "orbax", "stablehlo"]))
 @click.option("--imgsz", default=640, type=int)
 @click.option("--half", is_flag=True, default=True, help="bf16 compute")
