@@ -130,6 +130,92 @@ class MultiStreamPipeline:
             )
         return self._jitted[key]
 
+    def _packed_chunk_for(self, src_h: int, src_w: int, t: int):
+        """Planar-I420, batched-model streaming chunk over (T, S) frames.
+
+        Same structure as the optimized single-stream path (pipeline.py):
+        planar stem on Y/U/V planes, ONE model call batched over all T*S
+        frames, NMS vmapped in parallel, and only the per-stream tracker
+        scanning over T.  S stays sharded over the mesh throughout; the
+        (T*S) reshape keeps the batch dimension partitioned.
+        """
+        key = ("packed", src_h, src_w, t)
+        if key in self._jitted:
+            return self._jitted[key]
+        from rtmodt_tpu.models.yolov8 import decode_predictions as _decode
+        from rtmodt_tpu.ops.letterbox import letterbox_meta
+        from rtmodt_tpu.ops.planar_stem import pad_planes, planar_stem_apply
+        from rtmodt_tpu.ops.yuv import content_dims
+
+        dcfg = self.cfg.detection
+        bcfg = self.cfg.tracking.bytetrack
+        dtype = jnp.bfloat16 if dcfg.half else jnp.float32
+        model = self.detector.model
+        class_mask = self.detector._class_mask
+        size = dcfg.input_size
+        s_streams = self.num_streams
+        ch, cw = content_dims(src_h, src_w, size)
+        pad_left = (int(round((size - cw) / 2 - 0.1)) // 2) * 2
+        pad_top = (int(round((size - ch) / 2 - 0.1)) // 2) * 2
+        meta = letterbox_meta(src_h, src_w, size)._replace(
+            scale=min(ch / src_h, cw / src_w), pad_left=pad_left,
+            pad_top=pad_top, new_w=cw, new_h=ch)
+
+        def chunk(params, state, y, u, v):
+            n = t * s_streams
+            yf = y.reshape(n, *y.shape[2:])
+            uf = u.reshape(n, *u.shape[2:])
+            vf = v.reshape(n, *v.shape[2:])
+            yp, up, vp = pad_planes(yf, uf, vf, size, pad_left, pad_top)
+            stem_stats = (params["batch_stats"]["stem"]
+                          if "batch_stats" in params else None)
+            feats = planar_stem_apply(params["params"]["stem"], stem_stats,
+                                      yp, up, vp, dtype=dtype)
+            bd, cl = model.apply(params, feats, train=False, skip_stem=True)
+            boxes, scores = _decode(bd, cl, size)
+
+            def one_nms(b, sc):
+                res = batched_nms_fixed(
+                    b, sc, dcfg.conf_threshold, dcfg.iou_threshold,
+                    dcfg.max_detections, dcfg.nms_candidates, class_mask,
+                    dcfg.agnostic_nms, impl=dcfg.nms_impl)
+                return res._replace(boxes=unletterbox_boxes(res.boxes, meta))
+
+            ress = jax.vmap(one_nms)(boxes, scores)
+            ress = jax.tree.map(
+                lambda a: a.reshape(t, s_streams, *a.shape[1:]), ress)
+
+            def body(st, res_s):
+                st, outs = jax.vmap(
+                    lambda ss, rr: bytetrack_update(
+                        ss, rr.boxes, rr.scores, rr.classes, rr.valid, bcfg)
+                )(st, res_s)
+                return st, outs
+
+            state, outs = jax.lax.scan(body, state, ress)
+            return state, outs, ress
+
+        ts_shard = NamedSharding(self.mesh, P(None, "data"))
+        self._jitted[key] = jax.jit(
+            chunk,
+            in_shardings=(self._repl, self._stream_shard,
+                          ts_shard, ts_shard, ts_shard),
+            out_shardings=(self._stream_shard, ts_shard, ts_shard),
+            donate_argnums=(1,),
+        )
+        return self._jitted[key]
+
+    def submit_chunk_packed(self, planes, src_h: int, src_w: int):
+        """Async-submit planar I420 chunks: (y (T,S,ch,cw), u, v) uint8."""
+        y, u, v = planes
+        t = y.shape[0]
+        fn = self._packed_chunk_for(src_h, src_w, t)
+        sh = NamedSharding(self.mesh, P(None, "data"))
+        self.state, outs, ress = fn(
+            self.params, self.state,
+            jax.device_put(y, sh), jax.device_put(u, sh), jax.device_put(v, sh))
+        return outs, ress
+
     # ------------------------------------------------------------------
     def step(self, frames: np.ndarray):
         """frames (S, H, W, 3) uint8 -> (outputs, res) with leading S axis."""

@@ -55,6 +55,21 @@ class TestMultiStream:
             np.testing.assert_array_equal(host.visible[s], ref)
             np.testing.assert_array_equal(host.track_id[s], host.track_id[0])
 
+    def test_packed_chunk(self, ms_pipe):
+        from rtmodt_tpu.ops.yuv import pack_chunk
+
+        t, s = 3, 8
+        raw = np.random.default_rng(3).integers(
+            0, 255, (t * s, 160, 160, 3), np.uint8)
+        (y, u, v), meta = pack_chunk(raw, 128)
+        planes = (y.reshape(t, s, *y.shape[1:]),
+                  u.reshape(t, s, *u.shape[1:]),
+                  v.reshape(t, s, *v.shape[1:]))
+        outs, ress = ms_pipe.submit_chunk_packed(planes, 160, 160)
+        assert outs.boxes.shape == (t, s, 16, 4)
+        host = jax.device_get(outs)
+        assert np.isfinite(host.boxes).all()
+
     def test_chunk_step(self, ms_pipe):
         frames = np.random.default_rng(2).integers(
             0, 255, (3, 8, 160, 160, 3), np.uint8)
