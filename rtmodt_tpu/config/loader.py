@@ -143,6 +143,8 @@ class ParallelConfig:
     donate_state: bool = True
     pipeline_depth: int = 2   # in-flight frames between submit and host consume
                               # (hides host<->device latency; 0 = lowest latency)
+    chunk_size: int = 1       # >1: run() batches frames into lax.scan chunks
+                              # (throughput mode for file/offline sources)
 
 
 @dataclass

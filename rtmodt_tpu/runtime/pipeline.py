@@ -394,12 +394,91 @@ class Pipeline:
         return outputs, res
 
     # ------------------------------------------------------------------
+    def run_chunked(self, source: str | int | None = None,
+                    max_frames: int | None = None) -> dict[str, float]:
+        """Throughput loop for file/offline sources: frames batch into
+        ``parallel.chunk_size`` packed-I420 chunks (`lax.scan` dispatches),
+        with a ``pipeline_depth`` window of in-flight chunks.  Tracks and
+        zone events are produced for EVERY frame, in order."""
+        from collections import deque
+
+        from rtmodt_tpu.ingestion.rtsp_reader import RTSPReader
+        from rtmodt_tpu.ops.yuv import pack_chunk
+
+        icfg = self.cfg.ingestion
+        k = max(2, self.cfg.parallel.chunk_size)
+        depth = max(0, self.cfg.parallel.pipeline_depth)
+        reader = RTSPReader(
+            source if source is not None else icfg.source,
+            backend=icfg.backend,
+            reconnect_delay_sec=icfg.reconnect_delay_sec,
+            max_reconnects=icfg.max_reconnects,
+            resolution=tuple(icfg.resolution) if icfg.resolution else None,
+        )
+        names = self.detector.class_names
+        p = self.profiler
+        inflight: deque = deque()
+        frames_done = 0
+        last_id = 0
+
+        def consume(entry):
+            nonlocal frames_done
+            metas, outs = entry
+            import jax as _jax
+
+            host = _jax.device_get(outs)
+            per_frame = self.tracker.tracks_chunk_from_outputs(host, names)
+            for (fid, ts), tracks in zip(metas, per_frame):
+                if self.events:
+                    self.events.process(tracks, fid, ts)
+                p.end_frame()
+                frames_done += 1
+
+        with reader:
+            buf: list = []
+            metas: list = []
+            while True:
+                frame, fid, ts = reader.read_new(last_id, timeout=2.0)
+                if frame is None:
+                    if reader.is_eof:
+                        break
+                    continue
+                last_id = fid
+                buf.append(frame)
+                metas.append((fid, ts))
+                if len(buf) == k:
+                    p.tick("inference")
+                    planes, _ = pack_chunk(np.stack(buf), self.cfg.detection.input_size)
+                    outs, _res = self.submit_packed_yuv(planes, *buf[0].shape[:2])
+                    p.tock("inference")
+                    inflight.append((metas, outs))
+                    buf, metas = [], []
+                    if len(inflight) > depth:
+                        consume(inflight.popleft())
+                if max_frames and frames_done + len(inflight) * k + len(buf) >= max_frames:
+                    break
+            while inflight:
+                consume(inflight.popleft())
+            # leftover partial chunk: per-frame steps keep exact semantics
+            for frame, (fid, ts) in zip(buf, metas):
+                self.step(frame, fid, ts)
+                p.end_frame()
+                frames_done += 1
+        logger.info(f"chunked run processed {frames_done} frames")
+        p.print_summary()
+        return p.summary()
+
     def run(self, source: str | int | None = None, display: bool = False,
             max_frames: int | None = None) -> dict[str, float]:
         """The full CLI loop (reference run_pipeline.py:119-166)."""
         import cv2
 
         from rtmodt_tpu.ingestion.rtsp_reader import RTSPReader
+
+        if (self.cfg.parallel.chunk_size > 1 and not display
+                and not self.cfg.visualization.save_video
+                and self.renderer is None and self.tracker._host is None):
+            return self.run_chunked(source, max_frames)
 
         icfg = self.cfg.ingestion
         reader = RTSPReader(

@@ -62,6 +62,25 @@ class TestPipelineEndToEnd:
         assert pipe.profiler._frame_count >= 5
         assert "decode_mean_ms" in summary
 
+    def test_run_chunked_on_video_file(self, small_cfg, tmp_path):
+        """Throughput mode: every frame gets tracked + event-processed."""
+        import dataclasses
+        from rtmodt_tpu.runtime.pipeline import Pipeline
+        from rtmodt_tpu.utils.synthetic import write_synthetic_video
+
+        video = str(tmp_path / "synth.mp4")
+        write_synthetic_video(video, frames=14, h=160, w=160, n_objects=2)
+        cfg = dataclasses.replace(
+            small_cfg,
+            visualization=dataclasses.replace(small_cfg.visualization, enabled=False),
+            parallel=dataclasses.replace(small_cfg.parallel, chunk_size=4,
+                                         pipeline_depth=1),
+        )
+        pipe = Pipeline(cfg)
+        summary = pipe.run(source=video)
+        assert pipe.profiler._frame_count == 14  # 3 chunks + 2-frame remainder
+        assert "inference_mean_ms" in summary or pipe.profiler._frame_count > 0
+
     def test_save_video_matches_input_geometry(self, small_cfg, tmp_path):
         """Reference bug 4 fix: writer adopts the actual frame size."""
         import cv2
