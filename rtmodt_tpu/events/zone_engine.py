@@ -144,6 +144,37 @@ class ZoneEventEngine:
             for zi, zone in enumerate(self.zones):
                 if zone.classes is not None and int(track.class_id) not in zone.classes:
                     continue
+                if zone.trigger == "crossing":
+                    # entry event gated on motion direction (the reference
+                    # declares `direction` but never implements it)
+                    key = (track.track_id, zone.name)
+                    was_inside = self._occupancy.get(track.track_id, {}).get(zone.name)
+                    if inside_mat[ti, zi]:
+                        occ = self._occupancy.setdefault(track.track_id, {})
+                        occ.setdefault(zone.name, now)
+                        if was_inside is None and self._direction_ok(zone, track):
+                            if now - self._cooldown.get(key, -1e18) >= zone.cooldown_sec:
+                                evt = ZoneEvent(
+                                    timestamp_utc=time.strftime(
+                                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                                    event_type="crossing",
+                                    zone_name=zone.name,
+                                    track_id=track.track_id,
+                                    class_id=int(track.class_id),
+                                    class_name=getattr(track, "class_name", ""),
+                                    dwell_time_sec=0.0,
+                                    bbox_xyxy=[float(v) for v in track.xyxy],
+                                    centroid=[cx, cy],
+                                    frame_id=frame_id,
+                                    metadata={"direction": zone.direction or "any"},
+                                )
+                                events.append(evt)
+                                self._cooldown[key] = now
+                                self._emit(evt)
+                    else:
+                        if track.track_id in self._occupancy:
+                            self._occupancy[track.track_id].pop(zone.name, None)
+                    continue
                 if inside_mat[ti, zi]:
                     occ = self._occupancy.setdefault(track.track_id, {})
                     occ.setdefault(zone.name, now)
@@ -180,6 +211,23 @@ class ZoneEventEngine:
         return [(z.name, z.polygon.astype(np.int32)) for z in self.zones]
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _direction_ok(zone: Zone, track) -> bool:
+        """Motion-direction gate for crossing zones, from the track's trail."""
+        if not zone.direction:
+            return True
+        trail = getattr(track, "trail", None)
+        if not trail or len(trail) < 2:
+            return False
+        dx = trail[-1][0] - trail[0][0]
+        dy = trail[-1][1] - trail[0][1]
+        return {
+            "left_to_right": dx > 0,
+            "right_to_left": dx < 0,
+            "top_to_bottom": dy > 0,
+            "bottom_to_top": dy < 0,
+        }.get(zone.direction, True)
+
     @staticmethod
     def _parse_zone(cfg: ZoneConfig | dict) -> Zone:
         if isinstance(cfg, dict):

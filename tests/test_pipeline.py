@@ -210,6 +210,83 @@ class TestZoneEngine:
         assert [e.track_id for e in evts] == [2]
 
 
+class TestCrossingEvents:
+    def _track(self, tid, box, trail):
+        from rtmodt_tpu.tracking.tracker import Track
+
+        return Track(track_id=tid, xyxy=np.asarray(box, np.float32),
+                     confidence=0.9, class_id=0, class_name="person",
+                     trail=trail)
+
+    def test_crossing_fires_on_entry_with_direction(self, tmp_path):
+        from rtmodt_tpu.events.zone_engine import ZoneEventEngine
+
+        eng = ZoneEventEngine(
+            [{"name": "gate", "polygon": [[100, 0], [200, 0], [200, 100], [100, 100]],
+              "trigger": "crossing", "direction": "left_to_right",
+              "cooldown_sec": 5.0}],
+            log_path=str(tmp_path / "ev.jsonl"), clock="stream")
+        # moving rightward, outside then inside
+        out_t = self._track(1, [0, 20, 40, 80], [(10, 50), (20, 50)])
+        in_t = self._track(1, [100, 20, 140, 80], [(20, 50), (120, 50)])
+        assert eng.process([out_t], 0, timestamp=0.0) == []
+        evts = eng.process([in_t], 1, timestamp=0.1)
+        assert len(evts) == 1
+        assert evts[0].event_type == "crossing"
+        assert evts[0].metadata["direction"] == "left_to_right"
+        # still inside: no repeat
+        assert eng.process([in_t], 2, timestamp=0.2) == []
+
+    def test_wrong_direction_no_event(self, tmp_path):
+        from rtmodt_tpu.events.zone_engine import ZoneEventEngine
+
+        eng = ZoneEventEngine(
+            [{"name": "gate", "polygon": [[100, 0], [200, 0], [200, 100], [100, 100]],
+              "trigger": "crossing", "direction": "left_to_right",
+              "cooldown_sec": 0.0}],
+            log_path=str(tmp_path / "ev.jsonl"), clock="stream")
+        # entering while moving right-to-left
+        out_t = self._track(1, [220, 20, 260, 80], [(240, 50), (230, 50)])
+        in_t = self._track(1, [140, 20, 180, 80], [(240, 50), (160, 50)])
+        eng.process([out_t], 0, timestamp=0.0)
+        assert eng.process([in_t], 1, timestamp=0.1) == []
+
+
+class TestTrackerQuality:
+    def test_idf1_on_synthetic_gt(self, tmp_path):
+        """Feed the tracker the GT boxes of a synthetic scene (with jitter)
+        and verify MOT metrics are near-perfect - the full quality loop:
+        tracker -> MOT txt -> own CLEAR/IDF1 evaluator."""
+        from rtmodt_tpu.config.loader import ByteTrackConfig
+        from rtmodt_tpu.detection.detector import Detections
+        from rtmodt_tpu.evaluation.metrics import evaluate_tracking
+        from rtmodt_tpu.tracking.tracker import MultiObjectTracker
+        from rtmodt_tpu.utils.synthetic import moving_boxes_frame
+
+        rng = np.random.default_rng(0)
+        tracker = MultiObjectTracker("bytetrack", bytetrack=ByteTrackConfig(
+            match_thresh=0.3))
+        gt_path = str(tmp_path / "gt.txt")
+        pred_path = str(tmp_path / "pred.txt")
+        with open(gt_path, "w") as g, open(pred_path, "w") as p:
+            for f in range(1, 41):
+                _, boxes = moving_boxes_frame(f, 720, 1280, n_objects=4)
+                for oi, b in enumerate(boxes):
+                    g.write(f"{f},{oi+1},{b[0]:.1f},{b[1]:.1f},"
+                            f"{b[2]-b[0]:.1f},{b[3]-b[1]:.1f},1,-1,-1,-1\n")
+                jit = boxes + rng.normal(0, 1.0, boxes.shape).astype(np.float32)
+                dets = Detections(jit, np.full(len(jit), 0.9, np.float32),
+                                  np.zeros(len(jit), np.int32))
+                for t in tracker.update(dets):
+                    x1, y1, x2, y2 = t.xyxy
+                    p.write(f"{f},{t.track_id},{x1:.1f},{y1:.1f},"
+                            f"{x2-x1:.1f},{y2-y1:.1f},{t.confidence:.2f},-1,-1,-1\n")
+        r = evaluate_tracking(gt_path, pred_path)
+        assert r["idf1"] > 0.95, r
+        assert r["mota"] > 0.95, r
+        assert r["num_switches"] == 0, r
+
+
 class TestProfiler:
     def test_stage_stats_and_schema(self):
         import time
