@@ -17,7 +17,7 @@ Layouts:
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Any
 
 import jax
