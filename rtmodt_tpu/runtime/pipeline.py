@@ -4,14 +4,17 @@ TPU-native inversion of the reference main loop (``tools/run_pipeline.py:
 119-166``): instead of five host stages with a GPU round-trip in the middle,
 the hot path is jitted XLA programs fed by a reader thread.
 
-Two execution modes (``profiling.per_stage``):
-  * per-stage (default): preprocess / inference / nms / tracking run as
-    separate jitted programs with ``block_until_ready`` timing between them -
+Execution modes:
+  * per-stage (``profiling.per_stage: true``): preprocess / inference / nms /
+    tracking as separate jitted programs with sync timing between them -
     same stage taxonomy as the reference profiler, comparable numbers.
     Intermediate tensors STAY ON DEVICE between stages; only the final
     visible-track arrays come back to the host.
-  * fused: ONE jitted detect+track step per frame (maximum throughput; the
-    per-stage breakdown collapses into "inference").
+  * fused: ONE jitted detect+track step per frame (lowest latency).
+  * chunked (``parallel.chunk_size > 1`` or the ``submit_chunk*`` APIs):
+    K frames per ``lax.scan`` dispatch with the model batched across the
+    chunk and only the tracker scanning - maximum throughput; frames travel
+    as packed planar I420 through the planar stem (see ops/planar_stem.py).
 
 Reference-bug fixes carried here (SURVEY.md 3.6): frames are consumed by id
 (no silent duplicate re-processing), the video writer uses the real frame
