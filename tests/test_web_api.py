@@ -51,6 +51,37 @@ def client(tmp_path, monkeypatch):
     return TestClient(srv.create_app())
 
 
+class TestRealSocketServer:
+    def test_serves_over_tcp(self, client):
+        """The stdlib WSGI server must actually serve over a real socket
+        (TestClient bypasses it)."""
+        import json
+        import threading
+        import urllib.request
+        from wsgiref.simple_server import make_server
+
+        import rtmodt_tpu.serving.server as srv
+        from rtmodt_tpu.serving.wsgi import _QuietHandler, _ThreadingWSGIServer
+
+        app = srv.create_app()
+        httpd = make_server("127.0.0.1", 0, app,
+                            server_class=_ThreadingWSGIServer,
+                            handler_class=_QuietHandler)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/api/samples", timeout=5) as r:
+                assert r.status == 200
+                assert json.loads(r.read()) == {"samples": []}
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/", timeout=5) as r:
+                assert "RTMODT" in r.read().decode()
+        finally:
+            httpd.shutdown()
+
+
 class TestHealthAndStatic:
     def test_index(self, client):
         r = client.get("/")
