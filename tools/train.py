@@ -96,13 +96,13 @@ def main(config_path, epochs, batch_size, imgsz, data_root, resume, max_steps):
         box_gain=cfg["loss"]["box"], cls_gain=cfg["loss"]["cls"],
         dfl_gain=cfg["loss"]["dfl"])
 
-    # EMA of params (ultralytics-style model averaging for eval/export)
+    # EMA of params (ultralytics-style model averaging for eval/export).
+    # Decay ramps in with an exp schedule so early EMA isn't dominated by
+    # the random init (d_t = decay * (1 - exp(-t / 2000))).
     ema_decay = float(cfg.get("ema_decay", 0.0))
-    ema_params = jax.device_get(state.params) if ema_decay else None
-    ema_fn = jax.jit(lambda e, p: jax.tree.map(
-        lambda a, b: ema_decay * a + (1.0 - ema_decay) * b, e, p))
-    if ema_decay:
-        ema_params = jax.device_put(ema_params)
+    ema_params = jax.device_put(jax.device_get(state.params)) if ema_decay else None
+    ema_fn = jax.jit(lambda e, p, d: jax.tree.map(
+        lambda a, b: d * a + (1.0 - d) * b, e, p))
 
     def run_validation(params, batch_stats, step):
         """Val mAP over the dataset's COCO GT (if present)."""
@@ -160,7 +160,10 @@ def main(config_path, epochs, batch_size, imgsz, data_root, resume, max_steps):
         for batch in ds.batches(bsz):
             state, metrics = step_fn(state, put_batch(batch))
             if ema_decay:
-                ema_params = ema_fn(ema_params, state.params)
+                import math as _math
+
+                d = ema_decay * (1.0 - _math.exp(-(gstep + 1) / 2000.0))
+                ema_params = ema_fn(ema_params, state.params, d)
             gstep += 1
             if gstep % 50 == 0:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
