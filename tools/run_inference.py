@@ -93,10 +93,14 @@ def detect(images, gt_json, out, model, weights, input_size, conf, do_eval):
 @click.option("--out", default="outputs/tracks.txt")
 @click.option("--model", default="yolov8s")
 @click.option("--weights", default=None)
+@click.option("--num-classes", default=80, type=int)
+@click.option("--input-size", default=640, type=int)
 @click.option("--gt-mot", default=None, help="MOT15-2D GT for evaluation")
 @click.option("--conf", default=0.35, type=float)
+@click.option("--match-thresh", default=0.8, type=float)
 @click.option("--max-frames", default=None, type=int)
-def track(video, out, model, weights, gt_mot, conf, max_frames):
+def track(video, out, model, weights, num_classes, input_size, gt_mot, conf,
+          match_thresh, max_frames):
     """Detect+track over a video -> MOT15-2D rows (+ optional IDF1/MOTA)."""
     import cv2
 
@@ -106,7 +110,9 @@ def track(video, out, model, weights, gt_mot, conf, max_frames):
 
     cfg = load_config(overrides={
         "detection": {"model": model, "weights": weights, "conf_threshold": conf,
+                      "num_classes": num_classes, "input_size": input_size,
                       "classes": None},
+        "tracking": {"bytetrack": {"match_thresh": match_thresh}},
         "events": {"enabled": False},
         "visualization": {"enabled": False},
         "profiling": {"per_stage": False, "warmup_frames": 0, "log_interval": 0},
