@@ -76,6 +76,8 @@ class ByteTrackConfig:
     max_tracks: int = 256               # static track-slot count (device state)
     motion_model: str = "kalman"        # kalman | none (reference-compat)
     assignment: str = "greedy"          # greedy (device) | lapjv (host C++)
+    fuse_score: bool = False            # stage-1 similarity = IoU * det conf
+    gate_distance: bool = False         # Mahalanobis chi2(4dof, 0.975) gate
     mot20: bool = False
 
 

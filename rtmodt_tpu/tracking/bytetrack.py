@@ -84,6 +84,9 @@ def init_track_state(max_tracks: int = 256) -> TrackState:
     )
 
 
+_CHI2_975_4DOF = 9.4877  # canonical ByteTrack/DeepSORT gating threshold
+
+
 def _associate_and_update(
     state: TrackState,
     pred_boxes: jnp.ndarray,
@@ -94,10 +97,24 @@ def _associate_and_update(
     row_eligible: jnp.ndarray,
     match_thresh: float,
     use_kalman: bool,
+    fuse_score: bool = False,
+    gate_distance: bool = False,
 ) -> tuple[TrackState, jnp.ndarray, jnp.ndarray]:
-    """One association stage. Returns (state', matched_rows, matched_dets)."""
+    """One association stage. Returns (state', matched_rows, matched_dets).
+
+    Optional fidelity knobs from canonical ByteTrack: ``fuse_score``
+    multiplies IoU similarity by detection confidence; ``gate_distance``
+    rejects pairs whose squared Mahalanobis distance from the Kalman
+    prediction exceeds the chi-square 97.5% bound.
+    """
     iou = pairwise_iou(pred_boxes, det_boxes)          # (S, D)
-    res = greedy_assign(iou, match_thresh, row_valid=row_eligible, col_valid=det_eligible)
+    sim = iou * det_conf[None, :] if fuse_score else iou
+    if gate_distance and use_kalman:
+        dist = kf.gating_distance(kf.KalmanState(state.kf_mean, state.kf_cov),
+                                  xyxy_to_cxcyah(det_boxes)[None].repeat(
+                                      state.kf_mean.shape[0], axis=0))
+        sim = jnp.where(dist <= _CHI2_975_4DOF, sim, -1.0)
+    res = greedy_assign(sim, match_thresh, row_valid=row_eligible, col_valid=det_eligible)
     matched_rows = res.row_to_col >= 0                  # (S,)
     det_of_row = jnp.clip(res.row_to_col, 0)            # safe gather index
 
@@ -166,13 +183,16 @@ def bytetrack_update(
         state, pred_boxes, det_boxes, det_conf, det_cls,
         det_eligible=high, row_eligible=state.active,
         match_thresh=cfg.match_thresh, use_kalman=use_kalman,
+        fuse_score=cfg.fuse_score, gate_distance=cfg.gate_distance,
     )
 
     # -- 3. second association: low dets vs unmatched tracks --------------
+    # (canonical ByteTrack fuses scores only in the high-confidence stage)
     state, matched2, _ = _associate_and_update(
         state, pred_boxes, det_boxes, det_conf, det_cls,
         det_eligible=low, row_eligible=state.active & ~matched1,
         match_thresh=cfg.match_thresh, use_kalman=use_kalman,
+        gate_distance=cfg.gate_distance,
     )
     matched = matched1 | matched2
 

@@ -107,6 +107,43 @@ class TestByteTrack:
             MultiObjectTracker("sort2000")
 
 
+class TestQualityKnobs:
+    def test_fuse_score_and_gating_track_normally(self):
+        cfg = ByteTrackConfig(match_thresh=0.25, fuse_score=True,
+                              gate_distance=True)
+        tr = MultiObjectTracker("bytetrack", bytetrack=cfg)
+        box = [100, 100, 200, 300]
+        for t in range(8):
+            tracks = tr.update(dets([walk(box, t)], [0.9]))
+        assert len(tracks) == 1 and tracks[0].track_id == 1
+
+    def test_gating_rejects_teleporting_match(self):
+        """A detection overlapping in IoU terms but wildly inconsistent with
+        the Kalman prediction must NOT be matched when gating is on."""
+        import numpy as _np
+
+        cfg_on = ByteTrackConfig(match_thresh=0.1, gate_distance=True)
+        cfg_off = ByteTrackConfig(match_thresh=0.1, gate_distance=False)
+        results = {}
+        for name, cfg in (("on", cfg_on), ("off", cfg_off)):
+            tr = MultiObjectTracker("bytetrack", bytetrack=cfg)
+            # establish a confident, fast-moving track (vx = 20 px/frame)
+            box = _np.array([100, 100, 200, 300], _np.float32)
+            vx = _np.array([20, 0, 20, 0], _np.float32)
+            for t in range(12):
+                tr.update(dets([box + t * vx], [0.9]))
+            # next frame: detection 60 px behind the Kalman prediction -
+            # IoU with the prediction is ~0.25 (matchable at thresh 0.1) but
+            # ~6 sigma off the motion model (well past the chi2 gate)
+            tele = box + 12 * vx - _np.array([60, 0, 60, 0], _np.float32)
+            out = tr.update(dets([tele], [0.9]))
+            results[name] = [t.track_id for t in out]
+        # without gating the stale overlap can re-match id 1; with gating the
+        # det must spawn a NEW id (2) because it violates the motion model
+        assert results["on"] == [2], results
+        assert results["off"] != results["on"]
+
+
 class TestStateSerialization:
     def test_save_load_roundtrip(self, tmp_path):
         cfg = ByteTrackConfig(match_thresh=0.3)
