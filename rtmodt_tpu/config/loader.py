@@ -121,6 +121,8 @@ class ProfilingConfig:
     warmup_frames: int = 50
     log_interval: int = 100
     per_stage: bool = True              # False = fully-fused single XLA step (max perf)
+    trace_dir: str | None = None        # capture a jax.profiler trace here
+    trace_frames: int = 20              # frames to include in the trace
 
 
 @dataclass

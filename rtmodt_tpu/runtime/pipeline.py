@@ -77,6 +77,7 @@ class Pipeline:
         ) if v.enabled else None
 
         self._per_stage = cfg.profiling.per_stage
+        self._trace_state = {"frames_left": 0, "active": False}
         self._stage_fns: dict[tuple[int, int], Any] = {}
         self._fused_fns: dict[tuple[int, int], Any] = {}
         self._chunk_fns: dict[tuple[int, int, int], Any] = {}
@@ -392,8 +393,32 @@ class Pipeline:
         logger.info(f"pipeline warmup {w}x{h} done in {time.perf_counter() - t0:.1f}s")
 
     # ------------------------------------------------------------------
+    def _maybe_trace(self) -> None:
+        """Device-level tracing (SURVEY.md 5.1: the jax.profiler analog of
+        the reference's CUDA-event timing): with ``profiling.trace_dir`` set,
+        capture the first ``trace_frames`` post-warmup frames into a trace
+        viewable in TensorBoard/Perfetto."""
+        tcfg = self.cfg.profiling
+        ts = self._trace_state
+        if not tcfg.trace_dir:
+            return
+        if not ts["active"] and ts["frames_left"] == 0 and not ts.get("done"):
+            os.makedirs(tcfg.trace_dir, exist_ok=True)
+            jax.profiler.start_trace(tcfg.trace_dir)
+            ts["active"] = True
+            ts["frames_left"] = tcfg.trace_frames
+            logger.info(f"jax.profiler trace started -> {tcfg.trace_dir}")
+        elif ts["active"]:
+            ts["frames_left"] -= 1
+            if ts["frames_left"] <= 0:
+                jax.profiler.stop_trace()
+                ts["active"] = False
+                ts["done"] = True
+                logger.info("jax.profiler trace captured")
+
     def step(self, frame: np.ndarray, frame_id: int, timestamp: float | None = None):
         """Process one frame. Returns (tracks, events, nms_result)."""
+        self._maybe_trace()
         p = self.profiler
         h, w = frame.shape[:2]
         names = self.detector.class_names
