@@ -82,6 +82,31 @@ class TestNMS:
             want = {tuple(np.round(b, 2)) for b in boxes[keep]}
             assert got == want, f"trial {trial}"
 
+    def test_class_aware_matches_per_class_oracle_randomized(self, rng):
+        """Class-aware NMS == independent per-class greedy NMS."""
+        from rtmodt_tpu.ops import batched_nms_fixed
+
+        for trial in range(5):
+            n, nc = 60, 4
+            boxes = random_boxes(rng, n, w=300, h=300, min_size=40, max_size=150)
+            cls_ids = rng.integers(0, nc, n)
+            scores1 = rng.uniform(0.05, 1.0, n).astype(np.float32)
+            cs = np.zeros((n, nc), np.float32)
+            cs[np.arange(n), cls_ids] = scores1
+            res = batched_nms_fixed(boxes, cs, 0.05, 0.5, max_det=n,
+                                    num_candidates=n)
+            got = {(tuple(np.round(b, 2)), int(c)) for b, c, v in
+                   zip(np.asarray(res.boxes), np.asarray(res.classes),
+                       np.asarray(res.valid)) if v}
+            want = set()
+            for c in range(nc):
+                m = cls_ids == c
+                if not m.any():
+                    continue
+                keep = self._np_greedy_nms(boxes[m], scores1[m], 0.5)
+                want |= {(tuple(np.round(b, 2)), c) for b in boxes[m][keep]}
+            assert got == want, f"trial {trial}"
+
     def test_class_aware_keeps_overlapping_other_class(self):
         from rtmodt_tpu.ops import batched_nms_fixed
 
@@ -243,6 +268,32 @@ class TestAssignment:
             # sequential oracle
             want = np.full(r, -1, np.int64)
             s = sim.copy()
+            for _ in range(min(r, c)):
+                if s.max() < thresh:
+                    break
+                i, j = np.unravel_index(np.argmax(s), s.shape)
+                want[i] = j
+                s[i, :] = -1e9
+                s[:, j] = -1e9
+            np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+    def test_masked_matches_sequential_greedy_randomized(self, rng):
+        """Parallel mutual-best with row/col validity masks == sequential
+        greedy restricted to the valid submatrix."""
+        import jax.numpy as jnp
+        from rtmodt_tpu.ops import greedy_assign
+
+        for trial in range(20):
+            r, c = rng.integers(2, 12, 2)
+            sim = rng.random((r, c)).astype(np.float32)
+            rv = rng.random(r) > 0.3
+            cv = rng.random(c) > 0.3
+            thresh = float(rng.random() * 0.6)
+            got = np.asarray(greedy_assign(
+                sim, thresh, row_valid=jnp.asarray(rv),
+                col_valid=jnp.asarray(cv)).row_to_col)
+            want = np.full(r, -1, np.int64)
+            s = np.where(rv[:, None] & cv[None, :], sim, -1e9)
             for _ in range(min(r, c)):
                 if s.max() < thresh:
                     break
