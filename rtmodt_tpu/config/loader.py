@@ -113,6 +113,9 @@ class EventsConfig:
     alert: AlertConfig = field(default_factory=AlertConfig)
     clock: str = "stream"               # stream (frame-timestamp) | wall (reference-compat)
     max_vertices: int = 16              # polygon padding for static shapes
+    device_masks: bool = False          # compute zone containment inside the
+                                        # jitted chunk step (host does only
+                                        # dwell/cooldown bookkeeping)
 
 
 @dataclass

@@ -116,25 +116,34 @@ class ZoneEventEngine:
 
     # ------------------------------------------------------------------
     def process(self, tracks: Sequence, frame_id: int,
-                timestamp: float | None = None) -> list[ZoneEvent]:
+                timestamp: float | None = None,
+                inside_mat: np.ndarray | None = None) -> list[ZoneEvent]:
         """Check all tracks against all zones; emit + persist new events.
 
         ``timestamp`` is the stream time of this frame (seconds).  With
         ``clock: stream`` it drives dwell/cooldown; omitted or with
         ``clock: wall``, wall time is used (reference behavior).
+
+        ``inside_mat`` (len(tracks), len(zones)) bool may be supplied when
+        containment was already computed ON DEVICE inside the jitted step
+        (``events.device_masks``); the engine then does only dwell/cooldown
+        bookkeeping and serialization.
         """
         now = time.time() if (self.clock == "wall" or timestamp is None) else timestamp
         events: list[ZoneEvent] = []
         tracks = list(tracks)
 
-        if tracks and self.zones:
-            cents = np.array(
-                [[(t.xyxy[0] + t.xyxy[2]) / 2, (t.xyxy[1] + t.xyxy[3]) / 2] for t in tracks],
-                dtype=np.float64,
-            )
-            inside_mat = _points_in_polygons_np(cents, [z.polygon for z in self.zones])
-        else:
-            inside_mat = np.zeros((len(tracks), len(self.zones)), bool)
+        if inside_mat is None:
+            if tracks and self.zones:
+                cents = np.array(
+                    [[(t.xyxy[0] + t.xyxy[2]) / 2, (t.xyxy[1] + t.xyxy[3]) / 2]
+                     for t in tracks],
+                    dtype=np.float64,
+                )
+                inside_mat = _points_in_polygons_np(
+                    cents, [z.polygon for z in self.zones])
+            else:
+                inside_mat = np.zeros((len(tracks), len(self.zones)), bool)
 
         active_ids: set[int] = set()
         for ti, track in enumerate(tracks):

@@ -64,6 +64,26 @@ class Pipeline:
             ZoneEventEngine.from_config(cfg.events) if cfg.events.enabled and cfg.events.zones
             else None
         )
+        # With ``events.device_masks`` on, zone containment is computed ON
+        # DEVICE over the chunk's track slots (one tiny jitted dispatch per
+        # chunk); the host engine only does dwell/cooldown bookkeeping.
+        self._mask_fn = None
+        if self.events is not None and cfg.events.device_masks:
+            from rtmodt_tpu.ops.polygon import pad_polygons, points_in_polygons
+
+            polys = jnp.asarray(pad_polygons(
+                [z.polygon.tolist() for z in self.events.zones],
+                cfg.events.max_vertices))
+
+            @jax.jit
+            def mask_fn(boxes):
+                """(..., S, 4) slot boxes -> (..., S, Z) containment bools."""
+                cents = (boxes[..., 0:2] + boxes[..., 2:4]) * 0.5
+                flat = cents.reshape(-1, 2)
+                m = points_in_polygons(flat, polys)
+                return m.reshape(cents.shape[:-1] + (polys.shape[0],))
+
+            self._mask_fn = mask_fn
         self.profiler = LatencyProfiler(
             enabled=cfg.profiling.enabled,
             warmup_frames=cfg.profiling.warmup_frames,
@@ -518,16 +538,25 @@ class Pipeline:
         frames_done = 0
         last_id = 0
 
+        use_dm = self._mask_fn is not None
+
         def consume(entry):
             nonlocal frames_done
-            metas, outs = entry
+            metas, outs, masks = entry
             import jax as _jax
 
             host = _jax.device_get(outs)
-            per_frame = self.tracker.tracks_chunk_from_outputs(host, names)
-            for (fid, ts), tracks in zip(metas, per_frame):
+            if use_dm:
+                masks_h = np.asarray(_jax.device_get(masks))
+                per_frame, idxs = self.tracker.tracks_chunk_from_outputs(
+                    host, names, with_indices=True)
+            else:
+                per_frame = self.tracker.tracks_chunk_from_outputs(host, names)
+                idxs = [None] * len(per_frame)
+            for f, ((fid, ts), tracks) in enumerate(zip(metas, per_frame)):
                 if self.events:
-                    self.events.process(tracks, fid, ts)
+                    im = masks_h[f][idxs[f]] if use_dm else None
+                    self.events.process(tracks, fid, ts, inside_mat=im)
                 p.end_frame()
                 frames_done += 1
 
@@ -547,8 +576,12 @@ class Pipeline:
                     p.tick("inference")
                     planes, _ = pack_chunk(np.stack(buf), self.cfg.detection.input_size)
                     outs, _res = self.submit_packed_yuv(planes, *buf[0].shape[:2])
+                    masks = None
+                    if use_dm:
+                        masks = self._mask_fn(outs.boxes)
+                        masks.copy_to_host_async()
                     p.tock("inference")
-                    inflight.append((metas, outs))
+                    inflight.append((metas, outs, masks))
                     buf, metas = [], []
                     if len(inflight) > depth:
                         consume(inflight.popleft())

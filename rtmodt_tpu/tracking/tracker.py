@@ -134,10 +134,15 @@ class MultiObjectTracker:
         self.state, outputs = self._step(self.state, boxes, conf, cls, valid)
         return self.tracks_from_outputs(outputs, names)
 
-    def tracks_chunk_from_outputs(self, host_outputs, names: list[str]) -> list[list[Track]]:
+    def tracks_chunk_from_outputs(self, host_outputs, names: list[str],
+                                  with_indices: bool = False):
         """Bulk host conversion for a CHUNK of TrackOutputs (leading K axis):
         one vectorized visibility pass, Track objects built only for visible
-        slots. Cheaper than K separate ``tracks_from_outputs`` calls."""
+        slots. Cheaper than K separate ``tracks_from_outputs`` calls.
+
+        With ``with_indices=True`` also returns, per frame, the slot indices
+        (in track order) - used to align device-computed per-slot data such
+        as zone masks with the Track list."""
         visible = np.asarray(host_outputs.visible)          # (K, S)
         track_id = np.asarray(host_outputs.track_id)
         boxes = np.asarray(host_outputs.boxes)
@@ -146,6 +151,7 @@ class MultiObjectTracker:
         age = np.asarray(host_outputs.age)
         tsu = np.asarray(host_outputs.tsu)
         out: list[list[Track]] = []
+        indices: list[np.ndarray] = []
         for f in range(visible.shape[0]):
             idx = np.where(visible[f])[0]
             idx = idx[np.argsort(track_id[f, idx])] if len(idx) else idx
@@ -158,7 +164,8 @@ class MultiObjectTracker:
                 "time_since_update": int(tsu[f, i]),
             }, names) for i in idx]
             out.append(frame_tracks)
-        return out
+            indices.append(idx)
+        return (out, indices) if with_indices else out
 
     def tracks_from_outputs(self, outputs, names: list[str]) -> list[Track]:
         """Build host Track objects from a step's TrackOutputs (device or host

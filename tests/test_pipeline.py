@@ -81,6 +81,43 @@ class TestPipelineEndToEnd:
         assert pipe.profiler._frame_count == 14  # 3 chunks + 2-frame remainder
         assert "inference_mean_ms" in summary or pipe.profiler._frame_count > 0
 
+    def test_run_chunked_device_masks_event_parity(self, small_cfg, tmp_path):
+        """``events.device_masks``: containment computed on device inside the
+        chunked path yields the same event stream as the host path."""
+        import dataclasses
+        import json
+        from rtmodt_tpu.runtime.pipeline import Pipeline
+        from rtmodt_tpu.utils.synthetic import write_synthetic_video
+
+        video = str(tmp_path / "synth.mp4")
+        write_synthetic_video(video, frames=12, h=160, w=160, n_objects=2)
+
+        def run(device_masks, log):
+            cfg = dataclasses.replace(
+                small_cfg,
+                visualization=dataclasses.replace(small_cfg.visualization,
+                                                  enabled=False),
+                parallel=dataclasses.replace(small_cfg.parallel, chunk_size=4,
+                                             pipeline_depth=1),
+                events=dataclasses.replace(
+                    small_cfg.events, device_masks=device_masks,
+                    alert=dataclasses.replace(small_cfg.events.alert,
+                                              log_path=str(tmp_path / log))),
+            )
+            pipe = Pipeline(cfg)
+            assert (pipe._mask_fn is not None) == device_masks
+            pipe.run(source=video)
+            p = tmp_path / log
+            if not p.exists():
+                return []
+            return [json.loads(l) for l in p.read_text().splitlines()]
+
+        host_evts = run(False, "host.jsonl")
+        dev_evts = run(True, "dev.jsonl")
+        key = lambda es: [(e["zone_name"], e["track_id"], e["frame_id"],
+                           e["event_type"]) for e in es]
+        assert key(host_evts) == key(dev_evts)
+
     def test_save_video_matches_input_geometry(self, small_cfg, tmp_path):
         """Reference bug 4 fix: writer adopts the actual frame size."""
         import cv2
@@ -196,6 +233,35 @@ class TestZoneEngine:
         assert rec["track_id"] == 7
         assert rec["class_id"] == 2
         assert rec["frame_id"] == 42
+
+    def test_supplied_inside_mat_matches_host(self, tmp_path):
+        """Device-computed containment (ops.polygon on padded polys) fed via
+        ``inside_mat`` must reproduce the host path's events exactly."""
+        import jax.numpy as jnp
+        from rtmodt_tpu.events.zone_engine import ZoneEventEngine
+        from rtmodt_tpu.ops.polygon import pad_polygons, points_in_polygons
+
+        zones = [{"name": "a", "polygon": [[0, 0], [200, 0], [200, 200], [0, 200]],
+                  "dwell_time_sec": 0.5, "cooldown_sec": 1.0},
+                 {"name": "b", "polygon": [[300, 300], [500, 300], [400, 500]],
+                  "dwell_time_sec": 0.0, "cooldown_sec": 0.0}]
+        host_eng = ZoneEventEngine(zones, log_path=str(tmp_path / "h.jsonl"),
+                                   clock="stream")
+        dev_eng = ZoneEventEngine(zones, log_path=str(tmp_path / "d.jsonl"),
+                                  clock="stream")
+        polys = jnp.asarray(pad_polygons([z["polygon"] for z in zones], 16))
+        rng = np.random.default_rng(3)
+        for fid in range(12):
+            tracks = [self._track(tid, np.sort(rng.uniform(0, 550, 4)[[0, 2, 1, 3]]))
+                      for tid in range(1, 4)]
+            ts = fid / 10.0
+            h_evts = host_eng.process(tracks, fid, timestamp=ts)
+            cents = np.stack([[(t.xyxy[0] + t.xyxy[2]) / 2,
+                               (t.xyxy[1] + t.xyxy[3]) / 2] for t in tracks])
+            mat = np.asarray(points_in_polygons(jnp.asarray(cents), polys))
+            d_evts = dev_eng.process(tracks, fid, timestamp=ts, inside_mat=mat)
+            key = lambda es: [(e.zone_name, e.track_id, e.event_type) for e in es]
+            assert key(h_evts) == key(d_evts)
 
     def test_class_filter(self, tmp_path):
         from rtmodt_tpu.events.zone_engine import ZoneEventEngine
