@@ -82,10 +82,33 @@ class ByteTrackConfig:
 
 
 @dataclass
+class DeepSortConfig:
+    """Appearance-based tracker (reference declares this block at
+    default.yaml:53-60 but its code raises NotImplementedError;
+    here it is a working, jittable tracker - see tracking/deepsort.py)."""
+
+    max_dist: float = 0.2               # appearance cosine-distance gate
+    min_confidence: float = 0.3
+    max_iou_distance: float = 0.7
+    max_age: int = 70
+    n_init: int = 3
+    nn_budget: int = 100                # canonical gallery budget; realized as
+                                        # an EMA gallery (see deepsort.py)
+    embedder: str = ""                  # optional embedder weights (.npz);
+                                        # deterministic random init otherwise
+    embed_dim: int = 128
+    crop_hw: list[int] = field(default_factory=lambda: [64, 32])  # ROI h, w
+    max_tracks: int = 256               # static track-slot count (device state)
+    ema_alpha: float = 0.9              # appearance EMA momentum
+    gate_distance: bool = True          # Mahalanobis chi2(4dof) gate in stage 1
+
+
+@dataclass
 class TrackingConfig:
     algorithm: str = "bytetrack"
     trail_length: int = 30
     bytetrack: ByteTrackConfig = field(default_factory=ByteTrackConfig)
+    deepsort: DeepSortConfig = field(default_factory=DeepSortConfig)
 
 
 @dataclass
@@ -248,6 +271,16 @@ def _validate(cfg: PipelineConfig) -> None:
         raise ValueError(f"tracking.bytetrack.motion_model must be kalman|none, got {bt.motion_model}")
     if bt.assignment not in ("greedy", "lapjv"):
         raise ValueError(f"tracking.bytetrack.assignment must be greedy|lapjv, got {bt.assignment}")
+    if cfg.tracking.algorithm not in ("bytetrack", "deepsort"):
+        raise ValueError(f"tracking.algorithm must be bytetrack|deepsort, "
+                         f"got {cfg.tracking.algorithm}")
+    ds = cfg.tracking.deepsort
+    if ds.n_init < 1:
+        raise ValueError(f"tracking.deepsort.n_init must be >= 1, got {ds.n_init}")
+    if not (0.0 < ds.max_dist <= 2.0):
+        raise ValueError(f"tracking.deepsort.max_dist must be in (0, 2], got {ds.max_dist}")
+    if len(ds.crop_hw) != 2 or any(v <= 0 for v in ds.crop_hw):
+        raise ValueError(f"tracking.deepsort.crop_hw must be [h, w] > 0, got {ds.crop_hw}")
     for z in cfg.events.zones:
         if len(z.polygon) < 3:
             raise ValueError(f"events zone '{z.name}' polygon needs >= 3 vertices")

@@ -59,7 +59,9 @@ class Pipeline:
             cfg.tracking.algorithm,
             trail_length=cfg.tracking.trail_length,
             bytetrack=cfg.tracking.bytetrack,
+            deepsort=cfg.tracking.deepsort,
         )
+        self._is_deepsort = self.tracker.algorithm == "deepsort"
         self.events: Optional[ZoneEventEngine] = (
             ZoneEventEngine.from_config(cfg.events) if cfg.events.enabled and cfg.events.zones
             else None
@@ -142,7 +144,51 @@ class Pipeline:
         self._stage_fns[key] = (pre_fn, fwd_fn, nms_fn)
         return self._stage_fns[key]
 
+    def _fused_deepsort_for(self, h: int, w: int):
+        """ONE jitted program: letterbox -> YOLO -> NMS -> ROI crop ->
+        appearance embed -> DeepSORT associate/update.  The detection
+        patches and embeddings never exist on the host."""
+        key = ("deepsort", h, w)
+        if key in self._fused_fns:
+            return self._fused_fns[key]
+        from rtmodt_tpu.ops.roi import crop_and_resize
+        from rtmodt_tpu.tracking.deepsort import deepsort_update
+
+        dcfg = self.cfg.detection
+        dscfg = self.cfg.tracking.deepsort
+        dtype = jnp.bfloat16 if dcfg.half else jnp.float32
+        model = self.detector.model
+        class_mask = self.detector._class_mask
+        embedder = self.tracker.embedder
+        emb_params = self.tracker.embedder_params
+        crop_hw = tuple(dscfg.crop_hw)
+        donate = (1,) if self.cfg.parallel.donate_state else ()
+
+        @partial(jax.jit, donate_argnums=donate)
+        def step_fn(params, state, frame_u8):
+            img, meta = letterbox(frame_u8, dcfg.input_size, dtype=dtype)
+            box_dist, cls_logits = model.apply(params, img[None], train=False)
+            boxes, scores = decode_predictions(box_dist, cls_logits, dcfg.input_size)
+            res = batched_nms_fixed(
+                boxes[0], scores[0], dcfg.conf_threshold, dcfg.iou_threshold,
+                dcfg.max_detections, dcfg.nms_candidates, class_mask,
+                dcfg.agnostic_nms, impl=dcfg.nms_impl,
+            )
+            # crop from the letterboxed image while boxes are still in its
+            # coordinates; embedder convention is RGB [0, 255]
+            crops = crop_and_resize(img.astype(jnp.float32), res.boxes, crop_hw) * 255.0
+            feats = embedder.apply(emb_params, crops)
+            res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
+            state, outputs = deepsort_update(
+                state, res.boxes, res.scores, res.classes, res.valid, feats, dscfg)
+            return state, outputs, res
+
+        self._fused_fns[key] = step_fn
+        return step_fn
+
     def _fused_for(self, h: int, w: int):
+        if self._is_deepsort:
+            return self._fused_deepsort_for(h, w)
         key = (h, w)
         if key in self._fused_fns:
             return self._fused_fns[key]
@@ -223,6 +269,10 @@ class Pipeline:
                     timestamp: float | None = None):
         """Low-latency per-frame path over packed transport: host packs ONE
         frame to planar I420 (~0.4 MB), device runs the fused step."""
+        if self._is_deepsort:
+            raise NotImplementedError(
+                "the packed planar path never forms an RGB image, which "
+                "deepsort's ROI crops need; use step() for deepsort")
         from rtmodt_tpu.ops.yuv import pack_i420_planar
 
         h, w = frame_bgr.shape[:2]
@@ -399,8 +449,15 @@ class Pipeline:
                 raw = fwd(self.detector.params, img)
                 res = nms(raw)
                 if self.tracker._host is None:
-                    state, _ = self._track_fn(state, res.boxes, res.scores,
-                                              res.classes, res.valid)
+                    if self._is_deepsort:
+                        feats = self.tracker.embed_fn()(jax.device_put(dummy),
+                                                        res.boxes)
+                        state, _ = self.tracker._step(
+                            state, res.boxes, res.scores, res.classes,
+                            res.valid, feats)
+                    else:
+                        state, _ = self._track_fn(state, res.boxes, res.scores,
+                                                  res.classes, res.valid)
                 jax.block_until_ready(res)
         else:
             step = self._fused_for(h, w)
@@ -409,7 +466,11 @@ class Pipeline:
                                            jax.device_put(dummy))
                 jax.block_until_ready(outputs.visible)
         if self.tracker._host is None:
-            self.tracker.state = state
+            # warmup exists to COMPILE, not to track: discard any phantom
+            # tracks born from the dummy frames (they would otherwise arrive
+            # pre-confirmed at stream start and pollute early ids/events),
+            # and rebuild state because donated buffers are now invalid
+            self.tracker.reset()
         logger.info(f"pipeline warmup {w}x{h} done in {time.perf_counter() - t0:.1f}s")
 
     # ------------------------------------------------------------------
@@ -455,8 +516,14 @@ class Pipeline:
             res = nms(raw)
             p.tock("nms", sync_on=res)
             p.tick("tracking")
-            self.tracker.state, outputs = self._track_fn(
-                self.tracker.state, res.boxes, res.scores, res.classes, res.valid)
+            if self._is_deepsort:
+                feats = self.tracker.embed_fn()(jax.device_put(frame), res.boxes)
+                self.tracker.state, outputs = self.tracker._step(
+                    self.tracker.state, res.boxes, res.scores, res.classes,
+                    res.valid, feats)
+            else:
+                self.tracker.state, outputs = self._track_fn(
+                    self.tracker.state, res.boxes, res.scores, res.classes, res.valid)
             tracks = self.tracker.tracks_from_outputs(outputs, names)
             p.tock("tracking")
         elif self.tracker._host is not None:
@@ -607,7 +674,10 @@ class Pipeline:
 
         if (self.cfg.parallel.chunk_size > 1 and not display
                 and not self.cfg.visualization.save_video
-                and self.renderer is None and self.tracker._host is None):
+                and self.renderer is None and self.tracker._host is None
+                and not self._is_deepsort):
+            # (deepsort runs per-frame fused; its chunked/planar variant needs
+            #  an RGB image for ROI crops, which the planar path never forms)
             return self.run_chunked(source, max_frames)
 
         icfg = self.cfg.ingestion

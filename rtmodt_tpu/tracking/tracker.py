@@ -1,11 +1,13 @@
 """Public tracker façade: `MultiObjectTracker` + `Track`.
 
 API-parity with reference ``src/tracking/tracker.py:200-259``: same
-constructor dispatch (``bytetrack`` works, ``deepsort`` raises
-NotImplementedError), same ``update(detections) -> list[Track]`` call, same
-per-ID centroid trails capped at ``trail_length``.
+constructor dispatch, same ``update(detections) -> list[Track]`` call, same
+per-ID centroid trails capped at ``trail_length``.  Capability extension:
+``deepsort`` actually works here (the reference raises NotImplementedError,
+tracker.py:212-214) - an appearance-embedding tracker whose ROI crop, embed
+and association all run on device (``deepsort.py``).
 
-Two execution backends:
+ByteTrack execution backends:
   * ``assignment: greedy`` (default) - the jittable device state machine in
     ``bytetrack.py`` (fixed slots, batched Kalman, on-device greedy matching);
   * ``assignment: lapjv`` - host NumPy ByteTrack with the optimal C++ JV
@@ -50,10 +52,33 @@ class MultiObjectTracker:
 
     def __init__(self, algorithm: str = "bytetrack", trail_length: int = 30, **kwargs):
         self.algorithm = algorithm.lower()
-        if self.algorithm == "deepsort":
-            raise NotImplementedError("DeepSORT adapter not yet wired. Use bytetrack.")
-        if self.algorithm != "bytetrack":
+        if self.algorithm not in ("bytetrack", "deepsort"):
             raise ValueError(f"Unknown tracker: {self.algorithm}")
+
+        self._trail_map: dict[int, list[tuple[int, int]]] = defaultdict(list)
+        self._trail_maxlen = trail_length
+        self._host = None
+        self._embed_fns: dict = {}
+
+        if self.algorithm == "deepsort":
+            from rtmodt_tpu.config.loader import DeepSortConfig
+            from rtmodt_tpu.models.embedder import init_embedder
+            from rtmodt_tpu.tracking.deepsort import (
+                deepsort_update, init_deepsort_state)
+
+            ds = kwargs.get("deepsort", kwargs)
+            if isinstance(ds, DeepSortConfig):
+                self.cfg = ds
+            else:
+                known = {f for f in DeepSortConfig.__dataclass_fields__}
+                self.cfg = DeepSortConfig(**{k: v for k, v in ds.items() if k in known})
+            self.embedder, self.embedder_params = init_embedder(
+                tuple(self.cfg.crop_hw), self.cfg.embed_dim, self.cfg.embedder)
+            self.state = init_deepsort_state(self.cfg.max_tracks, self.cfg.embed_dim)
+            self._step = jax.jit(partial(deepsort_update, cfg=self.cfg))
+            logger.info(f"Tracker initialised: deepsort (embed_dim="
+                        f"{self.cfg.embed_dim}, n_init={self.cfg.n_init})")
+            return
 
         bt = kwargs.get("bytetrack", kwargs)
         if isinstance(bt, ByteTrackConfig):
@@ -62,19 +87,41 @@ class MultiObjectTracker:
             known = {f for f in ByteTrackConfig.__dataclass_fields__}
             self.cfg = ByteTrackConfig(**{k: v for k, v in bt.items() if k in known})
 
-        self._trail_map: dict[int, list[tuple[int, int]]] = defaultdict(list)
-        self._trail_maxlen = trail_length
-
         if self.cfg.assignment == "lapjv":
             from rtmodt_tpu.tracking.host_bytetrack import HostByteTrack
             self._host = HostByteTrack(self.cfg)
             self._step = None
         else:
-            self._host = None
             self.state: TrackState = init_track_state(self.cfg.max_tracks)
             self._step = jax.jit(partial(bytetrack_update, cfg=self.cfg))
         logger.info(f"Tracker initialised: {self.algorithm} "
                     f"({self.cfg.assignment}/{self.cfg.motion_model})")
+
+    # ------------------------------------------------------------------
+    def embed_fn(self, normalized: bool = False):
+        """Jitted (image, boxes) -> (D, E) embedding helper for deepsort.
+
+        ``normalized=False``: image is raw uint8 BGR in [0, 255] (the façade
+        standalone path); ``normalized=True``: image is the letterboxed RGB
+        float in [0, 1] already on device (the fused pipeline path).  The
+        embedder's input convention is RGB [0, 255].
+        """
+        key = normalized
+        if key in self._embed_fns:
+            return self._embed_fns[key]
+        from rtmodt_tpu.ops.roi import crop_and_resize
+
+        crop_hw = tuple(self.cfg.crop_hw)
+        model, params = self.embedder, self.embedder_params
+
+        @jax.jit
+        def fn(image, boxes):
+            crops = crop_and_resize(image, boxes, crop_hw)
+            crops = crops * 255.0 if normalized else crops[..., ::-1]
+            return model.apply(params, crops)
+
+        self._embed_fns[key] = fn
+        return fn
 
     def save_state(self, path: str) -> None:
         """Serialize tracker state for stream-resume - a capability the
@@ -96,10 +143,12 @@ class MultiObjectTracker:
         import numpy as np
 
         from rtmodt_tpu.tracking.bytetrack import TrackState
+        from rtmodt_tpu.tracking.deepsort import DeepSortState
 
+        cls = DeepSortState if self.algorithm == "deepsort" else TrackState
         with np.load(path) as z:
-            fields = {k: jnp.asarray(z[k]) for k in TrackState._fields}
-            self.state = TrackState(**fields)
+            fields = {k: jnp.asarray(z[k]) for k in cls._fields}
+            self.state = cls(**fields)
             self._trail_map.clear()
             for tid, trail in zip(z["trail_ids"], z["trail_data"]):
                 pts = [(int(x), int(y)) for x, y in trail if x >= 0]
@@ -110,11 +159,18 @@ class MultiObjectTracker:
         if self._host is not None:
             self._host._tracks.clear()
             self._host._next_id = 1
+        elif self.algorithm == "deepsort":
+            from rtmodt_tpu.tracking.deepsort import init_deepsort_state
+            self.state = init_deepsort_state(self.cfg.max_tracks, self.cfg.embed_dim)
         else:
             self.state = init_track_state(self.cfg.max_tracks)
 
-    def update(self, detections) -> list[Track]:
-        """Reference-compatible API: Detections in, active Track list out."""
+    def update(self, detections, frame: np.ndarray | None = None) -> list[Track]:
+        """Reference-compatible API: Detections in, active Track list out.
+
+        ``frame`` (BGR uint8) is required for ``deepsort`` - appearance
+        embeddings are computed on device from ROI crops of it.
+        """
         names = getattr(detections, "class_names", [])
         if self._host is not None:
             raw = self._host.update(detections.xyxy, detections.confidence,
@@ -131,7 +187,15 @@ class MultiObjectTracker:
         conf[:d] = detections.confidence
         cls[:d] = detections.class_id
         valid[:d] = True
-        self.state, outputs = self._step(self.state, boxes, conf, cls, valid)
+        if self.algorithm == "deepsort":
+            if frame is None:
+                raise ValueError("deepsort requires the frame for appearance "
+                                 "embeddings: update(detections, frame)")
+            feats = self.embed_fn()(jax.device_put(frame), boxes)
+            self.state, outputs = self._step(self.state, boxes, conf, cls,
+                                             valid, feats)
+        else:
+            self.state, outputs = self._step(self.state, boxes, conf, cls, valid)
         return self.tracks_from_outputs(outputs, names)
 
     def tracks_chunk_from_outputs(self, host_outputs, names: list[str],

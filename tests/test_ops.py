@@ -389,3 +389,63 @@ class TestLetterbox:
         img, meta = letterbox(jnp.asarray(frame), 640)
         assert meta.pad_top > 0
         np.testing.assert_allclose(float(img[0, 320, 0]), 114 / 255, atol=1e-2)
+
+
+class TestRoiCrop:
+    def test_matches_cv2_resize_of_tight_crop(self):
+        """Integer-aligned box: device crop+resize == cv2.resize (bilinear)
+        of the numpy crop."""
+        import cv2
+        import jax.numpy as jnp
+        from rtmodt_tpu.ops.roi import crop_and_resize
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (120, 160, 3), np.uint8)
+        box = np.array([[16, 24, 80, 104]], np.float32)     # w=64 h=80
+        got = np.asarray(crop_and_resize(jnp.asarray(img), jnp.asarray(box),
+                                         (40, 32)))[0]
+        want = cv2.resize(img[24:104, 16:80].astype(np.float32), (32, 40),
+                          interpolation=cv2.INTER_LINEAR)
+        np.testing.assert_allclose(got, want, atol=1.0)
+
+    def test_static_shape_and_degenerate_box(self):
+        import jax.numpy as jnp
+        from rtmodt_tpu.ops.roi import crop_and_resize
+
+        img = jnp.zeros((64, 64, 3), jnp.uint8)
+        boxes = jnp.asarray([[10, 10, 30, 30], [0, 0, 0, 0], [-5, -5, 500, 500]],
+                            jnp.float32)
+        out = crop_and_resize(img, boxes, (16, 8))
+        assert out.shape == (3, 16, 8, 3)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestEmbedder:
+    def test_shape_norm_determinism(self):
+        import jax.numpy as jnp
+        from rtmodt_tpu.models.embedder import AppearanceEmbedder, init_embedder
+
+        model, params = init_embedder((64, 32), embed_dim=64)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.integers(0, 255, (5, 64, 32, 3)), jnp.float32)
+        e = model.apply(params, x)
+        assert e.shape == (5, 64)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(e), axis=-1),
+                                   1.0, atol=1e-4)
+        # deterministic init: same params on re-init
+        _, params2 = init_embedder((64, 32), embed_dim=64)
+        e2 = model.apply(params2, x)
+        np.testing.assert_allclose(np.asarray(e), np.asarray(e2), atol=1e-6)
+
+    def test_distinct_patches_separate(self):
+        """Uniform-color patches must be far apart in embedding space
+        relative to same-color pairs (random-init discriminability)."""
+        import jax.numpy as jnp
+        from rtmodt_tpu.models.embedder import init_embedder
+
+        model, params = init_embedder((64, 32), embed_dim=64)
+        red = jnp.full((1, 64, 32, 3), 255.0).at[..., 1:].set(0.0)
+        green = jnp.full((1, 64, 32, 3), 255.0).at[..., ::2].set(0.0)
+        er = np.asarray(model.apply(params, red))[0]
+        eg = np.asarray(model.apply(params, green))[0]
+        assert float(er @ eg) < 0.95

@@ -81,6 +81,32 @@ class TestPipelineEndToEnd:
         assert pipe.profiler._frame_count == 14  # 3 chunks + 2-frame remainder
         assert "inference_mean_ms" in summary or pipe.profiler._frame_count > 0
 
+    def test_deepsort_fused_and_per_stage_agree(self, small_cfg):
+        """DeepSORT pipeline: the single fused XLA program (letterbox ->
+        YOLO -> NMS -> ROI crop -> embed -> associate) and the per-stage
+        path produce the same tracks."""
+        import dataclasses
+        from rtmodt_tpu.config.loader import DeepSortConfig
+        from rtmodt_tpu.runtime.pipeline import Pipeline
+
+        tr = dataclasses.replace(
+            small_cfg.tracking, algorithm="deepsort",
+            deepsort=DeepSortConfig(n_init=1, min_confidence=0.01,
+                                    max_tracks=32, embed_dim=32))
+        cfg_ps = dataclasses.replace(small_cfg, tracking=tr)
+        cfg_f = dataclasses.replace(
+            cfg_ps, profiling=dataclasses.replace(small_cfg.profiling,
+                                                  per_stage=False))
+        frame = np.random.default_rng(0).integers(0, 255, (160, 160, 3), np.uint8)
+        outs = []
+        for cfg in (cfg_ps, cfg_f):
+            pipe = Pipeline(cfg)
+            for fid in range(4):
+                tracks, _, _ = pipe.step(frame, fid, timestamp=fid / 30.0)
+            outs.append(sorted(t.track_id for t in tracks))
+        assert outs[0] == outs[1]
+        assert len(outs[0]) > 0
+
     def test_run_chunked_device_masks_event_parity(self, small_cfg, tmp_path):
         """``events.device_masks``: containment computed on device inside the
         chunked path yields the same event stream as the host path."""

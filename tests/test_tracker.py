@@ -98,10 +98,6 @@ class TestByteTrack:
             tracks = tr.update(dets([walk(box, t)], [0.9]))
         assert len(tracks[0].trail) == 5
 
-    def test_deepsort_raises(self):
-        with pytest.raises(NotImplementedError):
-            MultiObjectTracker("deepsort")
-
     def test_unknown_raises(self):
         with pytest.raises(ValueError):
             MultiObjectTracker("sort2000")
@@ -197,3 +193,139 @@ class TestDeviceHostParity:
         for t in range(3):
             tracks = tr.update(dets([box + 5 * t], [0.9]))
         np.testing.assert_allclose(tracks[0].xyxy, box + 10, atol=1e-4)
+
+
+class TestDeepSort:
+    """DeepSORT state machine on synthetic sequences (the reference only
+    declares deepsort config, default.yaml:53-60, and raises on dispatch)."""
+
+    def _update(self, state, boxes, conf, feats, cfg, cls=None):
+        import jax.numpy as jnp
+        from rtmodt_tpu.tracking.deepsort import deepsort_update
+
+        boxes = jnp.asarray(boxes, jnp.float32).reshape(-1, 4)
+        d = boxes.shape[0]
+        conf = jnp.asarray(conf, jnp.float32)
+        cls = jnp.zeros((d,), jnp.int32) if cls is None else jnp.asarray(cls, jnp.int32)
+        valid = jnp.ones((d,), bool)
+        feats = jnp.asarray(feats, jnp.float32)
+        return deepsort_update(state, boxes, conf, cls, valid, feats, cfg)
+
+    @staticmethod
+    def _unit(i, dim=8):
+        v = np.zeros(dim, np.float32)
+        v[i] = 1.0
+        return v
+
+    def _cfg(self, **kw):
+        from rtmodt_tpu.config.loader import DeepSortConfig
+        kw.setdefault("embed_dim", 8)
+        kw.setdefault("max_tracks", 16)
+        return DeepSortConfig(**kw)
+
+    def _state(self, cfg):
+        from rtmodt_tpu.tracking.deepsort import init_deepsort_state
+        return init_deepsort_state(cfg.max_tracks, cfg.embed_dim)
+
+    def test_n_init_confirmation(self):
+        """A track is emitted only after n_init consecutive matches."""
+        cfg = self._cfg(n_init=3)
+        st = self._state(cfg)
+        f = self._unit(0)
+        vis_counts = []
+        for t in range(5):
+            st, out = self._update(st, [[10 + t, 10, 90 + t, 200]], [0.9], [f], cfg)
+            vis_counts.append(int(np.sum(np.asarray(out.visible))))
+        assert vis_counts == [0, 0, 1, 1, 1]
+
+    def test_tentative_miss_deletes(self):
+        """An unconfirmed track that misses one frame dies immediately."""
+        cfg = self._cfg(n_init=3)
+        st = self._state(cfg)
+        f = self._unit(0)
+        st, _ = self._update(st, [[10, 10, 90, 200]], [0.9], [f], cfg)
+        assert int(np.sum(np.asarray(st.active))) == 1
+        # empty frame (conf below min_confidence -> ineligible)
+        st, _ = self._update(st, [[0, 0, 1, 1]], [0.0], [self._unit(1)], cfg)
+        assert int(np.sum(np.asarray(st.active))) == 0
+
+    def test_confirmed_survives_max_age(self):
+        """A confirmed track is retained through max_age misses, then dies."""
+        cfg = self._cfg(n_init=1, max_age=3)
+        st = self._state(cfg)
+        f = self._unit(0)
+        st, _ = self._update(st, [[10, 10, 90, 200]], [0.9], [f], cfg)
+        for _ in range(3):
+            st, _ = self._update(st, [[0, 0, 1, 1]], [0.0], [self._unit(1)], cfg)
+            assert int(np.sum(np.asarray(st.active))) == 1
+        st, _ = self._update(st, [[0, 0, 1, 1]], [0.0], [self._unit(1)], cfg)
+        assert int(np.sum(np.asarray(st.active))) == 0
+
+    def test_appearance_resolves_crossing(self):
+        """Two objects swap positions; appearance keeps IDs where IoU-only
+        association would swap them."""
+        cfg = self._cfg(n_init=1, max_dist=0.4, gate_distance=False)
+        st = self._state(cfg)
+        fa, fb = self._unit(0), self._unit(1)
+        a0, b0 = np.array([0, 0, 80, 120], np.float32), np.array([300, 0, 380, 120], np.float32)
+        ids = {}
+        for t in range(11):
+            lam = t / 10.0
+            a = a0 * (1 - lam) + b0 * lam       # a moves to b's start
+            b = b0 * (1 - lam) + a0 * lam       # b moves to a's start
+            st, out = self._update(st, [a, b], [0.9, 0.9], [fa, fb], cfg)
+            vis = np.where(np.asarray(out.visible))[0]
+            if t == 0:
+                boxes = np.asarray(out.boxes)[vis]
+                # map slot order to (a, b) by x-position
+                order = np.argsort(boxes[:, 0])
+                ids["a"], ids["b"] = (int(np.asarray(out.track_id)[vis][order[0]]),
+                                      int(np.asarray(out.track_id)[vis][order[1]]))
+        # after the full swap, appearance-id a is at b's start (right side)
+        boxes = np.asarray(out.boxes)[vis]
+        tids = np.asarray(out.track_id)[vis]
+        right = int(tids[np.argmax(boxes[:, 0])])
+        left = int(tids[np.argmin(boxes[:, 0])])
+        assert right == ids["a"] and left == ids["b"]
+
+    def test_min_confidence_filters(self):
+        cfg = self._cfg(n_init=1, min_confidence=0.5)
+        st = self._state(cfg)
+        st, out = self._update(st, [[10, 10, 90, 200]], [0.4], [self._unit(0)], cfg)
+        assert int(np.sum(np.asarray(st.active))) == 0
+
+    def test_facade_end_to_end(self):
+        """MultiObjectTracker('deepsort') on a frame: stable IDs, trails."""
+        tr = MultiObjectTracker("deepsort", deepsort={
+            "n_init": 2, "min_confidence": 0.3, "embed_dim": 32})
+        rng = np.random.default_rng(0)
+        frame = rng.integers(0, 255, (160, 160, 3), np.uint8)
+        frame[20:60, 20:50] = [255, 0, 0]
+        frame[90:130, 100:130] = [0, 255, 0]
+        seen = []
+        for t in range(5):
+            d = dets([[20 + t, 20, 50 + t, 60], [100, 90 + t, 130, 130 + t]],
+                     [0.9, 0.8])
+            tracks = tr.update(d, frame=frame)
+            seen.append(sorted(x.track_id for x in tracks))
+        assert seen[0] == []                    # tentative
+        assert all(s == seen[1] for s in seen[1:])
+        assert len(seen[1]) == 2
+        assert len(tracks[0].trail) == 4
+
+    def test_facade_requires_frame(self):
+        tr = MultiObjectTracker("deepsort", deepsort={"embed_dim": 32})
+        with pytest.raises(ValueError, match="frame"):
+            tr.update(dets([[0, 0, 10, 10]], [0.9]))
+
+    def test_state_roundtrip(self, tmp_path):
+        tr = MultiObjectTracker("deepsort", deepsort={"n_init": 1, "embed_dim": 32})
+        frame = np.random.default_rng(1).integers(0, 255, (120, 120, 3), np.uint8)
+        tr.update(dets([[10, 10, 60, 100]], [0.9]), frame=frame)
+        p = str(tmp_path / "ds_state.npz")
+        tr.save_state(p)
+        tr2 = MultiObjectTracker("deepsort", deepsort={"n_init": 1, "embed_dim": 32})
+        tr2.load_state(p)
+        a = tr.update(dets([[12, 12, 62, 102]], [0.9]), frame=frame)
+        b = tr2.update(dets([[12, 12, 62, 102]], [0.9]), frame=frame)
+        assert [x.track_id for x in a] == [x.track_id for x in b]
