@@ -64,6 +64,11 @@ class DetectionConfig:
     nms_impl: str = "fixpoint"          # fixpoint (XLA) | pallas (fused kernel)
     fuse_bn: bool = True                # fold BN into convs for inference
     half: bool = True                   # bf16 on TPU
+    quant: str = "none"                 # none | int8 (PTQ, v5e int8 MXU path;
+                                        # reference's TRT INT8 analog)
+    calib_frames: int = 4               # synthetic calibration batches at init;
+                                        # Detector.calibrate(frames) requantizes
+                                        # on real data
 
 
 @dataclass
@@ -266,6 +271,11 @@ def _validate(cfg: PipelineConfig) -> None:
         raise ValueError(f"detection.input_size must be a multiple of 32, got {d.input_size}")
     if d.max_detections > d.nms_candidates:
         raise ValueError("detection.max_detections cannot exceed detection.nms_candidates")
+    if d.quant not in ("none", "int8"):
+        raise ValueError(f"detection.quant must be none|int8, got {d.quant}")
+    if d.quant == "int8" and not d.fuse_bn:
+        raise ValueError("detection.quant=int8 requires detection.fuse_bn=true "
+                         "(quantization folds conv+BN+SiLU)")
     bt = cfg.tracking.bytetrack
     if bt.motion_model not in ("kalman", "none"):
         raise ValueError(f"tracking.bytetrack.motion_model must be kalman|none, got {bt.motion_model}")

@@ -114,6 +114,11 @@ class Detector:
                 jnp.asarray, fuse_bn(jax.device_get(self.params))))
             self.model = build_model(self.cfg.model, self.cfg.num_classes,
                                      dtype=dtype, fused=True)
+        if self.cfg.quant == "int8":
+            # PTQ on synthetic batches at init (reference exports a TRT INT8
+            # engine offline); call ``calibrate(frames)`` with real frames to
+            # re-derive activation scales from stream data
+            self._quantize(self._synthetic_calib_batches())
         if self.cfg.classes:
             mask = np.zeros((self.cfg.num_classes,), bool)
             mask[np.asarray(self.cfg.classes)] = True
@@ -150,6 +155,31 @@ class Detector:
             rng = jax.random.PRNGKey(0)
             variables = self.model.init(rng, jnp.zeros(shape, dtype), train=False)
         return jax.device_put(variables)
+
+    # -- quantization ------------------------------------------------------
+    def _synthetic_calib_batches(self) -> list[jnp.ndarray]:
+        rng = np.random.default_rng(0)
+        s = self.cfg.input_size
+        dtype = jnp.bfloat16 if self.cfg.half else jnp.float32
+        return [jnp.asarray(rng.random((1, s, s, 3), np.float32), dtype)
+                for _ in range(max(1, self.cfg.calib_frames))]
+
+    def _quantize(self, calib_batches) -> None:
+        from rtmodt_tpu.quant.ptq import quantize_model
+
+        base = getattr(self.model, "_model", self.model)   # idempotent requant
+        self.model = quantize_model(base, self.params, calib_batches)
+        self._jitted = {}
+
+    def calibrate(self, frames_bgr: list[np.ndarray]) -> None:
+        """Re-derive int8 activation scales from REAL frames (letterboxed the
+        same way inference does), replacing the synthetic-init calibration."""
+        if self.cfg.quant != "int8":
+            raise ValueError("calibrate() only applies with detection.quant=int8")
+        dtype = jnp.bfloat16 if self.cfg.half else jnp.float32
+        batches = [letterbox(jnp.asarray(f), self.cfg.input_size, dtype=dtype)[0][None]
+                   for f in frames_bgr]
+        self._quantize(batches)
 
     # -- inference -------------------------------------------------------
     def _get_step(self, h: int, w: int):
