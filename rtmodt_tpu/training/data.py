@@ -26,13 +26,20 @@ from rtmodt_tpu.utils.logging import logger
 
 @dataclass
 class AugConfig:
+    """Reference training.yaml:28-41 augmentation surface."""
+
     mosaic: float = 1.0
+    mixup: float = 0.15         # blend two mosaics (Beta(32,32) lambda)
+    copy_paste: float = 0.1     # paste GT box crops from a donor image
     fliplr: float = 0.5
+    flipud: float = 0.0
     hsv_h: float = 0.015
     hsv_s: float = 0.7
     hsv_v: float = 0.4
-    scale: float = 0.5          # random scale +- fraction (inside mosaic)
-    translate: float = 0.1
+    degrees: float = 5.0        # random-affine rotation (deg)
+    scale: float = 0.5          # random-affine scale +- fraction
+    shear: float = 2.0          # random-affine shear (deg)
+    translate: float = 0.1      # random-affine translation fraction
 
 
 class YoloDataset:
@@ -139,6 +146,91 @@ class YoloDataset:
             boxes -= np.array([jx, jy, jx, jy], np.float32)
         return crop, boxes, labels
 
+    def _random_affine(self, img, boxes, labels):
+        """Rotation/scale/shear/translate around the image center
+        (ultralytics-style post-mosaic affine), border filled 114."""
+        import cv2
+
+        a = self.aug
+        s = img.shape[0]
+        deg = self.rng.uniform(-a.degrees, a.degrees)
+        scale = 1.0 + self.rng.uniform(-a.scale, a.scale)
+        shx = np.tan(np.radians(self.rng.uniform(-a.shear, a.shear)))
+        shy = np.tan(np.radians(self.rng.uniform(-a.shear, a.shear)))
+        tx = self.rng.uniform(-a.translate, a.translate) * s
+        ty = self.rng.uniform(-a.translate, a.translate) * s
+
+        c, si = np.cos(np.radians(deg)) * scale, np.sin(np.radians(deg)) * scale
+        rot = np.array([[c, -si], [si, c]], np.float32)
+        sh = np.array([[1, shx], [shy, 1]], np.float32)
+        lin = rot @ sh
+        ctr = s / 2.0
+        off = np.array([ctr + tx, ctr + ty], np.float32) - lin @ np.array([ctr, ctr], np.float32)
+        m = np.concatenate([lin, off[:, None]], axis=1)     # (2, 3)
+        img = cv2.warpAffine(img, m, (s, s), borderValue=(114, 114, 114))
+        if len(boxes):
+            corners = boxes[:, [0, 1, 2, 1, 2, 3, 0, 3]].reshape(-1, 2)  # (4N, 2)
+            warped = corners @ lin.T + off
+            warped = warped.reshape(-1, 4, 2)
+            nb = np.concatenate([warped.min(axis=1), warped.max(axis=1)], axis=1)
+            nb = np.clip(nb, 0, s).astype(np.float32)
+            # candidate filter: survive if still a sane, mostly-visible box
+            w0 = boxes[:, 2] - boxes[:, 0]
+            h0 = boxes[:, 3] - boxes[:, 1]
+            w1 = nb[:, 2] - nb[:, 0]
+            h1 = nb[:, 3] - nb[:, 1]
+            keep = ((w1 > 2) & (h1 > 2)
+                    & (w1 * h1 / np.maximum(w0 * h0 * scale * scale, 1e-6) > 0.1)
+                    & (np.maximum(w1 / np.maximum(h1, 1e-6),
+                                  h1 / np.maximum(w1, 1e-6)) < 100))
+            boxes, labels = nb[keep], labels[keep]
+        return img, boxes, labels
+
+    def _copy_paste(self, img, boxes, labels):
+        """Paste up to 4 GT box crops from a random donor image at low-overlap
+        positions (bbox-level approximation of segment copy-paste)."""
+        donor_img, donor_boxes, donor_labels = self._load_raw(
+            int(self.rng.integers(len(self.items))))
+        if not len(donor_boxes):
+            return img, boxes, labels
+        s = img.shape[0]
+        new_boxes = list(boxes)
+        new_labels = list(labels)
+        order = self.rng.permutation(len(donor_boxes))[:4]
+        for i in order:
+            x1, y1, x2, y2 = donor_boxes[i].astype(int)
+            crop = donor_img[max(y1, 0):y2, max(x1, 0):x2]
+            ch, cw = crop.shape[:2]
+            if ch < 4 or cw < 4 or ch >= s or cw >= s:
+                continue
+            px = int(self.rng.integers(0, s - cw))
+            py = int(self.rng.integers(0, s - ch))
+            cand = np.array([px, py, px + cw, py + ch], np.float32)
+            # skip placements covering existing objects (>30% of their area)
+            occluded = False
+            for b in new_boxes:
+                ix = max(0.0, min(cand[2], b[2]) - max(cand[0], b[0]))
+                iy = max(0.0, min(cand[3], b[3]) - max(cand[1], b[1]))
+                area = max((b[2] - b[0]) * (b[3] - b[1]), 1e-6)
+                if ix * iy / area > 0.3:
+                    occluded = True
+                    break
+            if occluded:
+                continue
+            img[py:py + ch, px:px + cw] = crop
+            new_boxes.append(cand)
+            new_labels.append(donor_labels[i])
+        return (img,
+                np.asarray(new_boxes, np.float32).reshape(-1, 4),
+                np.asarray(new_labels, np.int32))
+
+    def _mosaic_sample(self):
+        """One fully spatially-augmented sample: mosaic -> copy_paste -> affine."""
+        img, boxes, labels = self._mosaic()
+        if self.rng.random() < self.aug.copy_paste:
+            img, boxes, labels = self._copy_paste(img, boxes, labels)
+        return self._random_affine(img, boxes, labels)
+
     def _hsv(self, img: np.ndarray) -> np.ndarray:
         import cv2
 
@@ -153,7 +245,15 @@ class YoloDataset:
     def sample(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         s = self.input_size
         if self.augment and self.rng.random() < self.aug.mosaic:
-            img, boxes, labels = self._mosaic()
+            img, boxes, labels = self._mosaic_sample()
+            if self.rng.random() < self.aug.mixup:
+                # blend a second augmented mosaic; union of both GT sets
+                img2, boxes2, labels2 = self._mosaic_sample()
+                lam = float(self.rng.beta(32.0, 32.0))
+                img = (img.astype(np.float32) * lam
+                       + img2.astype(np.float32) * (1 - lam)).astype(np.uint8)
+                boxes = np.concatenate([boxes, boxes2])
+                labels = np.concatenate([labels, labels2])
         else:
             img, boxes, labels = self._load_raw(self.rng.integers(len(self.items)))
             img, boxes = self._letterbox_sample(img, boxes)
@@ -163,6 +263,10 @@ class YoloDataset:
                 img = img[:, ::-1]
                 if len(boxes):
                     boxes[:, [0, 2]] = s - boxes[:, [2, 0]]
+            if self.rng.random() < self.aug.flipud:
+                img = img[::-1]
+                if len(boxes):
+                    boxes[:, [1, 3]] = s - boxes[:, [3, 1]]
         # clip + drop degenerate boxes
         if len(boxes):
             boxes = np.clip(boxes, 0, s)

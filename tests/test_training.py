@@ -154,3 +154,76 @@ class TestTrainStep:
         # params remain replicated; grads were all-reduced
         state, m2 = step(state, batch)
         assert float(m2["loss"]) < float(metrics["loss"]) * 1.5
+
+
+class TestDataAugmentation:
+    """YoloDataset augmentation invariants (mosaic/mixup/copy_paste/affine -
+    the reference's ultralytics aug surface, training.yaml:28-41)."""
+
+    @pytest.fixture(scope="class")
+    def ds_root(self, tmp_path_factory):
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from tools.download_dataset import make_synthetic
+
+        root = str(tmp_path_factory.mktemp("data") / "synth")
+        make_synthetic(root, n_train=6, n_val=2, h=96, w=128, n_objects=3, seed=0)
+        return root
+
+    def _ds(self, root, **aug_kw):
+        from rtmodt_tpu.training.data import AugConfig, YoloDataset
+
+        return YoloDataset(root, "train", input_size=96, max_boxes=32,
+                           augment=True, aug=AugConfig(**aug_kw), seed=1)
+
+    def test_sample_invariants_all_augs_on(self, ds_root):
+        """Boxes stay in-bounds, non-degenerate, labels aligned - across many
+        samples with every augmentation forced on."""
+        ds = self._ds(ds_root, mosaic=1.0, mixup=1.0, copy_paste=1.0,
+                      fliplr=0.5, flipud=0.5)
+        s = 96
+        for _ in range(20):
+            img, boxes, labels = ds.sample()
+            assert img.shape == (s, s, 3) and img.dtype == np.uint8
+            assert len(boxes) == len(labels)
+            if len(boxes):
+                assert boxes.min() >= 0 and boxes.max() <= s
+                assert np.all(boxes[:, 2] > boxes[:, 0])
+                assert np.all(boxes[:, 3] > boxes[:, 1])
+
+    def test_mixup_blends_two_scenes(self, ds_root):
+        """With mixup forced, GT is the union of two mosaics - expect more
+        boxes on average than without."""
+        n_mix = np.mean([len(self._ds(ds_root, mixup=1.0).sample()[1])
+                         for _ in range(8)])
+        n_plain = np.mean([len(self._ds(ds_root, mixup=0.0).sample()[1])
+                           for _ in range(8)])
+        assert n_mix > n_plain
+
+    def test_copy_paste_adds_objects(self, ds_root):
+        """copy_paste on an un-warped sample appends pasted GT boxes."""
+        ds = self._ds(ds_root)
+        img, boxes, labels = ds._load_raw(0)
+        img, boxes = ds._letterbox_sample(img, boxes)
+        n0 = len(boxes)
+        img2, boxes2, labels2 = ds._copy_paste(
+            img.copy(), boxes, np.zeros(n0, np.int32))
+        assert len(boxes2) >= n0
+        assert len(boxes2) == len(labels2)
+
+    def test_affine_identity_when_disabled(self, ds_root):
+        """degrees=scale=shear=translate=0 -> affine is the identity."""
+        ds = self._ds(ds_root, degrees=0.0, scale=0.0, shear=0.0, translate=0.0)
+        img, boxes, labels = ds._load_raw(0)
+        img, boxes = ds._letterbox_sample(img, boxes)
+        img2, boxes2, _ = ds._random_affine(
+            img.copy(), boxes.copy(), np.zeros(len(boxes), np.int32))
+        np.testing.assert_allclose(boxes2, boxes, atol=1e-3)
+        assert np.abs(img2.astype(int) - img.astype(int)).mean() < 1.0
+
+    def test_batch_shapes(self, ds_root):
+        ds = self._ds(ds_root, mixup=1.0, copy_paste=1.0)
+        b = ds.make_batch(2)
+        assert b.images.shape == (2, 96, 96, 3)
+        assert b.gt_boxes.shape == (2, 32, 4)
+        assert b.gt_mask.dtype == bool
