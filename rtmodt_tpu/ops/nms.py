@@ -118,7 +118,11 @@ def batched_nms_fixed(
     if impl == "pallas":
         from rtmodt_tpu.ops.pallas.nms_kernel import pallas_greedy_suppress
 
-        keep = pallas_greedy_suppress(offset_boxes, cand_scores, iou_thresh)
+        # pallas on the CPU backend only runs in interpret mode (the config
+        # is portable between TPU runs and CPU-mesh tests/CI)
+        interpret = jax.default_backend() == "cpu"
+        keep = pallas_greedy_suppress(offset_boxes, cand_scores, iou_thresh,
+                                      interpret=interpret)
     else:
         iou = pairwise_iou(offset_boxes, offset_boxes)
         keep = _greedy_suppress(iou, cand_scores, iou_thresh)

@@ -39,17 +39,19 @@ def _nms_kernel(boxes_ref, scores_ref, keep_ref, iou_scratch, *, iou_thresh: flo
     iou_scratch[:] = inter / (union + 1e-7)   # (K, K)
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
-    valid = scores > 0.0
+    valid = (scores > 0.0).astype(jnp.int32)
 
+    # keep is carried as int32 (Mosaic cannot truncate stores to i1;
+    # bool VMEM writes fail with 'Unsupported target bitwidth for truncation')
     def body(i, keep):
-        # keep (K, 1) bool; row i suppresses later overlapping rows if kept
-        alive = (jnp.sum(jnp.where(row_ids == i, keep & valid, False)) > 0)
+        # keep (K, 1) int32 0/1; row i suppresses later overlaps if kept
+        alive = (jnp.sum(jnp.where(row_ids == i, keep * valid, 0)) > 0)
         row = iou_scratch[pl.ds(i, 1), :].reshape(k, 1)       # iou[i, :] column-shaped
         suppress = (row > iou_thresh) & (row_ids > i)
-        return jnp.where(alive & suppress, False, keep)
+        return jnp.where(alive & suppress, 0, keep)
 
-    keep = jax.lax.fori_loop(0, k, body, jnp.ones((k, 1), dtype=bool))
-    keep_ref[:] = keep & valid
+    keep = jax.lax.fori_loop(0, k, body, jnp.ones((k, 1), jnp.int32))
+    keep_ref[:] = keep * valid
 
 
 @functools.partial(jax.jit, static_argnames=("iou_thresh", "interpret"))
@@ -59,13 +61,13 @@ def pallas_greedy_suppress(boxes: jnp.ndarray, scores: jnp.ndarray,
     k = boxes.shape[0]
     keep = pl.pallas_call(
         functools.partial(_nms_kernel, iou_thresh=iou_thresh),
-        out_shape=jax.ShapeDtypeStruct((k, 1), jnp.bool_),
+        out_shape=jax.ShapeDtypeStruct((k, 1), jnp.int32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((k, k), jnp.float32)],
         interpret=interpret,
     )(boxes.astype(jnp.float32), scores.astype(jnp.float32).reshape(k, 1))
-    return keep[:, 0]
+    return keep[:, 0] != 0

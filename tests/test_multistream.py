@@ -95,3 +95,33 @@ class TestMeshHelpers:
 
         with pytest.raises(ValueError):
             create_mesh(99)
+
+    def test_hybrid_mesh_single_process(self):
+        """Single-process fallback: (1, N) mesh with uniform axis names and a
+        batch sharded over both axes lands one shard per device."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.sharding import PartitionSpec as P
+        from rtmodt_tpu.parallel.mesh import create_hybrid_mesh, global_batch_spec
+
+        mesh = create_hybrid_mesh()
+        assert mesh.axis_names == ("host", "data")
+        assert mesh.devices.shape == (1, jax.device_count())
+        batch = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+        sharded = jax.device_put(batch, global_batch_spec(mesh))
+        assert len(sharded.addressable_shards) == jax.device_count()
+
+        @jax.jit
+        def total(x):
+            return jnp.sum(x)
+
+        assert float(total(sharded)) == float(batch.sum())
+
+    def test_init_distributed_noop_single_host(self):
+        """Without a coordinator configured, init is a no-op returning False."""
+        import os
+        from rtmodt_tpu.parallel.mesh import init_distributed
+
+        assert "JAX_COORDINATOR_ADDRESS" not in os.environ
+        assert init_distributed() is False
