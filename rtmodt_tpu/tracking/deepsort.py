@@ -50,7 +50,7 @@ class DeepSortState(NamedTuple):
     active: jnp.ndarray      # (S,) bool
     boxes: jnp.ndarray       # (S, 4) f32 current xyxy estimate
     kf_mean: jnp.ndarray     # (S, 8) f32
-    kf_cov: jnp.ndarray      # (S, 8, 8) f32
+    kf_cov: jnp.ndarray      # (S, 4, 3) f32 packed 2x2 blocks (see ops/kalman.py)
     track_id: jnp.ndarray    # (S,) i32
     class_id: jnp.ndarray    # (S,) i32
     confidence: jnp.ndarray  # (S,) f32
@@ -66,7 +66,7 @@ def init_deepsort_state(max_tracks: int = 256, embed_dim: int = 128) -> DeepSort
         active=jnp.zeros((s,), bool),
         boxes=jnp.zeros((s, 4), jnp.float32),
         kf_mean=jnp.zeros((s, 8), jnp.float32),
-        kf_cov=jnp.zeros((s, 8, 8), jnp.float32),
+        kf_cov=jnp.zeros(kf.cov_shape(s), jnp.float32),
         track_id=jnp.zeros((s,), jnp.int32),
         class_id=jnp.full((s,), -1, jnp.int32),
         confidence=jnp.zeros((s,), jnp.float32),
