@@ -25,7 +25,7 @@ import numpy as np
 from rtmodt_tpu.config.loader import DetectionConfig
 from rtmodt_tpu.models.yolov8 import build_model, decode_predictions
 from rtmodt_tpu.ops.letterbox import letterbox, unletterbox_boxes
-from rtmodt_tpu.ops.nms import batched_nms_fixed, NMSResult
+from rtmodt_tpu.ops.nms import batched_nms_fixed, batched_nms_from_logits, NMSResult
 from rtmodt_tpu.utils.coco_names import COCO_NAMES
 from rtmodt_tpu.utils.logging import logger
 
@@ -78,9 +78,10 @@ def detect_fn(
     dtype = jnp.bfloat16 if cfg.half else jnp.float32
     img, meta = letterbox(frame_u8, cfg.input_size, dtype=dtype)
     box_dist, cls_logits = model.apply(params, img[None], train=False)
-    boxes, scores = decode_predictions(box_dist, cls_logits, cfg.input_size)
-    res = batched_nms_fixed(
-        boxes[0], scores[0],
+    # decode-after-topk: candidate selection in logit space, DFL decode only
+    # for the survivors (bit-identical to decode_predictions + fixed NMS)
+    res = batched_nms_from_logits(
+        box_dist[0], cls_logits[0], cfg.input_size,
         conf_thresh=cfg.conf_threshold,
         iou_thresh=cfg.iou_threshold,
         max_det=cfg.max_detections,

@@ -74,6 +74,68 @@ def _greedy_suppress(iou: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float) -
     return keep
 
 
+def batched_nms_from_logits(
+    box_dist: jnp.ndarray,
+    cls_logits: jnp.ndarray,
+    input_size: int,
+    conf_thresh: float,
+    iou_thresh: float,
+    max_det: int = 100,
+    num_candidates: int = 300,
+    class_mask: jnp.ndarray | None = None,
+    agnostic: bool = False,
+    impl: str = "fixpoint",
+) -> NMSResult:
+    """Class-aware NMS straight from the RAW head outputs - decode-after-topk.
+
+    Equivalent to ``decode_predictions`` + ``batched_nms_fixed`` but picks the
+    ``num_candidates`` survivors FIRST and only then runs the expensive DFL
+    decode on those rows.  Sigmoid is strictly monotonic, so per-anchor class
+    argmax, the confidence gate, and top-k are all done in LOGIT space with no
+    semantic change; the full-grid sigmoid over (A, C) scores and the DFL
+    softmax over all A anchors - together the dominant elementwise cost of
+    the fused detect step (trace: ~40% of post-Kalman device time) - shrink
+    to the candidate pool (28x fewer anchors at the default 300/8400).
+
+    Args:
+      box_dist: (A, 4*REG_MAX) raw DFL distributions from the head.
+      cls_logits: (A, C) raw class logits (pre-sigmoid).
+    """
+    import numpy as np
+
+    from rtmodt_tpu.models.yolov8 import REG_MAX, make_anchors
+
+    f32 = jnp.float32
+    logits = cls_logits.astype(f32)
+    if class_mask is not None:
+        logits = jnp.where(class_mask[None, :], logits, -1e9)
+
+    best_logit = jnp.max(logits, axis=-1)              # (A,)
+    best_class = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    # sigmoid(x) >= t  <=>  x >= log(t / (1-t))
+    t = min(max(float(conf_thresh), 1e-9), 1.0 - 1e-9)
+    logit_thresh = float(np.log(t / (1.0 - t)))
+    gate = best_logit >= logit_thresh
+    gated = jnp.where(gate, best_logit, -1e9)
+
+    k = min(num_candidates, cls_logits.shape[0])
+    top_logits, top_idx = jax.lax.top_k(gated, k)      # sorted desc
+    cand_valid = top_logits > -1e8
+    cand_scores = jnp.where(cand_valid, jax.nn.sigmoid(top_logits), 0.0)
+    cand_classes = best_class[top_idx]
+
+    # DFL decode for the candidate rows only
+    anchors, strides = make_anchors(input_size)        # (A, 2), (A, 1)
+    cd = box_dist[top_idx].astype(f32).reshape(k, 4, REG_MAX)
+    bins = jnp.arange(REG_MAX, dtype=f32)
+    ltrb = jnp.sum(jax.nn.softmax(cd, axis=-1) * bins, axis=-1) * strides[top_idx]
+    a = anchors[top_idx]
+    cand_boxes = jnp.concatenate([a - ltrb[:, :2], a + ltrb[:, 2:]], axis=-1)
+
+    return _suppress_and_pack(cand_boxes, cand_scores, cand_classes,
+                              iou_thresh, max_det, k, agnostic, impl)
+
+
 def batched_nms_fixed(
     boxes: jnp.ndarray,
     class_scores: jnp.ndarray,
@@ -110,6 +172,22 @@ def batched_nms_fixed(
     cand_classes = best_class[top_idx]
     cand_scores = jnp.where(top_scores > 0.0, top_scores, 0.0)
 
+    return _suppress_and_pack(cand_boxes, cand_scores, cand_classes,
+                              iou_thresh, max_det, k, agnostic, impl)
+
+
+def _suppress_and_pack(
+    cand_boxes: jnp.ndarray,
+    cand_scores: jnp.ndarray,
+    cand_classes: jnp.ndarray,
+    iou_thresh: float,
+    max_det: int,
+    k: int,
+    agnostic: bool,
+    impl: str,
+) -> NMSResult:
+    """Shared tail: class-offset suppression + static max_det packing."""
+    f32 = jnp.float32
     if agnostic:
         offset_boxes = cand_boxes
     else:

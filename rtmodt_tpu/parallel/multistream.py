@@ -27,9 +27,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rtmodt_tpu.config.loader import PipelineConfig
 from rtmodt_tpu.detection.detector import Detector
-from rtmodt_tpu.models.yolov8 import decode_predictions
 from rtmodt_tpu.ops.letterbox import letterbox, unletterbox_boxes
-from rtmodt_tpu.ops.nms import batched_nms_fixed
+from rtmodt_tpu.ops.nms import batched_nms_from_logits
 from rtmodt_tpu.tracking.bytetrack import (
     TrackState,
     bytetrack_update,
@@ -80,9 +79,9 @@ class MultiStreamPipeline:
         dtype = jnp.bfloat16 if dcfg.half else jnp.float32
         img, meta = letterbox(frame_u8, dcfg.input_size, dtype=dtype)
         box_dist, cls_logits = self.detector.model.apply(params, img[None], train=False)
-        boxes, scores = decode_predictions(box_dist, cls_logits, dcfg.input_size)
-        res = batched_nms_fixed(
-            boxes[0], scores[0], dcfg.conf_threshold, dcfg.iou_threshold,
+        res = batched_nms_from_logits(
+            box_dist[0], cls_logits[0], dcfg.input_size,
+            dcfg.conf_threshold, dcfg.iou_threshold,
             dcfg.max_detections, dcfg.nms_candidates,
             self.detector._class_mask, dcfg.agnostic_nms, impl=dcfg.nms_impl)
         res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
@@ -142,7 +141,6 @@ class MultiStreamPipeline:
         key = ("packed", src_h, src_w, t)
         if key in self._jitted:
             return self._jitted[key]
-        from rtmodt_tpu.models.yolov8 import decode_predictions as _decode
         from rtmodt_tpu.ops.letterbox import letterbox_meta
         from rtmodt_tpu.ops.planar_stem import pad_planes, planar_stem_apply
         from rtmodt_tpu.ops.yuv import content_dims
@@ -172,16 +170,15 @@ class MultiStreamPipeline:
             feats = planar_stem_apply(params["params"]["stem"], stem_stats,
                                       yp, up, vp, dtype=dtype)
             bd, cl = model.apply(params, feats, train=False, skip_stem=True)
-            boxes, scores = _decode(bd, cl, size)
 
-            def one_nms(b, sc):
-                res = batched_nms_fixed(
-                    b, sc, dcfg.conf_threshold, dcfg.iou_threshold,
+            def one_nms(bdi, cli):
+                res = batched_nms_from_logits(
+                    bdi, cli, size, dcfg.conf_threshold, dcfg.iou_threshold,
                     dcfg.max_detections, dcfg.nms_candidates, class_mask,
                     dcfg.agnostic_nms, impl=dcfg.nms_impl)
                 return res._replace(boxes=unletterbox_boxes(res.boxes, meta))
 
-            ress = jax.vmap(one_nms)(boxes, scores)
+            ress = jax.vmap(one_nms)(bd, cl)
             ress = jax.tree.map(
                 lambda a: a.reshape(t, s_streams, *a.shape[1:]), ress)
 

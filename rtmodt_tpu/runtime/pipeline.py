@@ -35,9 +35,8 @@ import numpy as np
 from rtmodt_tpu.config.loader import PipelineConfig
 from rtmodt_tpu.detection.detector import Detector
 from rtmodt_tpu.events.zone_engine import ZoneEventEngine
-from rtmodt_tpu.models.yolov8 import decode_predictions
 from rtmodt_tpu.ops.letterbox import letterbox, unletterbox_boxes
-from rtmodt_tpu.ops.nms import batched_nms_fixed
+from rtmodt_tpu.ops.nms import batched_nms_fixed, batched_nms_from_logits
 from rtmodt_tpu.profiling.latency_profiler import LatencyProfiler
 from rtmodt_tpu.tracking.bytetrack import bytetrack_update, init_track_state
 from rtmodt_tpu.tracking.tracker import MultiObjectTracker
@@ -131,9 +130,9 @@ class Pipeline:
         @jax.jit
         def nms_fn(raw):
             box_dist, cls_logits = raw
-            boxes, scores = decode_predictions(box_dist, cls_logits, dcfg.input_size)
-            res = batched_nms_fixed(
-                boxes[0], scores[0], dcfg.conf_threshold, dcfg.iou_threshold,
+            res = batched_nms_from_logits(
+                box_dist[0], cls_logits[0], dcfg.input_size,
+                dcfg.conf_threshold, dcfg.iou_threshold,
                 dcfg.max_detections, dcfg.nms_candidates, class_mask, dcfg.agnostic_nms,
                 impl=dcfg.nms_impl,
             )
@@ -168,9 +167,9 @@ class Pipeline:
         def step_fn(params, state, frame_u8):
             img, meta = letterbox(frame_u8, dcfg.input_size, dtype=dtype)
             box_dist, cls_logits = model.apply(params, img[None], train=False)
-            boxes, scores = decode_predictions(box_dist, cls_logits, dcfg.input_size)
-            res = batched_nms_fixed(
-                boxes[0], scores[0], dcfg.conf_threshold, dcfg.iou_threshold,
+            res = batched_nms_from_logits(
+                box_dist[0], cls_logits[0], dcfg.input_size,
+                dcfg.conf_threshold, dcfg.iou_threshold,
                 dcfg.max_detections, dcfg.nms_candidates, class_mask,
                 dcfg.agnostic_nms, impl=dcfg.nms_impl,
             )
@@ -203,9 +202,9 @@ class Pipeline:
         def step_fn(params, state, frame_u8):
             img, meta = letterbox(frame_u8, dcfg.input_size, dtype=dtype)
             box_dist, cls_logits = model.apply(params, img[None], train=False)
-            boxes, scores = decode_predictions(box_dist, cls_logits, dcfg.input_size)
-            res = batched_nms_fixed(
-                boxes[0], scores[0], dcfg.conf_threshold, dcfg.iou_threshold,
+            res = batched_nms_from_logits(
+                box_dist[0], cls_logits[0], dcfg.input_size,
+                dcfg.conf_threshold, dcfg.iou_threshold,
                 dcfg.max_detections, dcfg.nms_candidates, class_mask, dcfg.agnostic_nms,
                 impl=dcfg.nms_impl,
             )
@@ -252,9 +251,9 @@ class Pipeline:
                                       yp, up, vp, dtype=dtype)
             box_dist, cls_logits = model.apply(params, feats, train=False,
                                                skip_stem=True)
-            boxes, scores = decode_predictions(box_dist, cls_logits, size)
-            res = batched_nms_fixed(
-                boxes[0], scores[0], dcfg.conf_threshold, dcfg.iou_threshold,
+            res = batched_nms_from_logits(
+                box_dist[0], cls_logits[0], size,
+                dcfg.conf_threshold, dcfg.iou_threshold,
                 dcfg.max_detections, dcfg.nms_candidates, class_mask,
                 dcfg.agnostic_nms, impl=dcfg.nms_impl)
             res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
@@ -313,9 +312,9 @@ class Pipeline:
             def body(st, frame_u8):
                 img, meta = letterbox(frame_u8, dcfg.input_size, dtype=dtype)
                 box_dist, cls_logits = model.apply(params, img[None], train=False)
-                boxes, scores = decode_predictions(box_dist, cls_logits, dcfg.input_size)
-                res = batched_nms_fixed(
-                    boxes[0], scores[0], dcfg.conf_threshold, dcfg.iou_threshold,
+                res = batched_nms_from_logits(
+                    box_dist[0], cls_logits[0], dcfg.input_size,
+                    dcfg.conf_threshold, dcfg.iou_threshold,
                     dcfg.max_detections, dcfg.nms_candidates, class_mask,
                     dcfg.agnostic_nms, impl=dcfg.nms_impl,
                 )
@@ -373,16 +372,15 @@ class Pipeline:
                 params["params"]["stem"], stem_stats, yp, up, vp, dtype=dtype)
             box_dist, cls_logits = model.apply(params, feats, train=False,
                                                skip_stem=True)
-            boxes, scores = decode_predictions(box_dist, cls_logits, size)
 
-            def one_nms(b, s):
-                res = batched_nms_fixed(
-                    b, s, dcfg.conf_threshold, dcfg.iou_threshold,
+            def one_nms(bd, cl):
+                res = batched_nms_from_logits(
+                    bd, cl, size, dcfg.conf_threshold, dcfg.iou_threshold,
                     dcfg.max_detections, dcfg.nms_candidates, class_mask,
                     dcfg.agnostic_nms, impl=dcfg.nms_impl)
                 return res._replace(boxes=unletterbox_boxes(res.boxes, meta))
 
-            ress = jax.vmap(one_nms)(boxes, scores)   # parallel across frames
+            ress = jax.vmap(one_nms)(box_dist, cls_logits)   # parallel across frames
 
             def body(st, res):
                 st, outputs = bytetrack_update(

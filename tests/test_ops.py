@@ -453,3 +453,44 @@ class TestEmbedder:
         er = np.asarray(model.apply(params, red))[0]
         eg = np.asarray(model.apply(params, green))[0]
         assert float(er @ eg) < 0.95
+
+
+class TestNmsFromLogits:
+    def test_bit_identical_to_decode_then_fixed(self):
+        """Decode-after-topk (logit-space selection + candidate-only DFL
+        decode) must reproduce decode_predictions + batched_nms_fixed
+        exactly - sigmoid/softmax monotonicity makes the paths equivalent."""
+        import jax.numpy as jnp
+        from rtmodt_tpu.models.yolov8 import decode_predictions
+        from rtmodt_tpu.ops.nms import batched_nms_fixed, batched_nms_from_logits
+
+        rng = np.random.default_rng(0)
+        A, C, R = 2100, 80, 16
+        bd = jnp.asarray(rng.normal(0, 2, (1, A, 4 * R)), jnp.float32)
+        cl = jnp.asarray(rng.normal(-4, 2, (1, A, C)), jnp.float32)
+        mask = np.zeros(C, bool)
+        mask[[0, 1, 2, 3, 5, 7]] = True
+        boxes, scores = decode_predictions(bd, cl, 320)
+        for cm, agnostic in ((jnp.asarray(mask), False), (None, True), (None, False)):
+            r1 = batched_nms_fixed(boxes[0], scores[0], 0.35, 0.45, 50, 150,
+                                   cm, agnostic)
+            r2 = batched_nms_from_logits(bd[0], cl[0], 320, 0.35, 0.45, 50, 150,
+                                         cm, agnostic)
+            assert int(r1.count) == int(r2.count)
+            n = int(r1.count)
+            np.testing.assert_array_equal(np.asarray(r1.classes[:n]),
+                                          np.asarray(r2.classes[:n]))
+            np.testing.assert_allclose(np.asarray(r1.boxes[:n]),
+                                       np.asarray(r2.boxes[:n]), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(r1.scores[:n]),
+                                       np.asarray(r2.scores[:n]), atol=1e-6)
+
+    def test_empty_when_all_below_threshold(self):
+        import jax.numpy as jnp
+        from rtmodt_tpu.ops.nms import batched_nms_from_logits
+
+        bd = jnp.zeros((2100, 64), jnp.float32)
+        cl = jnp.full((2100, 80), -20.0, jnp.float32)   # sigmoid ~ 2e-9
+        r = batched_nms_from_logits(bd, cl, 320, 0.35, 0.45, 50, 150, None, False)
+        assert int(r.count) == 0
+        assert not bool(np.any(np.asarray(r.valid)))
