@@ -54,3 +54,28 @@ def crop_and_resize(
         return top + (bot - top) * wy[..., None]
 
     return jax.vmap(one)(boxes.astype(jnp.float32))
+
+
+def crop_yuv_rgb(
+    y: jnp.ndarray,            # (H, W) luma plane
+    u: jnp.ndarray,            # (H/2, W/2) chroma
+    v: jnp.ndarray,            # (H/2, W/2) chroma
+    boxes: jnp.ndarray,        # (D, 4) xyxy in LUMA-plane coordinates
+    crop_hw: tuple[int, int],
+) -> jnp.ndarray:
+    """ROI crops straight from planar I420 -> (D, h, w, 3) RGB in [0, 255].
+
+    The chunked transport path never materializes an RGB frame (the planar
+    stem consumes Y/U/V directly, ops/planar_stem.py); DeepSORT's appearance
+    crops are the one consumer that needs RGB - so the color conversion is
+    done per-CROP here (D*h*w pixels) instead of per-frame.  Chroma is
+    sampled at half coordinates (bilinear resize doubles as the 2x chroma
+    upsample); full-range BT.601 matching ``ops.yuv``.
+    """
+    cy = crop_and_resize(y[..., None], boxes, crop_hw)[..., 0]
+    cu = crop_and_resize(u[..., None], boxes * 0.5, crop_hw)[..., 0] - 128.0
+    cv = crop_and_resize(v[..., None], boxes * 0.5, crop_hw)[..., 0] - 128.0
+    r = cy + 1.403 * cv
+    g = cy - 0.344 * cu - 0.714 * cv
+    b = cy + 1.773 * cu
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)

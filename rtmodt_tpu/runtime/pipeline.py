@@ -393,6 +393,75 @@ class Pipeline:
         self._chunk_fns[key] = chunk_fn
         return chunk_fn
 
+    def _packed_chunk_deepsort_for(self, src_h: int, src_w: int, k: int):
+        """DeepSORT twin of ``_packed_chunk_for``: same batched planar
+        detection, plus per-frame ROI crops taken DIRECTLY from the Y/U/V
+        planes (``ops.roi.crop_yuv_rgb`` - color conversion happens per crop,
+        the RGB frame never exists) feeding the appearance embedder; the
+        DeepSORT update is the only sequential part."""
+        key = ("i420_deepsort", src_h, src_w, k)
+        if key in self._chunk_fns:
+            return self._chunk_fns[key]
+        from rtmodt_tpu.ops.letterbox import letterbox_meta
+        from rtmodt_tpu.ops.planar_stem import pad_planes, planar_stem_apply
+        from rtmodt_tpu.ops.roi import crop_yuv_rgb
+        from rtmodt_tpu.ops.yuv import content_dims
+        from rtmodt_tpu.tracking.deepsort import deepsort_update
+
+        dcfg = self.cfg.detection
+        dscfg = self.cfg.tracking.deepsort
+        dtype = jnp.bfloat16 if dcfg.half else jnp.float32
+        model = self.detector.model
+        class_mask = self.detector._class_mask
+        embedder = self.tracker.embedder
+        emb_params = self.tracker.embedder_params
+        crop_hw = tuple(dscfg.crop_hw)
+        donate = (1,) if self.cfg.parallel.donate_state else ()
+        size = dcfg.input_size
+        ch, cw = content_dims(src_h, src_w, size)
+        pad_left = (int(round((size - cw) / 2 - 0.1)) // 2) * 2
+        pad_top = (int(round((size - ch) / 2 - 0.1)) // 2) * 2
+        meta = letterbox_meta(src_h, src_w, size)._replace(
+            scale=min(ch / src_h, cw / src_w), pad_left=pad_left,
+            pad_top=pad_top, new_w=cw, new_h=ch)
+
+        @partial(jax.jit, donate_argnums=donate)
+        def chunk_fn(params, state, y, u, v):
+            yp, up, vp = pad_planes(y, u, v, size, pad_left, pad_top)
+            stem_stats = (params["batch_stats"]["stem"]
+                          if "batch_stats" in params else None)
+            feats_in = planar_stem_apply(
+                params["params"]["stem"], stem_stats, yp, up, vp, dtype=dtype)
+            box_dist, cls_logits = model.apply(params, feats_in, train=False,
+                                               skip_stem=True)
+
+            def per_frame(bd, cl, ypi, upi, vpi):
+                res_lb = batched_nms_from_logits(
+                    bd, cl, size, dcfg.conf_threshold, dcfg.iou_threshold,
+                    dcfg.max_detections, dcfg.nms_candidates, class_mask,
+                    dcfg.agnostic_nms, impl=dcfg.nms_impl)
+                crops = crop_yuv_rgb(ypi.astype(jnp.float32),
+                                     upi.astype(jnp.float32),
+                                     vpi.astype(jnp.float32),
+                                     res_lb.boxes, crop_hw)
+                emb = embedder.apply(emb_params, crops)
+                res = res_lb._replace(boxes=unletterbox_boxes(res_lb.boxes, meta))
+                return res, emb
+
+            ress, embs = jax.vmap(per_frame)(box_dist, cls_logits, yp, up, vp)
+
+            def body(st, xs):
+                res, emb = xs
+                st, outputs = deepsort_update(
+                    st, res.boxes, res.scores, res.classes, res.valid, emb, dscfg)
+                return st, outputs
+
+            state, outs = jax.lax.scan(body, state, (ress, embs))
+            return state, outs, ress
+
+        self._chunk_fns[key] = chunk_fn
+        return chunk_fn
+
     def submit_chunk_packed(self, frames_bgr: np.ndarray):
         """Pack a (K, H, W, 3) BGR chunk to planar I420 on host, async-submit."""
         from rtmodt_tpu.ops.yuv import pack_i420_planar
@@ -410,7 +479,9 @@ class Pipeline:
         """Async-submit packed planar I420: (y (K,ch,cw), u, v) uint8."""
         y, u, v = planes
         k = y.shape[0]
-        chunk_fn = self._packed_chunk_for(src_h, src_w, k)
+        chunk_fn = (self._packed_chunk_deepsort_for(src_h, src_w, k)
+                    if self._is_deepsort
+                    else self._packed_chunk_for(src_h, src_w, k))
         self.tracker.state, outs, ress = chunk_fn(
             self.detector.params, self.tracker.state,
             jax.device_put(y), jax.device_put(u), jax.device_put(v))
@@ -672,10 +743,9 @@ class Pipeline:
 
         if (self.cfg.parallel.chunk_size > 1 and not display
                 and not self.cfg.visualization.save_video
-                and self.renderer is None and self.tracker._host is None
-                and not self._is_deepsort):
-            # (deepsort runs per-frame fused; its chunked/planar variant needs
-            #  an RGB image for ROI crops, which the planar path never forms)
+                and self.renderer is None and self.tracker._host is None):
+            # (deepsort included: its chunk program takes appearance crops
+            #  straight from the Y/U/V planes, ops/roi.py::crop_yuv_rgb)
             return self.run_chunked(source, max_frames)
 
         icfg = self.cfg.ingestion

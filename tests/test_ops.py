@@ -494,3 +494,31 @@ class TestNmsFromLogits:
         r = batched_nms_from_logits(bd, cl, 320, 0.35, 0.45, 50, 150, None, False)
         assert int(r.count) == 0
         assert not bool(np.any(np.asarray(r.valid)))
+
+
+class TestCropYuvRgb:
+    def test_matches_cv2_oracle_within_chroma_loss(self):
+        """Per-ROI I420->RGB crops vs cv2 crop+resize of the original RGB:
+        error bounded by 4:2:0 chroma subsampling loss."""
+        import cv2
+        import jax.numpy as jnp
+        from rtmodt_tpu.ops.roi import crop_yuv_rgb
+
+        rng = np.random.default_rng(0)
+        bgr = cv2.GaussianBlur(
+            rng.integers(0, 255, (120, 160, 3), np.uint8), (7, 7), 3)
+        h, w = 120, 160
+        yuv = cv2.cvtColor(bgr, cv2.COLOR_BGR2YUV_I420)
+        y = yuv[:h]
+        u = yuv[h:h + h // 4].reshape(h // 2, w // 2)
+        v = yuv[h + h // 4:].reshape(h // 2, w // 2)
+        box = np.array([[16, 24, 80, 104]], np.float32)
+        got = np.asarray(crop_yuv_rgb(
+            jnp.asarray(y, jnp.float32), jnp.asarray(u, jnp.float32),
+            jnp.asarray(v, jnp.float32), jnp.asarray(box), (40, 32)))[0]
+        want = cv2.resize(
+            cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)[24:104, 16:80].astype(np.float32),
+            (32, 40), interpolation=cv2.INTER_LINEAR)
+        err = np.abs(got - want)
+        assert err.mean() < 5.0 and np.percentile(err, 99) < 20.0
+        assert got.min() >= 0.0 and got.max() <= 255.0

@@ -107,6 +107,37 @@ class TestPipelineEndToEnd:
         assert outs[0] == outs[1]
         assert len(outs[0]) > 0
 
+    def test_deepsort_chunked_run(self, small_cfg, tmp_path):
+        """DeepSORT through the chunked planar path: appearance crops come
+        straight from the Y/U/V planes (crop_yuv_rgb); every frame gets
+        tracked and event-processed."""
+        import dataclasses
+        from rtmodt_tpu.config.loader import DeepSortConfig
+        from rtmodt_tpu.runtime.pipeline import Pipeline
+        from rtmodt_tpu.utils.synthetic import write_synthetic_video
+
+        video = str(tmp_path / "synth_ds.mp4")
+        write_synthetic_video(video, frames=12, h=160, w=160, n_objects=2)
+        cfg = dataclasses.replace(
+            small_cfg,
+            tracking=dataclasses.replace(
+                small_cfg.tracking, algorithm="deepsort",
+                deepsort=DeepSortConfig(n_init=1, min_confidence=0.01,
+                                        max_tracks=32, embed_dim=32)),
+            visualization=dataclasses.replace(small_cfg.visualization,
+                                              enabled=False),
+            parallel=dataclasses.replace(small_cfg.parallel, chunk_size=4,
+                                         pipeline_depth=1),
+            events=dataclasses.replace(
+                small_cfg.events,
+                alert=dataclasses.replace(small_cfg.events.alert,
+                                          log_path=str(tmp_path / "ds_ev.jsonl"))),
+        )
+        pipe = Pipeline(cfg)
+        pipe.run(source=video)
+        assert pipe.profiler._frame_count == 12
+        assert (tmp_path / "ds_ev.jsonl").exists()   # tracks produced events
+
     def test_run_chunked_device_masks_event_parity(self, small_cfg, tmp_path):
         """``events.device_masks``: containment computed on device inside the
         chunked path yields the same event stream as the host path."""
