@@ -409,6 +409,40 @@ class TestTrackerQuality:
         assert r["mota"] > 0.95, r
         assert r["num_switches"] == 0, r
 
+    def test_deepsort_idf1_on_synthetic_gt(self, tmp_path):
+        """Same quality loop through the DeepSORT tracker: jittered GT boxes
+        + rendered frames (appearance crops) -> near-perfect IDF1/MOTA.
+        n_init delays each track's first n_init-1 frames, so MOTA counts
+        those as misses - the threshold accounts for it."""
+        from rtmodt_tpu.detection.detector import Detections
+        from rtmodt_tpu.evaluation.metrics import evaluate_tracking
+        from rtmodt_tpu.tracking.tracker import MultiObjectTracker
+        from rtmodt_tpu.utils.synthetic import moving_boxes_frame
+
+        rng = np.random.default_rng(0)
+        tracker = MultiObjectTracker("deepsort", deepsort={
+            "n_init": 2, "min_confidence": 0.3, "embed_dim": 32,
+            "max_iou_distance": 0.7})
+        gt_path = str(tmp_path / "gt.txt")
+        pred_path = str(tmp_path / "pred.txt")
+        with open(gt_path, "w") as g, open(pred_path, "w") as p:
+            for f in range(1, 41):
+                frame, boxes = moving_boxes_frame(f, 720, 1280, n_objects=4)
+                for oi, b in enumerate(boxes):
+                    g.write(f"{f},{oi+1},{b[0]:.1f},{b[1]:.1f},"
+                            f"{b[2]-b[0]:.1f},{b[3]-b[1]:.1f},1,-1,-1,-1\n")
+                jit = boxes + rng.normal(0, 1.0, boxes.shape).astype(np.float32)
+                dets = Detections(jit, np.full(len(jit), 0.9, np.float32),
+                                  np.zeros(len(jit), np.int32))
+                for t in tracker.update(dets, frame=frame):
+                    x1, y1, x2, y2 = t.xyxy
+                    p.write(f"{f},{t.track_id},{x1:.1f},{y1:.1f},"
+                            f"{x2-x1:.1f},{y2-y1:.1f},{t.confidence:.2f},-1,-1,-1\n")
+        r = evaluate_tracking(gt_path, pred_path)
+        assert r["idf1"] > 0.9, r
+        assert r["mota"] > 0.9, r       # n_init=2 costs 1 missed frame/track
+        assert r["num_switches"] == 0, r
+
 
 class TestProfiler:
     def test_stage_stats_and_schema(self):
