@@ -144,11 +144,14 @@ def run_child() -> None:
             nonlocal done
             cid, t_sub, outs = entry
             host = jax.device_get(outs)  # one sync per chunk
-            per_frame_tracks = pipe.tracker.tracks_chunk_from_outputs(host, names)
-            for f, tracks in enumerate(per_frame_tracks):
-                if pipe.events:
-                    pipe.events.process(tracks, cid * chunk + f,
-                                        (cid * chunk + f) / 30.0)
+            if pipe.events:
+                base = cid * chunk
+                pipe.events.process_chunk(
+                    np.asarray(host.track_id), np.asarray(host.class_id),
+                    np.asarray(host.boxes), np.asarray(host.visible),
+                    list(range(base, base + chunk)),
+                    np.arange(base, base + chunk, dtype=np.float64) / 30.0,
+                    class_names=names)
             if t_start is not None:
                 lat_samples.append((time.perf_counter() - t_sub) * 1e3)
                 done += chunk

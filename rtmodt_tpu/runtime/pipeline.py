@@ -62,7 +62,9 @@ class Pipeline:
         )
         self._is_deepsort = self.tracker.algorithm == "deepsort"
         self.events: Optional[ZoneEventEngine] = (
-            ZoneEventEngine.from_config(cfg.events) if cfg.events.enabled and cfg.events.zones
+            ZoneEventEngine.from_config(cfg.events,
+                                        trail_length=cfg.tracking.trail_length)
+            if cfg.events.enabled and cfg.events.zones
             else None
         )
         # With ``events.device_masks`` on, zone containment is computed ON
@@ -682,17 +684,18 @@ class Pipeline:
             import jax as _jax
 
             host = _jax.device_get(outs)
-            if use_dm:
-                masks_h = np.asarray(_jax.device_get(masks))
-                per_frame, idxs = self.tracker.tracks_chunk_from_outputs(
-                    host, names, with_indices=True)
-            else:
-                per_frame = self.tracker.tracks_chunk_from_outputs(host, names)
-                idxs = [None] * len(per_frame)
-            for f, ((fid, ts), tracks) in enumerate(zip(metas, per_frame)):
-                if self.events:
-                    im = masks_h[f][idxs[f]] if use_dm else None
-                    self.events.process(tracks, fid, ts, inside_mat=im)
+            if self.events:
+                # vectorized chunk consume: the dwell/cooldown state machine
+                # runs as array ops over the whole (K, S) output block - no
+                # per-frame Track objects (see ZoneEventEngine.process_chunk)
+                inside = np.asarray(_jax.device_get(masks)) if use_dm else None
+                self.events.process_chunk(
+                    np.asarray(host.track_id), np.asarray(host.class_id),
+                    np.asarray(host.boxes), np.asarray(host.visible),
+                    [m[0] for m in metas],
+                    np.asarray([m[1] for m in metas], np.float64),
+                    inside=inside, class_names=names)
+            for _ in metas:
                 p.end_frame()
                 frames_done += 1
 

@@ -375,6 +375,127 @@ class TestCrossingEvents:
         assert eng.process([in_t], 1, timestamp=0.1) == []
 
 
+class TestProcessChunkEquivalence:
+    """``process_chunk`` (vectorized array path used by the chunked pipeline)
+    must emit the same event stream as K sequential per-frame ``process``
+    calls over identical track data."""
+
+    def _zones(self):
+        return [
+            {"name": "area", "polygon": [[100, 100], [400, 100], [400, 400], [100, 400]],
+             "dwell_time_sec": 0.4, "cooldown_sec": 1.0},
+            {"name": "gate", "polygon": [[500, 0], [700, 0], [700, 300], [500, 300]],
+             "trigger": "crossing", "direction": "left_to_right", "cooldown_sec": 0.5},
+            {"name": "cars", "polygon": [[0, 450], [760, 450], [760, 760], [0, 760]],
+             "dwell_time_sec": 0.0, "cooldown_sec": 0.3, "classes": [2]},
+        ]
+
+    def _simulate(self, seed, t_frames=64, s_slots=6):
+        """Slot-structured random walks: (tids, cids, boxes, vis) arrays plus
+        per-frame Track lists with reference-style trails."""
+        from rtmodt_tpu.tracking.tracker import Track
+
+        rng = np.random.default_rng(seed)
+        tids = np.zeros((t_frames, s_slots), np.int32)
+        cids = np.zeros((t_frames, s_slots), np.int32)
+        boxes = np.zeros((t_frames, s_slots, 4), np.float32)
+        vis = np.zeros((t_frames, s_slots), bool)
+        next_id = 1
+        cur_tid = np.zeros(s_slots, np.int32)
+        cur_cls = np.zeros(s_slots, np.int32)
+        pos = rng.uniform(0, 700, (s_slots, 2))
+        vel = rng.uniform(-25, 25, (s_slots, 2))
+        alive = np.zeros(s_slots, bool)
+        for f in range(t_frames):
+            for s in range(s_slots):
+                if not alive[s] and rng.random() < 0.15:
+                    alive[s] = True
+                    cur_tid[s] = next_id
+                    next_id += 1
+                    cur_cls[s] = int(rng.integers(0, 3))
+                    pos[s] = rng.uniform(0, 700, 2)
+                    vel[s] = rng.uniform(-25, 25, 2)
+                elif alive[s] and rng.random() < 0.05:
+                    alive[s] = False
+            pos += vel
+            pos = np.clip(pos, 0, 760)
+            w = 40.0
+            for s in range(s_slots):
+                if alive[s] and rng.random() > 0.08:  # occasional occlusion
+                    vis[f, s] = True
+                    tids[f, s] = cur_tid[s]
+                    cids[f, s] = cur_cls[s]
+                    boxes[f, s] = [pos[s, 0] - w, pos[s, 1] - w,
+                                   pos[s, 0] + w, pos[s, 1] + w]
+
+        trails: dict[int, list] = {}
+        per_frame_tracks = []
+        for f in range(t_frames):
+            tracks = []
+            for s in np.where(vis[f])[0]:
+                tid = int(tids[f, s])
+                c = (float((boxes[f, s, 0] + boxes[f, s, 2]) / 2),
+                     float((boxes[f, s, 1] + boxes[f, s, 3]) / 2))
+                tr = trails.setdefault(tid, [])
+                tr.append((int(c[0]), int(c[1])))
+                if len(tr) > 30:
+                    tr.pop(0)
+                tracks.append(Track(track_id=tid, xyxy=boxes[f, s].copy(),
+                                    confidence=0.9, class_id=int(cids[f, s]),
+                                    class_name="x", trail=list(tr)))
+            per_frame_tracks.append(tracks)
+        return tids, cids, boxes, vis, per_frame_tracks
+
+    @pytest.mark.parametrize("seed,chunk", [(0, 8), (1, 16), (2, 8), (3, 32)])
+    def test_chunked_equals_per_frame(self, tmp_path, seed, chunk):
+        from rtmodt_tpu.events.zone_engine import ZoneEventEngine
+
+        tids, cids, boxes, vis, per_frame = self._simulate(seed)
+        t_frames = tids.shape[0]
+        ref = ZoneEventEngine(self._zones(), log_path=str(tmp_path / "a.jsonl"),
+                              clock="stream")
+        vec = ZoneEventEngine(self._zones(), log_path=str(tmp_path / "b.jsonl"),
+                              clock="stream")
+        ref_events, vec_events = [], []
+        for f in range(t_frames):
+            ref_events += ref.process(per_frame[f], f, timestamp=f / 10.0)
+        for c0 in range(0, t_frames, chunk):
+            c1 = min(c0 + chunk, t_frames)
+            vec_events += vec.process_chunk(
+                tids[c0:c1], cids[c0:c1], boxes[c0:c1], vis[c0:c1],
+                list(range(c0, c1)),
+                np.arange(c0, c1, dtype=np.float64) / 10.0,
+                class_names=["person", "bike", "car"])
+        key = lambda es: sorted(
+            (e.frame_id, e.zone_name, e.track_id, e.event_type,
+             e.dwell_time_sec) for e in es)
+        assert len(ref_events) > 0, "simulation produced no events; bad seed"
+        assert key(ref_events) == key(vec_events)
+
+    def test_chunk_with_device_inside(self, tmp_path):
+        """Supplying device-computed (K, S, Z) masks reproduces the host path."""
+        import jax.numpy as jnp
+        from rtmodt_tpu.events.zone_engine import ZoneEventEngine
+        from rtmodt_tpu.ops.polygon import pad_polygons, points_in_polygons
+
+        tids, cids, boxes, vis, _ = self._simulate(5)
+        host = ZoneEventEngine(self._zones(), log_path=str(tmp_path / "h.jsonl"),
+                               clock="stream")
+        dev = ZoneEventEngine(self._zones(), log_path=str(tmp_path / "d.jsonl"),
+                              clock="stream")
+        polys = jnp.asarray(pad_polygons([z["polygon"] for z in self._zones()], 16))
+        k, s = tids.shape
+        cents = ((boxes[..., 0:2] + boxes[..., 2:4]) * 0.5).reshape(-1, 2)
+        inside = np.asarray(points_in_polygons(jnp.asarray(cents), polys)
+                            ).reshape(k, s, -1)
+        ts = np.arange(k, dtype=np.float64) / 10.0
+        h_ev = host.process_chunk(tids, cids, boxes, vis, list(range(k)), ts)
+        d_ev = dev.process_chunk(tids, cids, boxes, vis, list(range(k)), ts,
+                                 inside=inside)
+        key = lambda es: sorted((e.frame_id, e.zone_name, e.track_id) for e in es)
+        assert key(h_ev) == key(d_ev)
+
+
 class TestTrackerQuality:
     def test_idf1_on_synthetic_gt(self, tmp_path):
         """Feed the tracker the GT boxes of a synthetic scene (with jitter)
