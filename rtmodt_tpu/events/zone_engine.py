@@ -104,6 +104,9 @@ class ZoneEventEngine:
         self.log_path = Path(self.alert.log_path)
         self.log_path.parent.mkdir(parents=True, exist_ok=True)
 
+        # merged into every event's metadata (e.g. {"stream": 3} in the
+        # multi-stream runner, which keeps one engine per camera)
+        self.extra_metadata: dict[str, Any] = {}
         # track_id -> {zone_name -> first_seen_time}
         self._occupancy: dict[int, dict[str, float]] = {}
         # (track_id, zone_name) -> last_alert_time
@@ -183,7 +186,8 @@ class ZoneEventEngine:
                                     bbox_xyxy=[float(v) for v in track.xyxy],
                                     centroid=[cx, cy],
                                     frame_id=frame_id,
-                                    metadata={"direction": zone.direction or "any"},
+                                    metadata={**self.extra_metadata,
+                                              "direction": zone.direction or "any"},
                                 )
                                 events.append(evt)
                                 self._cooldown[key] = now
@@ -210,6 +214,7 @@ class ZoneEventEngine:
                                 bbox_xyxy=[float(v) for v in track.xyxy],
                                 centroid=[cx, cy],
                                 frame_id=frame_id,
+                                metadata=dict(self.extra_metadata),
                             )
                             events.append(evt)
                             self._cooldown[key] = now
@@ -343,8 +348,10 @@ class ZoneEventEngine:
                     bbox_xyxy=[float(v) for v in boxes[f, s]],
                     centroid=[int(cents[f, s, 0]), int(cents[f, s, 1])],
                     frame_id=int(frame_ids[f]),
-                    metadata=({"direction": zone.direction or "any"}
-                              if zone.trigger == "crossing" else {}),
+                    metadata=({**self.extra_metadata,
+                               "direction": zone.direction or "any"}
+                              if zone.trigger == "crossing"
+                              else dict(self.extra_metadata)),
                 )
                 events.append(evt)
                 self._cooldown[key] = now

@@ -214,6 +214,193 @@ class MultiStreamPipeline:
         return outs, ress
 
     # ------------------------------------------------------------------
+    def run(self, sources: list, max_frames: int | None = None,
+            chunk_size: int | None = None) -> dict:
+        """End-to-end multi-camera loop - the scale-out analog of
+        ``Pipeline.run_chunked`` (one camera) for S cameras on one SPMD
+        program.
+
+        One reader+packer thread per stream decodes and packs frames to
+        planar I420; the main loop assembles time-aligned (T, S) chunks,
+        submits ONE sharded program per chunk (streams ride the mesh's
+        ``data`` axis), and consumes tracker outputs with the vectorized
+        per-stream event engines (``ZoneEventEngine.process_chunk``).
+
+        ``sources``: S video paths / RTSP URLs / webcam indices (len must
+        equal ``num_streams``).  Returns a summary dict with aggregate and
+        per-stream FPS.  Streams must share one resolution (static shapes).
+        Stops at the first stream's EOF; the incomplete tail chunk is
+        dropped and reported in the summary (``tail_frames_dropped``).
+        """
+        import queue
+        import threading
+        import time as _time
+        from collections import deque
+
+        from rtmodt_tpu.events.zone_engine import ZoneEventEngine
+        from rtmodt_tpu.ingestion.rtsp_reader import RTSPReader
+        from rtmodt_tpu.ops.yuv import content_dims, pack_i420_planar
+
+        s_streams = self.num_streams
+        if len(sources) != s_streams:
+            raise ValueError(f"{len(sources)} sources for {s_streams} streams")
+        t_chunk = chunk_size or max(2, self.cfg.parallel.chunk_size)
+        depth = max(0, self.cfg.parallel.pipeline_depth)
+        icfg = self.cfg.ingestion
+        ecfg = self.cfg.events
+        engines = None
+        if ecfg.enabled and ecfg.zones:
+            engines = [
+                ZoneEventEngine.from_config(
+                    ecfg, trail_length=self.cfg.tracking.trail_length)
+                for _ in range(s_streams)]
+            for si, eng in enumerate(engines):
+                eng.extra_metadata = {"stream": si}
+        names = self.detector.class_names
+
+        qs: list[queue.Queue] = [queue.Queue(maxsize=3 * t_chunk)
+                                 for _ in range(s_streams)]
+        stop = threading.Event()
+
+        def ingest(si: int):
+            """Decode + pack one stream; None sentinel marks EOF/stop."""
+            try:
+                with RTSPReader(sources[si], backend=icfg.backend,
+                                reconnect_delay_sec=icfg.reconnect_delay_sec,
+                                max_reconnects=icfg.max_reconnects,
+                                resolution=(tuple(icfg.resolution)
+                                            if icfg.resolution else None)) as rd:
+                    last_id = 0
+                    while not stop.is_set():
+                        frame, fid, ts = rd.read_new(last_id, timeout=2.0)
+                        if frame is None:
+                            if rd.is_eof:
+                                break
+                            continue
+                        last_id = fid
+                        planes, _ = pack_i420_planar(
+                            frame, self.cfg.detection.input_size)
+                        item = (planes, frame.shape[:2], fid, ts)
+                        while not stop.is_set():   # bounded put, stop-aware
+                            try:
+                                qs[si].put(item, timeout=0.5)
+                                break
+                            except queue.Full:
+                                continue
+            except Exception as e:  # surfaced via the sentinel + log
+                logger.error(f"stream {si} ingest failed: {e}")
+            try:
+                qs[si].put_nowait(None)
+            except queue.Full:
+                pass
+
+        workers = [threading.Thread(target=ingest, args=(si,), daemon=True)
+                   for si in range(s_streams)]
+        for wk in workers:
+            wk.start()
+
+        size = self.cfg.detection.input_size
+        inflight: deque = deque()
+        frames_done = 0
+        tail_dropped = 0
+        n_chunks = 0
+        src_hw = None
+        y = u = v = None
+        t_start = None
+
+        def consume(entry):
+            nonlocal frames_done
+            metas, outs = entry
+            host = jax.device_get(outs)
+            if engines is not None:
+                tid = np.asarray(host.track_id)
+                cid = np.asarray(host.class_id)
+                bxs = np.asarray(host.boxes)
+                vis = np.asarray(host.visible)
+                for si in range(s_streams):
+                    engines[si].process_chunk(
+                        tid[:, si], cid[:, si], bxs[:, si], vis[:, si],
+                        [m[si][0] for m in metas],
+                        np.asarray([m[si][1] for m in metas], np.float64),
+                        class_names=names)
+            frames_done += len(metas) * s_streams
+
+        try:
+            while True:
+                if max_frames and n_chunks * t_chunk >= max_frames:
+                    break
+                # gather one time-aligned (T, S) block
+                block: list[list] = [[] for _ in range(s_streams)]
+                eof = False
+                for si in range(s_streams):
+                    while len(block[si]) < t_chunk:
+                        try:
+                            item = qs[si].get(timeout=2.0)
+                        except queue.Empty:
+                            if workers[si].is_alive():
+                                continue
+                            item = None   # worker died; sentinel was dropped
+                        if item is None:  # EOF sentinel
+                            eof = True
+                            break
+                        block[si].append(item)
+                    if eof:
+                        break
+                if eof:
+                    tail_dropped = sum(len(b) for b in block)
+                    break
+                if src_hw is None:
+                    src_hw = block[0][0][1]
+                    ch, cw = content_dims(*src_hw, size)
+                    y = np.empty((t_chunk, s_streams, ch, cw), np.uint8)
+                    u = np.empty((t_chunk, s_streams, ch // 2, cw // 2), np.uint8)
+                    v = np.empty((t_chunk, s_streams, ch // 2, cw // 2), np.uint8)
+                metas = []
+                for t in range(t_chunk):
+                    row = []
+                    for si in range(s_streams):
+                        planes, hw, fid, ts = block[si][t]
+                        if hw != src_hw:
+                            raise ValueError(
+                                f"stream {si} resolution {hw} != {src_hw}; "
+                                "all streams must share one resolution")
+                        y[t, si], u[t, si], v[t, si] = planes
+                        row.append((fid, ts))
+                    metas.append(row)
+                outs, _ress = self.submit_chunk_packed((y, u, v), *src_hw)
+                for leaf in jax.tree.leaves(outs):
+                    if hasattr(leaf, "copy_to_host_async"):
+                        leaf.copy_to_host_async()
+                inflight.append((metas, outs))
+                n_chunks += 1
+                if t_start is None:
+                    t_start = _time.perf_counter()
+                if len(inflight) > depth:
+                    consume(inflight.popleft())
+            while inflight:
+                consume(inflight.popleft())
+        finally:
+            stop.set()
+            for q in qs:  # unblock any producer stuck on a full queue
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    pass
+        wall = (_time.perf_counter() - t_start) if t_start else 0.0
+        fps = frames_done / wall if wall > 0 else 0.0
+        summary = {
+            "frames": frames_done,
+            "streams": s_streams,
+            "fps_aggregate": round(fps, 1),
+            "fps_per_stream": round(fps / s_streams, 1),
+            "tail_frames_dropped": tail_dropped,
+        }
+        logger.info(f"multi-stream run: {frames_done} frames over "
+                    f"{s_streams} streams, {summary['fps_aggregate']} fps "
+                    f"aggregate ({summary['fps_per_stream']}/stream)")
+        return summary
+
+    # ------------------------------------------------------------------
     def step(self, frames: np.ndarray):
         """frames (S, H, W, 3) uint8 -> (outputs, res) with leading S axis."""
         s, h, w = frames.shape[:3]

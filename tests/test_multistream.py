@@ -78,6 +78,55 @@ class TestMultiStream:
         assert bool(np.isfinite(jax.device_get(ress.scores)).all())
 
 
+class TestMultiStreamRun:
+    def test_run_end_to_end_with_events(self, tmp_path):
+        """Full multi-camera loop: 8 file streams -> time-aligned packed
+        chunks -> one SPMD program -> per-stream zone events."""
+        from rtmodt_tpu.config import load_config
+        from rtmodt_tpu.parallel.mesh import create_mesh
+        from rtmodt_tpu.parallel.multistream import MultiStreamPipeline
+        from rtmodt_tpu.utils.synthetic import write_synthetic_video
+
+        vid = str(tmp_path / "cam.mp4")
+        write_synthetic_video(vid, frames=10, h=160, w=160, n_objects=2)
+        log = tmp_path / "events.jsonl"
+        cfg = load_config(overrides={
+            "detection": {"model": "yolov8n", "input_size": 128,
+                          "conf_threshold": 0.01, "nms_candidates": 32,
+                          "max_detections": 8, "classes": None},
+            "tracking": {"bytetrack": {"max_tracks": 16}},
+            "parallel": {"chunk_size": 4, "pipeline_depth": 1},
+            "visualization": {"enabled": False},
+            "events": {"enabled": True,
+                       "zones": [{"name": "z", "dwell_time_sec": 0.0,
+                                  "cooldown_sec": 0.0,
+                                  "polygon": [[0, 0], [160, 0],
+                                              [160, 160], [0, 160]]}],
+                       "alert": {"log_path": str(log)}},
+        })
+        pipe = MultiStreamPipeline(cfg, num_streams=8, mesh=create_mesh(8))
+        summary = pipe.run([vid] * 8)
+        assert summary["frames"] == 8 * 8  # 10 frames -> 2 full chunks of 4
+        assert summary["tail_frames_dropped"] >= 0
+        import json
+        events = [json.loads(ln) for ln in log.read_text().splitlines()]
+        assert events, "full-frame zone with zero dwell must fire"
+        streams_seen = {e["metadata"]["stream"] for e in events}
+        assert len(streams_seen) > 1  # per-stream engines, stream-tagged
+
+    def test_run_source_count_mismatch(self):
+        from rtmodt_tpu.config import load_config
+        from rtmodt_tpu.parallel.mesh import create_mesh
+        from rtmodt_tpu.parallel.multistream import MultiStreamPipeline
+
+        cfg = load_config(overrides={
+            "detection": {"model": "yolov8n", "input_size": 128},
+            "events": {"enabled": False}})
+        pipe = MultiStreamPipeline(cfg, num_streams=8, mesh=create_mesh(8))
+        with pytest.raises(ValueError, match="sources"):
+            pipe.run(["a.mp4"] * 3)
+
+
 class TestMeshHelpers:
     def test_create_mesh_and_shard(self):
         from rtmodt_tpu.parallel.mesh import create_mesh, shard_batch, replicate

@@ -22,18 +22,22 @@ from rtmodt_tpu.utils.logging import logger  # noqa: E402
 @click.command()
 @click.option("-c", "--config", "config_path", default=None,
               help="YAML config path (default: packaged default.yaml)")
-@click.option("-s", "--source", default=None,
-              help="override ingestion.source (RTSP URL / file / webcam index)")
+@click.option("-s", "--source", multiple=True,
+              help="override ingestion.source (RTSP URL / file / webcam "
+                   "index); repeat for multi-camera (runs the sharded "
+                   "multi-stream pipeline, one SPMD program over the mesh)")
 @click.option("--display/--no-display", default=False, help="show annotated window")
 @click.option("--max-frames", default=None, type=int, help="stop after N frames")
 @click.option("--save-video", is_flag=True, default=False,
               help="write annotated video to visualization.save_path")
 def main(config_path, source, display, max_frames, save_video):
     overrides = {}
-    if source is not None:
-        overrides["ingestion"] = {"source": source}
+    if len(source) == 1:
+        overrides["ingestion"] = {"source": source[0]}
     if save_video:
         overrides["visualization"] = {"save_video": True}
+    if len(source) > 1:
+        overrides["parallel"] = {"num_streams": len(source)}
     cfg = load_config(config_path or default_config_path(), overrides)
 
     os.makedirs(cfg.system.log_dir, exist_ok=True)
@@ -43,10 +47,16 @@ def main(config_path, source, display, max_frames, save_video):
     logger.add(os.path.join(cfg.system.log_dir, "pipeline.log"),
                level="DEBUG", rotation="50 MB")
 
-    from rtmodt_tpu.runtime.pipeline import Pipeline
+    if len(source) > 1:
+        from rtmodt_tpu.parallel.multistream import MultiStreamPipeline
 
-    pipe = Pipeline(cfg)
-    summary = pipe.run(display=display, max_frames=max_frames)
+        pipe = MultiStreamPipeline(cfg)
+        summary = pipe.run(list(source), max_frames=max_frames)
+    else:
+        from rtmodt_tpu.runtime.pipeline import Pipeline
+
+        pipe = Pipeline(cfg)
+        summary = pipe.run(display=display, max_frames=max_frames)
     if summary:
         click.echo("\n=== final profile ===")
         for k, v in sorted(summary.items()):
