@@ -69,6 +69,10 @@ class DetectionConfig:
     calib_frames: int = 4               # synthetic calibration batches at init;
                                         # Detector.calibrate(frames) requantizes
                                         # on real data
+    quant_scales: str | None = None     # frozen activation scales from QAT
+                                        # (tools/train.py --qat-steps writes
+                                        # qat_act_scales.npz); requires
+                                        # quant=int8
 
 
 @dataclass
@@ -276,6 +280,9 @@ def _validate(cfg: PipelineConfig) -> None:
     if d.quant == "int8" and not d.fuse_bn:
         raise ValueError("detection.quant=int8 requires detection.fuse_bn=true "
                          "(quantization folds conv+BN+SiLU)")
+    if d.quant_scales and d.quant != "int8":
+        raise ValueError("detection.quant_scales (QAT frozen scales) requires "
+                         "detection.quant=int8")
     bt = cfg.tracking.bytetrack
     if bt.motion_model not in ("kalman", "none"):
         raise ValueError(f"tracking.bytetrack.motion_model must be kalman|none, got {bt.motion_model}")

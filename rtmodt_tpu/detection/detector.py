@@ -106,20 +106,32 @@ class Detector:
         self.class_names = list(COCO_NAMES)[: self.cfg.num_classes]
         dtype = jnp.bfloat16 if self.cfg.half else jnp.float32
         self.model = build_model(self.cfg.model, self.cfg.num_classes, dtype=dtype)
+        self._ckpt_fused = False
         self.params = self._load_params()
+        if self._ckpt_fused and not self.cfg.fuse_bn:
+            raise ValueError(
+                "checkpoint is already BN-fused (e.g. a QAT qat_final.npz); "
+                "set detection.fuse_bn: true to load it")
         if self.cfg.fuse_bn:
-            # deploy-time BN folding (the TRT-engine analog); exact inference
-            from rtmodt_tpu.models.weights import fuse_bn
+            # deploy-time BN folding (the TRT-engine analog); exact inference.
+            # Already-fused checkpoints (QAT output) skip the fold.
+            if not self._ckpt_fused:
+                from rtmodt_tpu.models.weights import fuse_bn
 
-            self.params = jax.device_put(jax.tree.map(
-                jnp.asarray, fuse_bn(jax.device_get(self.params))))
+                self.params = jax.device_put(jax.tree.map(
+                    jnp.asarray, fuse_bn(jax.device_get(self.params))))
             self.model = build_model(self.cfg.model, self.cfg.num_classes,
                                      dtype=dtype, fused=True)
         if self.cfg.quant == "int8":
-            # PTQ on synthetic batches at init (reference exports a TRT INT8
-            # engine offline); call ``calibrate(frames)`` with real frames to
-            # re-derive activation scales from stream data
-            self._quantize(self._synthetic_calib_batches())
+            if self.cfg.quant_scales:
+                # frozen per-layer activation scales from QAT - the deployed
+                # int8 program computes exactly what QAT optimized
+                self._quantize_with_saved_scales(self.cfg.quant_scales)
+            else:
+                # PTQ on synthetic batches at init (reference exports a TRT
+                # INT8 engine offline); call ``calibrate(frames)`` with real
+                # frames to re-derive activation scales from stream data
+                self._quantize(self._synthetic_calib_batches())
         if self.cfg.classes:
             mask = np.zeros((self.cfg.num_classes,), bool)
             mask[np.asarray(self.cfg.classes)] = True
@@ -141,7 +153,16 @@ class Detector:
                 continue
             if os.path.exists(path):
                 logger.info(f"loading weights from {path}")
-                return W.load_params(path, self.model, self.cfg.input_size)
+                raw = W.load_params(path, None, self.cfg.input_size)
+                self._ckpt_fused = W.tree_is_fused(raw)
+                ref_model = self.model
+                if self._ckpt_fused:
+                    dtype = jnp.bfloat16 if self.cfg.half else jnp.float32
+                    ref_model = build_model(self.cfg.model, self.cfg.num_classes,
+                                            dtype=dtype, fused=True)
+                    logger.info("checkpoint is BN-fused (QAT/deploy format)")
+                W.validate_tree(raw, ref_model, self.cfg.input_size)
+                return raw
             logger.warning(f"weights not found at {path}, trying fallback")
         logger.warning("no weights available - using random initialization "
                        "(detections will be meaningless; supply detection.weights)")
@@ -170,6 +191,20 @@ class Detector:
 
         base = getattr(self.model, "_model", self.model)   # idempotent requant
         self.model = quantize_model(base, self.params, calib_batches)
+        self._jitted = {}
+
+    def _quantize_with_saved_scales(self, path: str) -> None:
+        """int8 with FROZEN activation scales from QAT (qat_act_scales.npz:
+        tools/train.py --qat-steps) - no calibration pass; the deployed
+        program matches the numbers training optimized."""
+        from rtmodt_tpu.quant.ptq import QuantizedModel, quantize_convs
+
+        with np.load(path) as z:
+            scales = {k.replace("|", "/"): float(z[k]) for k in z.files}
+        base = getattr(self.model, "_model", self.model)
+        qtree = quantize_convs(self.params, scales)
+        logger.info(f"int8 with {len(qtree)} frozen QAT scales from {path}")
+        self.model = QuantizedModel(base, qtree)
         self._jitted = {}
 
     def calibrate(self, frames_bgr: list[np.ndarray]) -> None:

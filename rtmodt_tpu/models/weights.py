@@ -136,6 +136,15 @@ def fuse_bn(variables: dict[str, Any], eps: float = 1e-3) -> dict[str, Any]:
     return {"params": traverse_util.unflatten_dict(out)}
 
 
+def tree_is_fused(variables: dict[str, Any]) -> bool:
+    """True if a checkpoint tree is already BN-folded (e.g. QAT output):
+    conv biases present and no ``bn`` submodules / batch_stats."""
+    flat = traverse_util.flatten_dict(variables)
+    has_bn = any("bn" in k for k in flat)
+    has_conv_bias = any(k[-2:] == ("conv", "bias") for k in flat)
+    return has_conv_bias and not has_bn and "batch_stats" not in variables
+
+
 def save_npz(variables: dict[str, Any], path: str) -> None:
     flat = traverse_util.flatten_dict(variables, sep="/")
     np.savez(path, **{k: np.asarray(v) for k, v in flat.items()})
@@ -174,20 +183,26 @@ def load_params(path: str, model: Any = None, input_size: int = 640) -> dict[str
 
     variables = jax.tree.map(jnp.asarray, variables)
     if model is not None:
-        ref = jax.eval_shape(
-            lambda: model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((1, input_size, input_size, 3), jnp.float32),
-                               train=False)
-        )
-        ref_flat = traverse_util.flatten_dict(ref, sep="/")
-        got_flat = traverse_util.flatten_dict(variables, sep="/")
-        missing = set(ref_flat) - set(got_flat)
-        extra = set(got_flat) - set(ref_flat)
-        if missing or extra:
-            raise ValueError(f"weight tree mismatch: missing={sorted(missing)[:5]} "
-                             f"extra={sorted(extra)[:5]} "
-                             f"({len(missing)} missing / {len(extra)} extra)")
-        for k, v in got_flat.items():
-            if tuple(v.shape) != tuple(ref_flat[k].shape):
-                raise ValueError(f"shape mismatch at {k}: {v.shape} vs {ref_flat[k].shape}")
+        validate_tree(variables, model, input_size)
     return variables
+
+
+def validate_tree(variables: dict[str, Any], model: Any, input_size: int = 640) -> None:
+    """Raise with the missing/extra/shape details if ``variables`` does not
+    match ``model``'s parameter structure."""
+    ref = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, input_size, input_size, 3), jnp.float32),
+                           train=False)
+    )
+    ref_flat = traverse_util.flatten_dict(ref, sep="/")
+    got_flat = traverse_util.flatten_dict(variables, sep="/")
+    missing = set(ref_flat) - set(got_flat)
+    extra = set(got_flat) - set(ref_flat)
+    if missing or extra:
+        raise ValueError(f"weight tree mismatch: missing={sorted(missing)[:5]} "
+                         f"extra={sorted(extra)[:5]} "
+                         f"({len(missing)} missing / {len(extra)} extra)")
+    for k, v in got_flat.items():
+        if tuple(v.shape) != tuple(ref_flat[k].shape):
+            raise ValueError(f"shape mismatch at {k}: {v.shape} vs {ref_flat[k].shape}")

@@ -5,3 +5,8 @@ from rtmodt_tpu.quant.ptq import (  # noqa: F401
     quantize_convs,
     quantize_model,
 )
+from rtmodt_tpu.quant.qat import (  # noqa: F401
+    FakeQuantModel,
+    make_qat_step,
+    qat_finetune,
+)

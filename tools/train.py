@@ -28,7 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 @click.option("--data-root", default=None)
 @click.option("--resume", is_flag=True, default=False)
 @click.option("--max-steps", default=None, type=int, help="hard stop (debug)")
-def main(config_path, epochs, batch_size, imgsz, data_root, resume, max_steps):
+@click.option("--qat-steps", default=0, type=int,
+              help="after training: fold BN and run N quantization-aware "
+                   "fine-tune steps (quant/qat.py); saves qat_final.npz + "
+                   "per-layer activation scales for int8 deployment")
+def main(config_path, epochs, batch_size, imgsz, data_root, resume, max_steps,
+         qat_steps):
     import jax
     import numpy as np
     import yaml
@@ -204,6 +209,35 @@ def main(config_path, epochs, batch_size, imgsz, data_root, resume, max_steps):
                  os.path.join(cfg["checkpoint"]["dir"], "ema_final.npz"))
     ckpt.close()
     logger.info(f"training done at step {gstep} (best mAP50={best_map:.4f})")
+
+    if qat_steps > 0:
+        # fold BN into the convs, then fine-tune THROUGH int8 rounding with
+        # frozen activation scales (quant/qat.py); the saved scales feed
+        # ptq.quantize_convs at deployment so the deployed program computes
+        # exactly what QAT optimized.
+        from rtmodt_tpu.models.weights import fuse_bn, save_npz
+        from rtmodt_tpu.quant.qat import qat_finetune
+
+        eval_params = ema_params if ema_decay else state.params
+        fused = fuse_bn({"params": jax.device_get(eval_params),
+                         "batch_stats": jax.device_get(state.batch_stats)})
+        fused_model = build_model(cfg["model"], cfg["num_classes"],
+                                  dtype=jnp.float32, fused=True)
+
+        def qat_batches():
+            while True:
+                yield from ds.batches(bsz)
+
+        qat_lr = float(cfg.get("qat_lr", cfg["optimizer"]["lr0"] * 0.01))
+        new_params, scales = qat_finetune(
+            fused_model, fused["params"], qat_batches(), s,
+            steps=qat_steps, lr=qat_lr)
+        out = os.path.join(cfg["checkpoint"]["dir"], "qat_final.npz")
+        save_npz({"params": jax.device_get(new_params)}, out)
+        np.savez(os.path.join(cfg["checkpoint"]["dir"], "qat_act_scales.npz"),
+                 **{k.replace("/", "|"): np.float32(v)
+                    for k, v in scales.items()})
+        logger.info(f"QAT checkpoint saved: {out} (+ qat_act_scales.npz)")
 
 
 if __name__ == "__main__":
