@@ -136,6 +136,9 @@ class AlertConfig:
     backend: str = "json_file"          # json_file | webhook | mqtt
     log_path: str = "logs/events.jsonl"
     webhook_url: str = ""
+    mqtt_host: str = ""                 # broker for backend=mqtt
+    mqtt_port: int = 1883
+    mqtt_topic: str = "rtmodt/events"
 
 
 @dataclass

@@ -16,8 +16,9 @@ TPU-native differences:
     offline/faster-than-realtime runs trigger identically to live ones; the
     reference's wall-clock behavior (its bug 2, SURVEY.md 3.6) is available
     via ``clock: wall``;
-  * the ``webhook`` alert backend is actually implemented (the reference only
-    declares it in config).
+  * the ``webhook`` and ``mqtt`` alert backends are actually implemented (the
+    reference only declares them in config; mqtt here is a dependency-free
+    MQTT 3.1.1 socket publisher, ``events/mqtt.py``).
 """
 
 from __future__ import annotations
@@ -107,6 +108,7 @@ class ZoneEventEngine:
         # merged into every event's metadata (e.g. {"stream": 3} in the
         # multi-stream runner, which keeps one engine per camera)
         self.extra_metadata: dict[str, Any] = {}
+        self._mqtt = None              # lazy MQTTPublisher (backend: mqtt)
         # track_id -> {zone_name -> first_seen_time}
         self._occupancy: dict[int, dict[str, float]] = {}
         # (track_id, zone_name) -> last_alert_time
@@ -466,9 +468,13 @@ class ZoneEventEngine:
             f.write(evt.to_json() + "\n")
         if backend == "webhook" and self.alert.webhook_url:
             self._post_webhook(evt)
-        elif backend == "mqtt":
-            logger.warning("mqtt alert backend not available in this build; "
-                           "event logged to JSONL only")
+        elif backend == "mqtt" and self.alert.mqtt_host:
+            if self._mqtt is None:
+                from rtmodt_tpu.events.mqtt import MQTTPublisher
+
+                self._mqtt = MQTTPublisher(self.alert.mqtt_host,
+                                           self.alert.mqtt_port)
+            self._mqtt.publish(self.alert.mqtt_topic, evt.to_json())
         logger.info(f"EVENT | {evt.event_type} | zone={evt.zone_name} "
                     f"track={evt.track_id} dwell={evt.dwell_time_sec:.1f}s")
 

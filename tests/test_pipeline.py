@@ -566,17 +566,25 @@ class TestTrackerQuality:
 
 
 class TestProfiler:
-    def test_stage_stats_and_schema(self):
-        import time
+    def test_stage_stats_and_schema(self, monkeypatch):
+        # deterministic fake clock: real sleeps made the decode/inference
+        # ordering assertion flaky under scheduler jitter
+        import rtmodt_tpu.profiling.latency_profiler as lp_mod
         from rtmodt_tpu.profiling.latency_profiler import LatencyProfiler
+
+        clock = {"t": 0.0}
+        monkeypatch.setattr(lp_mod.time, "perf_counter", lambda: clock["t"])
+
+        def advance(dt):
+            clock["t"] += dt
 
         p = LatencyProfiler(warmup_frames=2, log_interval=0)
         for _ in range(10):
             p.tick("decode")
-            time.sleep(0.001)
+            advance(0.001)
             p.tock("decode")
             p.tick("inference")
-            time.sleep(0.002)
+            advance(0.002)
             p.tock("inference")
             p.end_frame()
         s = p.summary()
@@ -622,3 +630,98 @@ class TestRenderer:
         out = FrameRenderer().render(frame, [t], zones, fps=30.0, latency_ms=5.0)
         assert out is frame
         assert frame.sum() > 0  # something was drawn
+
+
+class TestMQTTAlertBackend:
+    """events.alert.backend=mqtt publishes each event over a real socket
+    (stdlib MQTT 3.1.1 framing, rtmodt_tpu/events/mqtt.py - the reference
+    declares this backend but never implements it)."""
+
+    @staticmethod
+    def _fake_broker(received, ready, stop):
+        """Accept one client, send CONNACK, collect PUBLISH payloads."""
+        import socket as sk
+        srv = sk.socket()
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        srv.settimeout(5.0)
+        ready["port"] = srv.getsockname()[1]
+        ready["evt"].set()
+        conn, _ = srv.accept()
+        conn.settimeout(5.0)
+        buf = b""
+        try:
+            while not stop.is_set():
+                try:
+                    data = conn.recv(4096)
+                except sk.timeout:
+                    continue
+                if not data:
+                    break
+                buf += data
+                while len(buf) >= 2:
+                    ptype = buf[0] >> 4
+                    # decode remaining length
+                    rl, mult, i = 0, 1, 1
+                    while True:
+                        if i >= len(buf):
+                            rl = None
+                            break
+                        byte = buf[i]
+                        rl += (byte & 0x7F) * mult
+                        mult *= 128
+                        i += 1
+                        if not byte & 0x80:
+                            break
+                    if rl is None or len(buf) < i + rl:
+                        break
+                    body, buf = buf[i:i + rl], buf[i + rl:]
+                    if ptype == 1:                      # CONNECT
+                        conn.sendall(bytes([0x20, 0x02, 0x00, 0x00]))
+                    elif ptype == 3:                    # PUBLISH (QoS 0)
+                        tlen = int.from_bytes(body[:2], "big")
+                        topic = body[2:2 + tlen].decode()
+                        received.append((topic, body[2 + tlen:]))
+                    elif ptype == 14:                   # DISCONNECT
+                        return
+        finally:
+            conn.close()
+            srv.close()
+
+    def test_events_published_over_mqtt(self, tmp_path):
+        import json
+        import threading
+        import time as _time
+        from rtmodt_tpu.config.loader import AlertConfig
+        from rtmodt_tpu.events.zone_engine import ZoneEventEngine
+        from rtmodt_tpu.tracking.tracker import Track
+
+        received, stop = [], threading.Event()
+        ready = {"evt": threading.Event()}
+        th = threading.Thread(target=self._fake_broker,
+                              args=(received, ready, stop), daemon=True)
+        th.start()
+        assert ready["evt"].wait(5.0)
+        alert = AlertConfig(backend="mqtt", log_path=str(tmp_path / "ev.jsonl"),
+                            mqtt_host="127.0.0.1", mqtt_port=ready["port"],
+                            mqtt_topic="rtmodt/test")
+        eng = ZoneEventEngine(
+            [{"name": "z", "polygon": [[0, 0], [200, 0], [200, 200], [0, 200]],
+              "dwell_time_sec": 0.0, "cooldown_sec": 0.0}],
+            alert=alert, clock="stream")
+        t = Track(track_id=5, xyxy=np.asarray([50, 50, 150, 150], np.float32),
+                  confidence=0.9, class_id=0, class_name="person")
+        evts = eng.process([t], 3, timestamp=1.0)
+        assert len(evts) == 1
+        deadline = _time.time() + 5.0
+        while not received and _time.time() < deadline:
+            _time.sleep(0.05)
+        stop.set()
+        eng._mqtt.close()
+        assert received, "broker saw no PUBLISH"
+        topic, payload = received[0]
+        assert topic == "rtmodt/test"
+        rec = json.loads(payload)
+        assert rec["track_id"] == 5 and rec["zone_name"] == "z"
+        # JSONL audit log still written alongside
+        assert (tmp_path / "ev.jsonl").read_text().strip()
