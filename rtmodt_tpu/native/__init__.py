@@ -83,25 +83,42 @@ def _load_framepack() -> ctypes.CDLL | None:
 
 
 def pack_i420_chunk_native(frames: np.ndarray, ch: int, cw: int,
-                           num_threads: int = 0):
+                           num_threads: int = 0, out=None):
     """C++ chunk packer: (N, H, W, 3) BGR -> planar (y, u, v) uint8 arrays.
 
     Resize + BT.601 conversion for the whole chunk in one GIL-free native
-    call (multithreaded). Returns None if the native lib is unavailable
-    (callers fall back to the cv2 per-frame path).
+    call (AVX-512 fused path for 2x downsamples, point-sampling for odd
+    integer factors, scalar bilinear otherwise; multithreaded across
+    frames). Returns None if the native lib is unavailable (callers fall
+    back to the cv2 per-frame path).
     """
     lib = _load_framepack()
     if lib is None:
         return None
     frames = np.ascontiguousarray(frames, dtype=np.uint8)
     n, h, w = frames.shape[:3]
-    y = np.empty((n, ch, cw), np.uint8)
-    u = np.empty((n, ch // 2, cw // 2), np.uint8)
-    v = np.empty((n, ch // 2, cw // 2), np.uint8)
+    if out is None:
+        out = (np.empty((n, ch, cw), np.uint8),
+               np.empty((n, ch // 2, cw // 2), np.uint8),
+               np.empty((n, ch // 2, cw // 2), np.uint8))
+    y, u, v = out
     if num_threads <= 0:
         num_threads = min(8, os.cpu_count() or 4)
     lib.pack_i420_chunk(frames, n, h, w, ch, cw, y, u, v, num_threads)
     return y, u, v
+
+
+def native_pack_wins(src_h: int, src_w: int, ch: int, cw: int) -> bool:
+    """True when the native packer's fast paths apply to this geometry
+    (exact integer downsample; for the 2x AVX path the content width must
+    be SIMD-block aligned).  Otherwise cv2's resize+cvtColor is faster
+    than the native scalar fallback."""
+    if ch <= 0 or cw <= 0 or src_h % ch or src_w % cw:
+        return False
+    s = src_h // ch
+    if s != src_w // cw:
+        return False
+    return bool(s & 1) or (s == 2 and cw % 32 == 0)
 
 
 def lapjv(cost: np.ndarray, cost_limit: float = np.inf) -> np.ndarray:

@@ -32,21 +32,19 @@ def pack_i420(frame_bgr: np.ndarray, size: int) -> tuple[np.ndarray, LetterboxMe
     """Resize to letterbox content size and pack as I420 planar uint8.
 
     Returns (yuv (ch*3/2, cw) uint8, meta) where meta maps model coords back
-    to source coords (same convention as ops.letterbox).
+    to source coords (same convention as ops.letterbox).  Thin wrapper over
+    :func:`pack_chunk` (shared native/cv2 dispatch) that lays the planes out
+    in the single-buffer I420 order: Y rows, then U and V flat-reshaped to
+    ``cw``-wide rows.
     """
-    import cv2
-
-    h, w = frame_bgr.shape[:2]
-    ch, cw = content_dims(h, w, size)
-    resized = cv2.resize(frame_bgr, (cw, ch), interpolation=cv2.INTER_LINEAR)
-    yuv = cv2.cvtColor(resized, cv2.COLOR_BGR2YUV_I420)
-    # meta must reflect the EXACT scale used (even-rounded content dims).
-    # Pads are rounded DOWN to even so the half-res chroma grid stays aligned
-    # (<= 1 px shift vs ultralytics centering; see ops/planar_stem.py).
-    scale = min(ch / h, cw / w)
-    pad_left = (int(round((size - cw) / 2 - 0.1)) // 2) * 2
-    pad_top = (int(round((size - ch) / 2 - 0.1)) // 2) * 2
-    meta = LetterboxMeta(scale, pad_left, pad_top, cw, ch, w, h)
+    (y, u, v), meta = pack_chunk(frame_bgr[None], size)
+    ch, cw = meta.new_h, meta.new_w
+    yuv = np.empty((ch * 3 // 2, cw), np.uint8)
+    yuv[:ch] = y[0]
+    flat = yuv[ch:].reshape(-1)
+    n_chroma = (ch // 2) * (cw // 2)
+    flat[:n_chroma] = u[0].reshape(-1)
+    flat[n_chroma:] = v[0].reshape(-1)
     return yuv, meta
 
 
@@ -56,15 +54,8 @@ def pack_i420_planar(frame_bgr: np.ndarray, size: int):
 
     Returns ((y (ch, cw), u (ch/2, cw/2), v (ch/2, cw/2)) uint8, meta).
     """
-    yuv, meta = pack_i420(frame_bgr, size)
-    ch, cw = meta.new_h, meta.new_w
-    y = yuv[:ch]
-    n_chroma = (ch // 2) * (cw // 2)
-    chroma = yuv[ch:].reshape(-1)          # U then V, flat (handles ch % 4 != 0)
-    u = chroma[:n_chroma].reshape(ch // 2, cw // 2)
-    v = chroma[n_chroma:2 * n_chroma].reshape(ch // 2, cw // 2)
-    return (np.ascontiguousarray(y), np.ascontiguousarray(u),
-            np.ascontiguousarray(v)), meta
+    (y, u, v), meta = pack_chunk(frame_bgr[None], size)
+    return (y[0], u[0], v[0]), meta
 
 
 def planar_letterbox(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
@@ -105,11 +96,28 @@ def pack_chunk(frames_bgr: np.ndarray, size: int,
     intermediate np.stack allocations - this path runs on ingest worker
     threads where cv2 releases the GIL for the heavy ops).
     Returns ((y (N, ch, cw), u, v), meta).
+
+    Dispatch: the production geometries are exact integer downsamples
+    (720p -> 640x360 is 2x, 1080p -> 640x360 is 3x), where the native
+    AVX-512 packer (rtmodt_tpu/native/framepack.cpp) fuses resize +
+    BGR->I420 into one GIL-free sweep ~1.5x faster than cv2's two passes;
+    other geometries use cv2 resize + cvtColor per frame.
     """
     import cv2
 
     n, h, w = frames_bgr.shape[:3]
     ch, cw = content_dims(h, w, size)
+
+    from rtmodt_tpu.native import native_pack_wins, pack_i420_chunk_native
+
+    if native_pack_wins(h, w, ch, cw):
+        res = pack_i420_chunk_native(frames_bgr, ch, cw, out=out)
+        if res is not None:
+            scale = min(ch / h, cw / w)
+            pad_left = (int(round((size - cw) / 2 - 0.1)) // 2) * 2
+            pad_top = (int(round((size - ch) / 2 - 0.1)) // 2) * 2
+            return res, LetterboxMeta(scale, pad_left, pad_top, cw, ch, w, h)
+
     if out is None:
         out = (np.empty((n, ch, cw), np.uint8),
                np.empty((n, ch // 2, cw // 2), np.uint8),
