@@ -140,6 +140,110 @@ inline void chroma_row_from_sums(const uint16_t* be, const uint16_t* ge,
 
 #ifdef FRAMEPACK_AVX512
 
+// Shared AVX-512 chroma pass: one U/V output row from two rows of
+// deinterleaved per-output-pixel B/G/R u16 sums (each aggregating
+// `sum_scale` source pixels).  Requires cw % 32 == 0.
+void chroma_rows_avx512(const uint16_t* be, const uint16_t* ge,
+                        const uint16_t* re, const uint16_t* bo,
+                        const uint16_t* go, const uint16_t* ro, int cw,
+                        uint8_t* urow, uint8_t* vrow, float sum_scale) {
+  const __m512i ones16 = _mm512_set1_epi16(1);
+  const __m512 inv = _mm512_set1_ps(1.0f / (4.0f * sum_scale));
+  const __m512 kr = _mm512_set1_ps(0.299f);
+  const __m512 kg = _mm512_set1_ps(0.587f);
+  const __m512 kb = _mm512_set1_ps(0.114f);
+  const __m512 ku = _mm512_set1_ps(1.0f / 1.773f);
+  const __m512 kv = _mm512_set1_ps(1.0f / 1.403f);
+  const __m512 k128 = _mm512_set1_ps(128.5f);      // +0.5 = round after truncate
+  const __m512 v0 = _mm512_set1_ps(0.0f);
+  const __m512 v255 = _mm512_set1_ps(255.0f);
+  for (int xc = 0; xc < cw / 2; xc += 16) {
+    const int x0 = 2 * xc;
+    const __m512i bsum = _mm512_add_epi16(
+        _mm512_loadu_si512(be + x0), _mm512_loadu_si512(bo + x0));
+    const __m512i gsum = _mm512_add_epi16(
+        _mm512_loadu_si512(ge + x0), _mm512_loadu_si512(go + x0));
+    const __m512i rsum = _mm512_add_epi16(
+        _mm512_loadu_si512(re + x0), _mm512_loadu_si512(ro + x0));
+    const __m512 bf = _mm512_mul_ps(
+        _mm512_cvtepi32_ps(_mm512_madd_epi16(bsum, ones16)), inv);
+    const __m512 gf = _mm512_mul_ps(
+        _mm512_cvtepi32_ps(_mm512_madd_epi16(gsum, ones16)), inv);
+    const __m512 rf = _mm512_mul_ps(
+        _mm512_cvtepi32_ps(_mm512_madd_epi16(rsum, ones16)), inv);
+    const __m512 lum = _mm512_add_ps(
+        _mm512_mul_ps(kr, rf),
+        _mm512_add_ps(_mm512_mul_ps(kg, gf), _mm512_mul_ps(kb, bf)));
+    __m512 uf = _mm512_add_ps(_mm512_mul_ps(_mm512_sub_ps(bf, lum), ku), k128);
+    __m512 vf = _mm512_add_ps(_mm512_mul_ps(_mm512_sub_ps(rf, lum), kv), k128);
+    uf = _mm512_max_ps(v0, _mm512_min_ps(v255, uf));
+    vf = _mm512_max_ps(v0, _mm512_min_ps(v255, vf));
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(urow + xc),
+                     _mm512_cvtepi32_epi8(_mm512_cvttps_epi32(uf)));
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(vrow + xc),
+                     _mm512_cvtepi32_epi8(_mm512_cvttps_epi32(vf)));
+  }
+}
+
+// AVX-512 odd-factor path (1080p -> 640x360 is s=3): bilinear at odd
+// integer scale lands exactly on source pixel centers, so each output
+// pixel is a dword gather at byte stride 3s (the 4th gathered byte is the
+// next pixel's B, masked away).  Requires s >= 3 (s=1 would overread one
+// byte past the last pixel) and cw % 32 == 0.
+void pack_one_odd_avx512(const uint8_t* frame, int src_w, int s, int ch,
+                         int cw, uint8_t* y_out, uint8_t* u_out,
+                         uint8_t* v_out) {
+  const size_t rstride = static_cast<size_t>(src_w) * 3;
+  const int off = (s - 1) / 2;
+  std::vector<uint16_t> bs[2], gs[2], rs[2];
+  for (int k = 0; k < 2; ++k) {
+    bs[k].resize(cw); gs[k].resize(cw); rs[k].resize(cw);
+  }
+  alignas(64) int32_t idx[16];
+  for (int i = 0; i < 16; ++i) idx[i] = 3 * s * i;
+  const __m512i vidx = _mm512_load_si512(idx);
+  const __m512i mask8 = _mm512_set1_epi32(0xFF);
+  const __m512i cb = _mm512_set1_epi32(3736);
+  const __m512i cg = _mm512_set1_epi32(19235);
+  const __m512i cr = _mm512_set1_epi32(9798);
+  const __m512i yround = _mm512_set1_epi32(1 << 14);
+
+  for (int yy = 0; yy < ch; ++yy) {
+    const uint8_t* row =
+        frame + static_cast<size_t>(s * yy + off) * rstride + 3 * off;
+    const int par = yy & 1;
+    uint16_t* brow = bs[par].data();
+    uint16_t* grow = gs[par].data();
+    uint16_t* rrow = rs[par].data();
+    uint8_t* yrow = y_out + static_cast<size_t>(yy) * cw;
+    for (int x = 0; x < cw; x += 16) {
+      const __m512i g = _mm512_i32gather_epi32(
+          vidx, row + static_cast<size_t>(3 * s) * x, 1);
+      const __m512i bi = _mm512_and_si512(g, mask8);
+      const __m512i gi = _mm512_and_si512(_mm512_srli_epi32(g, 8), mask8);
+      const __m512i ri = _mm512_and_si512(_mm512_srli_epi32(g, 16), mask8);
+      _mm256_storeu_si256(reinterpret_cast<__m256i*>(brow + x),
+                          _mm512_cvtepi32_epi16(bi));
+      _mm256_storeu_si256(reinterpret_cast<__m256i*>(grow + x),
+                          _mm512_cvtepi32_epi16(gi));
+      _mm256_storeu_si256(reinterpret_cast<__m256i*>(rrow + x),
+                          _mm512_cvtepi32_epi16(ri));
+      __m512i acc = _mm512_mullo_epi32(cb, bi);
+      acc = _mm512_add_epi32(acc, _mm512_mullo_epi32(cg, gi));
+      acc = _mm512_add_epi32(acc, _mm512_mullo_epi32(cr, ri));
+      acc = _mm512_srli_epi32(_mm512_add_epi32(acc, yround), 15);
+      _mm_storeu_si128(reinterpret_cast<__m128i*>(yrow + x),
+                       _mm512_cvtepi32_epi8(acc));
+    }
+    if (par) {
+      chroma_rows_avx512(bs[0].data(), gs[0].data(), rs[0].data(),
+                         bs[1].data(), gs[1].data(), rs[1].data(), cw,
+                         u_out + static_cast<size_t>(yy / 2) * (cw / 2),
+                         v_out + static_cast<size_t>(yy / 2) * (cw / 2), 1.0f);
+    }
+  }
+}
+
 // AVX-512 2x path. Per output row:
 //   pass 1: vertical u8+u8 -> u16 row sum (contiguous)
 //   pass 2: horizontal pair add with BGR-triple stride-6 compaction
@@ -182,16 +286,6 @@ void pack_one_2x_avx512(const uint8_t* frame, int src_w, int ch, int cw,
   const __m512i cg = _mm512_set1_epi32(19235);
   const __m512i cr = _mm512_set1_epi32(9798);
   const __m512i yround = _mm512_set1_epi32(1 << 16);
-  const __m512i ones16 = _mm512_set1_epi16(1);
-  const __m512 inv16 = _mm512_set1_ps(1.0f / 16.0f);
-  const __m512 kr = _mm512_set1_ps(0.299f);
-  const __m512 kg = _mm512_set1_ps(0.587f);
-  const __m512 kb = _mm512_set1_ps(0.114f);
-  const __m512 ku = _mm512_set1_ps(1.0f / 1.773f);
-  const __m512 kv = _mm512_set1_ps(1.0f / 1.403f);
-  const __m512 k128 = _mm512_set1_ps(128.5f);      // +0.5 = round after truncate
-  const __m512 v0 = _mm512_set1_ps(0.0f);
-  const __m512 v255 = _mm512_set1_ps(255.0f);
 
   for (int yy = 0; yy < ch; ++yy) {
     const uint8_t* p0 = frame + static_cast<size_t>(2 * yy) * rstride;
@@ -252,42 +346,10 @@ void pack_one_2x_avx512(const uint8_t* frame, int src_w, int ch, int cw,
     }
     // pass 4: chroma from this + previous row's 2x2 sums
     if (par) {
-      uint8_t* urow = u_out + static_cast<size_t>(yy / 2) * (cw / 2);
-      uint8_t* vrow = v_out + static_cast<size_t>(yy / 2) * (cw / 2);
-      const uint16_t* be = bs[0].data();
-      const uint16_t* ge = gs[0].data();
-      const uint16_t* re = rs[0].data();
-      const uint16_t* bo = bs[1].data();
-      const uint16_t* go = gs[1].data();
-      const uint16_t* ro = rs[1].data();
-      for (int xc = 0; xc < cw / 2; xc += 16) {
-        const int x0 = 2 * xc;
-        const __m512i bsum = _mm512_add_epi16(
-            _mm512_loadu_si512(be + x0), _mm512_loadu_si512(bo + x0));
-        const __m512i gsum = _mm512_add_epi16(
-            _mm512_loadu_si512(ge + x0), _mm512_loadu_si512(go + x0));
-        const __m512i rsum = _mm512_add_epi16(
-            _mm512_loadu_si512(re + x0), _mm512_loadu_si512(ro + x0));
-        const __m512 bf = _mm512_mul_ps(
-            _mm512_cvtepi32_ps(_mm512_madd_epi16(bsum, ones16)), inv16);
-        const __m512 gf = _mm512_mul_ps(
-            _mm512_cvtepi32_ps(_mm512_madd_epi16(gsum, ones16)), inv16);
-        const __m512 rf = _mm512_mul_ps(
-            _mm512_cvtepi32_ps(_mm512_madd_epi16(rsum, ones16)), inv16);
-        const __m512 lum = _mm512_add_ps(
-            _mm512_mul_ps(kr, rf),
-            _mm512_add_ps(_mm512_mul_ps(kg, gf), _mm512_mul_ps(kb, bf)));
-        __m512 uf = _mm512_add_ps(
-            _mm512_mul_ps(_mm512_sub_ps(bf, lum), ku), k128);
-        __m512 vf = _mm512_add_ps(
-            _mm512_mul_ps(_mm512_sub_ps(rf, lum), kv), k128);
-        uf = _mm512_max_ps(v0, _mm512_min_ps(v255, uf));
-        vf = _mm512_max_ps(v0, _mm512_min_ps(v255, vf));
-        _mm_storeu_si128(reinterpret_cast<__m128i*>(urow + xc),
-                         _mm512_cvtepi32_epi8(_mm512_cvttps_epi32(uf)));
-        _mm_storeu_si128(reinterpret_cast<__m128i*>(vrow + xc),
-                         _mm512_cvtepi32_epi8(_mm512_cvttps_epi32(vf)));
-      }
+      chroma_rows_avx512(bs[0].data(), gs[0].data(), rs[0].data(),
+                         bs[1].data(), gs[1].data(), rs[1].data(), cw,
+                         u_out + static_cast<size_t>(yy / 2) * (cw / 2),
+                         v_out + static_cast<size_t>(yy / 2) * (cw / 2), 4.0f);
     }
   }
 }
@@ -347,6 +409,12 @@ void pack_one_2x(const uint8_t* frame, int src_w, int ch, int cw,
 
 void pack_one_odd(const uint8_t* frame, int src_w, int s, int ch, int cw,
                   uint8_t* y_out, uint8_t* u_out, uint8_t* v_out) {
+#ifdef FRAMEPACK_AVX512
+  if (s >= 3 && cw % 32 == 0) {
+    pack_one_odd_avx512(frame, src_w, s, ch, cw, y_out, u_out, v_out);
+    return;
+  }
+#endif
   const size_t rstride = static_cast<size_t>(src_w) * 3;
   const int off = (s - 1) / 2;
   std::vector<uint16_t> bs[2], gs[2], rs[2];

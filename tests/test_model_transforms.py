@@ -127,3 +127,79 @@ class TestNativeFramePack:
             160, 0, 0, dtype=jnp.float32))[:ch, :cw]
         ref = cv2.resize(frames[0], (cw, ch))[..., ::-1].astype(np.float32) / 255
         assert np.abs(rgb - ref).mean() < 0.03
+
+    @staticmethod
+    def _spec_yuv(box_bgr):
+        """Float-reference I420 from per-output-pixel BGR (the packer spec:
+        luma per pixel, chroma from the 2x2 average, exact inverse of the
+        device decode constants in ops/yuv.py)."""
+        b, g, r = box_bgr[..., 0], box_bgr[..., 1], box_bgr[..., 2]
+        lum = 0.299 * r + 0.587 * g + 0.114 * b
+        yref = np.clip(lum + 0.5, 0, 255).astype(np.uint8)
+
+        def q(p):
+            return (p[:, 0::2, 0::2] + p[:, 0::2, 1::2]
+                    + p[:, 1::2, 0::2] + p[:, 1::2, 1::2]) / 4
+
+        b4, g4, r4 = q(b), q(g), q(r)
+        lum4 = 0.299 * r4 + 0.587 * g4 + 0.114 * b4
+        uref = np.clip((b4 - lum4) / 1.773 + 128.5, 0, 255).astype(np.uint8)
+        vref = np.clip((r4 - lum4) / 1.403 + 128.5, 0, 255).astype(np.uint8)
+        return yref, uref, vref
+
+    def test_2x_matches_float_spec(self, rng):
+        """720p-geometry (exact 2x): bilinear degenerates to the 2x2 box
+        average; the AVX-512 fixed-point path must stay within 1 LSB."""
+        import pytest as _p
+        from rtmodt_tpu.native import pack_i420_chunk_native
+
+        frames = rng.integers(0, 256, (2, 720, 1280, 3), np.uint8)
+        res = pack_i420_chunk_native(frames, 360, 640)
+        if res is None:
+            _p.skip("native packer unavailable")
+        y, u, v = res
+        f = frames.astype(np.float64)
+        box = (f[:, 0::2, 0::2] + f[:, 0::2, 1::2]
+               + f[:, 1::2, 0::2] + f[:, 1::2, 1::2]) / 4
+        yref, uref, vref = self._spec_yuv(box)
+        assert np.abs(y.astype(int) - yref.astype(int)).max() <= 1
+        assert np.abs(u.astype(int) - uref.astype(int)).max() <= 1
+        assert np.abs(v.astype(int) - vref.astype(int)).max() <= 1
+
+    def test_3x_matches_float_spec(self, rng):
+        """1080p-geometry (exact 3x): bilinear at odd integer scale lands on
+        source pixel centers; the gather path must match point sampling."""
+        import pytest as _p
+        from rtmodt_tpu.native import pack_i420_chunk_native
+
+        frames = rng.integers(0, 256, (2, 1080, 1920, 3), np.uint8)
+        res = pack_i420_chunk_native(frames, 360, 640)
+        if res is None:
+            _p.skip("native packer unavailable")
+        y, u, v = res
+        pt = frames.astype(np.float64)[:, 1::3, 1::3]
+        yref, uref, vref = self._spec_yuv(pt)
+        assert np.abs(y.astype(int) - yref.astype(int)).max() <= 1
+        assert np.abs(u.astype(int) - uref.astype(int)).max() <= 1
+        assert np.abs(v.astype(int) - vref.astype(int)).max() <= 1
+
+    def test_pack_chunk_dispatch(self, rng):
+        """pack_chunk routes integer-factor geometries to the native packer
+        and everything else to cv2, with identical meta either way."""
+        from rtmodt_tpu.native import native_pack_wins
+
+        assert native_pack_wins(720, 1280, 360, 640)        # 2x AVX
+        assert native_pack_wins(1080, 1920, 360, 640)       # 3x gather
+        assert not native_pack_wins(719, 1280, 360, 640)    # non-integer
+        assert not native_pack_wins(720, 1280, 360, 644)    # mismatched s
+
+        from rtmodt_tpu.ops.yuv import pack_chunk, pack_i420_planar
+
+        frames = rng.integers(0, 256, (2, 720, 1280, 3), np.uint8)
+        (y, u, v), meta = pack_chunk(frames, 640)
+        assert y.shape == (2, 360, 640) and u.shape == (2, 180, 320)
+        assert (meta.new_h, meta.new_w) == (360, 640)
+        # single-frame planar path goes through the same dispatch
+        (y1, u1, v1), meta1 = pack_i420_planar(frames[0], 640)
+        np.testing.assert_array_equal(y1, y[0])
+        assert meta1 == meta
