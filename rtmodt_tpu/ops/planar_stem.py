@@ -63,8 +63,20 @@ def planar_stem_apply(stem_params: dict, stem_stats: dict | None,
       y: (B, S, S) uint8 Y plane padded with 114.
       u, v: (B, S/2, S/2) uint8 chroma planes padded with 128.
     Returns (B, S/2, S/2, C) post-stem features.
+
+    Single-conv formulation: three separate per-plane convs each have ONE
+    input channel, wasting the MXU's 128-deep contraction (a device trace
+    showed them at ~40% of total chunk time).  Instead: space-to-depth the
+    Y plane 2x2 into 4 channels at half resolution, concat U and V (6
+    channels total, all at S/2), and fold the 3x3/stride-2 Y kernel into
+    the exactly-equivalent 2x2/stride-1 kernel over the packed layout -
+    the whole stem is one conv with a 2*2*6=24-deep contraction.  The Y
+    taps map as (output-window row ky, block parity p) -> source row
+    2i+dy-1: (0,1)->dy=0, (1,0)->dy=1, (1,1)->dy=2 (and likewise for
+    columns); the (0,0) slot is structurally zero.
     """
     w = stem_params["conv"]["kernel"].astype(jnp.float32)      # (3, 3, 3, C)
+    n_out = w.shape[-1]
     a = jnp.asarray(_A)
     # fold the color matrix + /255 into per-source kernels
     wy = jnp.einsum("ijco,c->ijo", w, a[:, 0]) / 255.0          # (3, 3, C)
@@ -72,17 +84,38 @@ def planar_stem_apply(stem_params: dict, stem_stats: dict | None,
     wv = jnp.einsum("ijco,c->ijo", w, a[:, 2]) / 255.0
     const = jnp.einsum("ijco,c->o", w, jnp.asarray(_OFFSET))    # (C,)
 
-    dn = jax.lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
+    # combined (2, 2, 6, C) kernel: channels 0..3 = Y block parities
+    # (2*p + q), channel 4 = U, channel 5 = V
+    zero = jnp.zeros((n_out,), jnp.float32)
+
+    def ytap(ky, kx, p, q):
+        dy = {(0, 1): 0, (1, 0): 1, (1, 1): 2}.get((ky, p))
+        dx = {(0, 1): 0, (1, 0): 1, (1, 1): 2}.get((kx, q))
+        return zero if dy is None or dx is None else wy[dy, dx]
+
+    ku = _chroma_kernel(wu)[:, :, 0, :]                         # (2, 2, C)
+    kv = _chroma_kernel(wv)[:, :, 0, :]
+    kernel = jnp.stack([
+        jnp.stack([
+            jnp.stack([ytap(ky, kx, 0, 0), ytap(ky, kx, 0, 1),
+                       ytap(ky, kx, 1, 0), ytap(ky, kx, 1, 1),
+                       ku[ky, kx], kv[ky, kx]], axis=0)          # (6, C)
+            for kx in (0, 1)], axis=0)                           # (2, 6, C)
+        for ky in (0, 1)], axis=0)                               # (2, 2, 6, C)
+
+    b, s = y.shape[0], y.shape[1]
+    yd = y.reshape(b, s // 2, 2, s // 2, 2).transpose(0, 1, 3, 2, 4)
+    yd = yd.reshape(b, s // 2, s // 2, 4)                        # space-to-depth
+    x = jnp.concatenate([yd, u[..., None], v[..., None]], axis=-1).astype(dtype)
+
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
                                         ("NHWC", "HWIO", "NHWC"))
-
-    def conv(x, k, stride, pad):
-        return jax.lax.conv_general_dilated(
-            x.astype(dtype)[..., None], k.astype(dtype), stride, pad,
-            dimension_numbers=dn, preferred_element_type=jnp.float32)
-
-    out = conv(y, wy[:, :, None, :], (2, 2), ((1, 1), (1, 1)))
-    out = out + conv(u, _chroma_kernel(wu), (1, 1), ((1, 0), (1, 0)))
-    out = out + conv(v, _chroma_kernel(wv), (1, 1), ((1, 0), (1, 0)))
+    # bf16 conv output (MXU accumulates f32 internally): the f32 output
+    # tensor cost more in layout copies than the conv itself in the trace
+    out = jax.lax.conv_general_dilated(
+        x, kernel.astype(dtype), (1, 1), ((1, 0), (1, 0)),
+        dimension_numbers=dn,
+        preferred_element_type=dtype).astype(jnp.float32)
     out = out + const[None, None, None, :]
 
     if stem_stats is None:  # BN already folded into the conv (fused model)

@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Capture + summarize a device trace of the production packed-chunk program.
+
+The TPU analog of nvprof on the reference's CUDA path: runs the fused
+detect+track chunk program (yolov8s 640, packed planar I420 transport) for a
+few chunks under ``jax.profiler``, then parses the emitted Chrome-format
+trace and prints the top device ops by total time.  Use this to decide what
+to optimize next (see docs/PERF_NOTES.md "Trace-driven" entries).
+
+Usage: python tools/trace_chunk.py [--chunk 16] [--iters 4] [--out /tmp/trace]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def capture(out_dir: str, chunk: int, iters: int) -> None:
+    import numpy as np
+
+    from rtmodt_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+    import jax
+
+    from rtmodt_tpu.config import load_config
+    from rtmodt_tpu.ops.yuv import pack_chunk
+    from rtmodt_tpu.runtime.pipeline import Pipeline
+    from rtmodt_tpu.utils.synthetic import moving_boxes_frame
+
+    cfg = load_config(overrides={
+        "detection": {"model": "yolov8s", "input_size": 640},
+        "profiling": {"per_stage": False, "warmup_frames": 0, "log_interval": 0},
+        "visualization": {"enabled": False},
+        "events": {"enabled": False},
+        "parallel": {"chunk_size": chunk, "pipeline_depth": 2},
+    })
+    pipe = Pipeline(cfg)
+    h, w = 720, 1280
+
+    # enough distinct chunks that the remote tunnel cannot dedupe dispatches
+    packs = []
+    for c in range(iters + 2):
+        frames = np.stack([moving_boxes_frame(c * chunk + t, h, w, n_objects=8)[0]
+                           for t in range(chunk)])
+        packs.append(pack_chunk(frames, 640)[0])
+
+    print("compile/warmup...", file=sys.stderr)
+    outs, _ = pipe.submit_packed_yuv(packs[-1], h, w)
+    outs, _ = pipe.submit_packed_yuv(packs[-2], h, w)
+    jax.block_until_ready(outs.visible)
+
+    print(f"tracing {iters} chunks of {chunk}...", file=sys.stderr)
+    jax.profiler.start_trace(out_dir)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        outs, _ = pipe.submit_packed_yuv(packs[i], h, w)
+    np.asarray(outs.visible)          # fetch-sync (tunnel-safe, PERF_NOTES 1)
+    wall = time.perf_counter() - t0
+    jax.profiler.stop_trace()
+    print(f"wall {wall * 1e3:.1f} ms for {iters * chunk} frames "
+          f"({wall / (iters * chunk) * 1e3:.2f} ms/frame submitted)",
+          file=sys.stderr)
+
+
+def summarize(out_dir: str, iters: int, chunk: int, top: int = 25) -> None:
+    paths = glob.glob(os.path.join(out_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        print("no trace.json.gz found under", out_dir, file=sys.stderr)
+        return
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # device lanes: TPU core pids have "TPU" in the process name
+    pid_name = {e["pid"]: e["args"].get("name", "")
+                for e in events if e.get("ph") == "M"
+                and e.get("name") == "process_name" and "args" in e}
+    device_pids = {p for p, n in pid_name.items()
+                   if "TPU" in n.upper() or "/device" in n.lower()}
+    by_op: dict[str, float] = defaultdict(float)
+    n_ev: dict[str, int] = defaultdict(int)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        name = e.get("name", "?")
+        dur = e.get("dur", 0) / 1e3          # us -> ms
+        if name.startswith("jit_") or name == "program":   # container spans
+            continue
+        by_op[name] += dur
+        n_ev[name] += 1
+        total += dur
+    frames = iters * chunk
+    print(f"\ndevice op time over {frames} frames "
+          f"(total {total:.1f} ms, {total / frames:.3f} ms/frame):")
+    print(f"{'op':60s} {'total_ms':>9s} {'ms/frame':>9s} {'calls':>6s} {'%':>5s}")
+    for name, ms in sorted(by_op.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{name[:60]:60s} {ms:9.2f} {ms / frames:9.4f} "
+              f"{n_ev[name]:6d} {100 * ms / max(total, 1e-9):5.1f}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--out", default="/tmp/rtmodt_trace")
+    ap.add_argument("--summarize-only", action="store_true")
+    args = ap.parse_args()
+    if not args.summarize_only:
+        capture(args.out, args.chunk, args.iters)
+    summarize(args.out, args.iters, args.chunk)
+
+
+if __name__ == "__main__":
+    main()
