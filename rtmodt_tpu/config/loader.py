@@ -15,6 +15,8 @@ from typing import Any
 
 import yaml
 
+from rtmodt_tpu.utils.logging import logger
+
 _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
@@ -174,6 +176,8 @@ class VisualizationConfig:
     trail_length: int = 30
     save_video: bool = False
     save_path: str = "outputs/annotated.mp4"
+    codec: str = "mp4v"                 # cv2 fourcc for save_video
+    window_name: str = "RTMODT-TPU"     # --display window title
 
 
 @dataclass
@@ -234,14 +238,62 @@ def _build(cls: type, data: Any, path: str) -> Any:
     return cls(**kwargs)
 
 
+# Reference config-key compatibility (``config/default.yaml`` of the
+# reference): a user's existing YAML loads unmodified.  Maps
+# (section, reference_key) -> our key, or None for keys with no analog here
+# (accepted and logged rather than rejected).  Renames are also documented
+# in docs/MIGRATION.md.
+_REFERENCE_ALIASES: dict[tuple[str, str], str | None] = {
+    ("detection", "confidence_threshold"): "conf_threshold",
+    ("detection", "nms_iou_threshold"): "iou_threshold",
+    ("detection", "model_path"): "weights",
+    ("detection", "fallback_model"): "fallback_weights",
+    ("ingestion", "max_reconnect_attempts"): "max_reconnects",
+    ("ingestion", "drop_stale_frames"): None,   # latest-frame is the live default here
+    ("profiling", "gpu_sync"): None,            # TPU path always fetch-syncs
+    ("profiling", "log_interval_frames"): "log_interval",
+    ("system", "num_workers"): None,            # ingest threading is automatic
+    ("visualization", "show_fps"): "show_hud",
+    ("visualization", "show_ids"): "show_labels",
+}
+
+
+def _apply_reference_aliases(raw: dict) -> dict:
+    """Translate reference key names in place so reference YAMLs load."""
+    for (section, ref_key), ours in _REFERENCE_ALIASES.items():
+        sec = raw.get(section)
+        if not isinstance(sec, dict) or ref_key not in sec:
+            continue
+        value = sec.pop(ref_key)
+        if ours is None:
+            logger.info(f"config: reference key {section}.{ref_key} has no "
+                        f"TPU analog; ignored")
+        else:
+            sec.setdefault(ours, value)
+            logger.info(f"config: reference key {section}.{ref_key} -> "
+                        f"{section}.{ours}")
+    # reference resolution is {width, height}; ours is [w, h]
+    res = raw.get("ingestion", {}).get("resolution")
+    if isinstance(res, dict):
+        raw["ingestion"]["resolution"] = [res.get("width"), res.get("height")]
+    # reference input_size is [w, h]; ours is the square letterbox side
+    size = raw.get("detection", {}).get("input_size")
+    if isinstance(size, (list, tuple)):
+        raw["detection"]["input_size"] = int(max(size))
+        logger.info(f"config: reference detection.input_size {list(size)} -> "
+                    f"square {raw['detection']['input_size']} (letterbox side)")
+    return raw
+
+
 def load_config(path: str | None = None, overrides: dict[str, Any] | None = None) -> PipelineConfig:
     """Load and validate a pipeline config.
 
     ``overrides`` is a nested dict merged on top of the YAML (used by CLI flags,
     analogous to the reference's source-override mutation at
-    ``tools/run_pipeline.py:50-51``).
+    ``tools/run_pipeline.py:50-51``).  Reference-format YAMLs (the upstream
+    ``config/default.yaml`` key names) are accepted via ``_REFERENCE_ALIASES``.
     """
-    raw = load_yaml(path or default_config_path())
+    raw = _apply_reference_aliases(load_yaml(path or default_config_path()))
     if overrides:
         raw = _deep_merge(raw, overrides)
     cfg = PipelineConfig(

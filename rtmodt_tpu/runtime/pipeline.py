@@ -795,11 +795,11 @@ class Pipeline:
                     os.makedirs(os.path.dirname(vcfg.save_path) or ".", exist_ok=True)
                     fps_out = reader.fps if reader.fps > 0 else 25.0
                     writer = cv2.VideoWriter(
-                        vcfg.save_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                        vcfg.save_path, cv2.VideoWriter_fourcc(*vcfg.codec),
                         fps_out, (frame.shape[1], frame.shape[0]))
                 writer.write(frame)
             if display:
-                cv2.imshow("RTMODT-TPU", frame)
+                cv2.imshow(vcfg.window_name, frame)
                 if cv2.waitKey(1) & 0xFF == ord("q"):
                     return False
             return True
@@ -842,11 +842,11 @@ class Pipeline:
                                 os.makedirs(os.path.dirname(vcfg.save_path) or ".", exist_ok=True)
                                 fps_out = reader.fps if reader.fps > 0 else 25.0
                                 writer = cv2.VideoWriter(
-                                    vcfg.save_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                    vcfg.save_path, cv2.VideoWriter_fourcc(*vcfg.codec),
                                     fps_out, (frame.shape[1], frame.shape[0]))
                             writer.write(frame)
                         if display:
-                            cv2.imshow("RTMODT-TPU", frame)
+                            cv2.imshow(vcfg.window_name, frame)
                             if cv2.waitKey(1) & 0xFF == ord("q"):
                                 break
                     frames += 1

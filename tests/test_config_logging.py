@@ -49,6 +49,56 @@ class TestConfig:
         with pytest.raises(ValueError, match="motion_model"):
             load_config(overrides={"tracking": {"bytetrack": {"motion_model": "magic"}}})
 
+    def test_reference_key_aliases(self, tmp_path):
+        """A config written with the REFERENCE's key names loads unmodified
+        (its default.yaml surface: confidence_threshold, model_path,
+        max_reconnect_attempts, {width,height} resolution, show_fps...)."""
+        import yaml
+
+        from rtmodt_tpu.config import load_config
+
+        ref_style = {
+            "detection": {"confidence_threshold": 0.4,
+                          "nms_iou_threshold": 0.6,
+                          "model_path": "models/yolov8s.engine",
+                          "fallback_model": "models/yolov8s.pt"},
+            "ingestion": {"max_reconnect_attempts": 7,
+                          "drop_stale_frames": True,
+                          "resolution": {"width": 1280, "height": 720}},
+            "profiling": {"gpu_sync": True, "log_interval_frames": 50},
+            "system": {"num_workers": 4},
+            "visualization": {"show_fps": False, "show_ids": False,
+                              "codec": "XVID", "window_name": "ref"},
+        }
+        p = tmp_path / "ref.yaml"
+        p.write_text(yaml.safe_dump(ref_style))
+        cfg = load_config(str(p))
+        assert cfg.detection.conf_threshold == 0.4
+        assert cfg.detection.iou_threshold == 0.6
+        assert cfg.detection.weights == "models/yolov8s.engine"
+        assert cfg.detection.fallback_weights == "models/yolov8s.pt"
+        assert cfg.ingestion.max_reconnects == 7
+        assert cfg.ingestion.resolution == [1280, 720]
+        assert cfg.profiling.log_interval == 50
+        assert cfg.visualization.show_hud is False
+        assert cfg.visualization.show_labels is False
+        assert cfg.visualization.codec == "XVID"
+        assert cfg.visualization.window_name == "ref"
+
+    def test_reference_default_yaml_loads(self):
+        """The reference repo's own config/default.yaml parses end-to-end
+        through the alias layer (migration: reuse existing configs as-is)."""
+        import pytest as _p
+
+        ref = "/root/reference/config/default.yaml"
+        if not os.path.exists(ref):
+            _p.skip("reference checkout not present")
+        from rtmodt_tpu.config import load_config
+
+        cfg = load_config(ref)
+        assert cfg.detection.conf_threshold == 0.35
+        assert len(cfg.events.zones) >= 1
+
 
 class TestLogging:
     def test_file_sink_and_remove(self, tmp_path):
