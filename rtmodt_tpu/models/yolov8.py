@@ -214,7 +214,8 @@ class YOLOv8(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
-                 skip_stem: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+                 skip_stem: bool = False,
+                 skip_front: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
         ch = lambda c: _scale_channels(c, self.width)  # noqa: E731
         c5 = _make_divisible(512 * self.width * self.ratio, 8)
         d = lambda n: _depth(n, self.depth)  # noqa: E731
@@ -223,11 +224,15 @@ class YOLOv8(nn.Module):
         # Backbone.  ``skip_stem=True`` means x is already the post-stem
         # feature map (e.g. produced by ``planar_stem_apply`` straight from
         # packed YUV planes - the (H, W, 3) image tensor never exists).
-        if not skip_stem:
-            x = ConvBN(ch(64), 3, 2, dtype=dt, fused=self.fused, name="stem")(x, train)       # /2
-        x = ConvBN(ch(128), 3, 2, dtype=dt, fused=self.fused, name="down1")(x, train)         # /4
-        x = C2f(ch(128), d(3), True, dtype=dt, fused=self.fused, name="c2f1")(x, train)
-        x = ConvBN(ch(256), 3, 2, dtype=dt, fused=self.fused, name="down2")(x, train)         # /8
+        # ``skip_front=True`` means x is already the post-down2 /8 feature
+        # map (``ops.s2d_front.s2d_front_apply`` computes stem..down2 in
+        # space-to-depth layout - the production packed path).
+        if not skip_front:
+            if not skip_stem:
+                x = ConvBN(ch(64), 3, 2, dtype=dt, fused=self.fused, name="stem")(x, train)   # /2
+            x = ConvBN(ch(128), 3, 2, dtype=dt, fused=self.fused, name="down1")(x, train)     # /4
+            x = C2f(ch(128), d(3), True, dtype=dt, fused=self.fused, name="c2f1")(x, train)
+            x = ConvBN(ch(256), 3, 2, dtype=dt, fused=self.fused, name="down2")(x, train)     # /8
         p3 = C2f(ch(256), d(6), True, dtype=dt, fused=self.fused, name="c2f2")(x, train)
         x = ConvBN(ch(512), 3, 2, dtype=dt, fused=self.fused, name="down3")(p3, train)        # /16
         p4 = C2f(ch(512), d(6), True, dtype=dt, fused=self.fused, name="c2f3")(x, train)

@@ -52,6 +52,51 @@ def _chroma_kernel(wc: jnp.ndarray) -> jnp.ndarray:
     return k[:, :, None, :]
 
 
+def stem_2x2_kernel(stem_kernel: jnp.ndarray):
+    """Fold color matrix + /255 into the combined (2, 2, 6, C) stem kernel.
+
+    Input channels: 0..3 = Y block parities (2*p + q), 4 = U, 5 = V (the
+    layout :func:`make_x6` produces).  Returns (kernel, const (C,)) where
+    ``const`` is the folded -128 chroma offset, to be added BEFORE any BN.
+    """
+    w = stem_kernel.astype(jnp.float32)                          # (3, 3, 3, C)
+    n_out = w.shape[-1]
+    a = jnp.asarray(_A)
+    wy = jnp.einsum("ijco,c->ijo", w, a[:, 0]) / 255.0           # (3, 3, C)
+    wu = jnp.einsum("ijco,c->ijo", w, a[:, 1]) / 255.0
+    wv = jnp.einsum("ijco,c->ijo", w, a[:, 2]) / 255.0
+    const = jnp.einsum("ijco,c->o", w, jnp.asarray(_OFFSET))     # (C,)
+
+    zero = jnp.zeros((n_out,), jnp.float32)
+
+    def ytap(ky, kx, p, q):
+        dy = {(0, 1): 0, (1, 0): 1, (1, 1): 2}.get((ky, p))
+        dx = {(0, 1): 0, (1, 0): 1, (1, 1): 2}.get((kx, q))
+        return zero if dy is None or dx is None else wy[dy, dx]
+
+    ku = _chroma_kernel(wu)[:, :, 0, :]                          # (2, 2, C)
+    kv = _chroma_kernel(wv)[:, :, 0, :]
+    kernel = jnp.stack([
+        jnp.stack([
+            jnp.stack([ytap(ky, kx, 0, 0), ytap(ky, kx, 0, 1),
+                       ytap(ky, kx, 1, 0), ytap(ky, kx, 1, 1),
+                       ku[ky, kx], kv[ky, kx]], axis=0)          # (6, C)
+            for kx in (0, 1)], axis=0)                           # (2, 6, C)
+        for ky in (0, 1)], axis=0)                               # (2, 2, 6, C)
+    return kernel, const
+
+
+def make_x6(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+            dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Space-to-depth the Y plane 2x2 and concat half-res chroma: the
+    6-channel half-resolution tensor every stem formulation consumes."""
+    b, s = y.shape[0], y.shape[1]
+    yd = y.reshape(b, s // 2, 2, s // 2, 2).transpose(0, 1, 3, 2, 4)
+    yd = yd.reshape(b, s // 2, s // 2, 4)
+    return jnp.concatenate([yd, u[..., None], v[..., None]],
+                           axis=-1).astype(dtype)
+
+
 def planar_stem_apply(stem_params: dict, stem_stats: dict | None,
                       y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                       dtype=jnp.bfloat16, bn_eps: float = 1e-3) -> jnp.ndarray:
@@ -75,38 +120,8 @@ def planar_stem_apply(stem_params: dict, stem_stats: dict | None,
     2i+dy-1: (0,1)->dy=0, (1,0)->dy=1, (1,1)->dy=2 (and likewise for
     columns); the (0,0) slot is structurally zero.
     """
-    w = stem_params["conv"]["kernel"].astype(jnp.float32)      # (3, 3, 3, C)
-    n_out = w.shape[-1]
-    a = jnp.asarray(_A)
-    # fold the color matrix + /255 into per-source kernels
-    wy = jnp.einsum("ijco,c->ijo", w, a[:, 0]) / 255.0          # (3, 3, C)
-    wu = jnp.einsum("ijco,c->ijo", w, a[:, 1]) / 255.0
-    wv = jnp.einsum("ijco,c->ijo", w, a[:, 2]) / 255.0
-    const = jnp.einsum("ijco,c->o", w, jnp.asarray(_OFFSET))    # (C,)
-
-    # combined (2, 2, 6, C) kernel: channels 0..3 = Y block parities
-    # (2*p + q), channel 4 = U, channel 5 = V
-    zero = jnp.zeros((n_out,), jnp.float32)
-
-    def ytap(ky, kx, p, q):
-        dy = {(0, 1): 0, (1, 0): 1, (1, 1): 2}.get((ky, p))
-        dx = {(0, 1): 0, (1, 0): 1, (1, 1): 2}.get((kx, q))
-        return zero if dy is None or dx is None else wy[dy, dx]
-
-    ku = _chroma_kernel(wu)[:, :, 0, :]                         # (2, 2, C)
-    kv = _chroma_kernel(wv)[:, :, 0, :]
-    kernel = jnp.stack([
-        jnp.stack([
-            jnp.stack([ytap(ky, kx, 0, 0), ytap(ky, kx, 0, 1),
-                       ytap(ky, kx, 1, 0), ytap(ky, kx, 1, 1),
-                       ku[ky, kx], kv[ky, kx]], axis=0)          # (6, C)
-            for kx in (0, 1)], axis=0)                           # (2, 6, C)
-        for ky in (0, 1)], axis=0)                               # (2, 2, 6, C)
-
-    b, s = y.shape[0], y.shape[1]
-    yd = y.reshape(b, s // 2, 2, s // 2, 2).transpose(0, 1, 3, 2, 4)
-    yd = yd.reshape(b, s // 2, s // 2, 4)                        # space-to-depth
-    x = jnp.concatenate([yd, u[..., None], v[..., None]], axis=-1).astype(dtype)
+    kernel, const = stem_2x2_kernel(stem_params["conv"]["kernel"])
+    x = make_x6(y, u, v, dtype)
 
     dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
                                         ("NHWC", "HWIO", "NHWC"))

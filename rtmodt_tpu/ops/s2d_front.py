@@ -1,0 +1,220 @@
+"""Space-to-depth front end: stem -> down1 -> c2f1 -> down2 in packed layout.
+
+Why: a device trace of the production chunk program (tools/trace_chunk.py,
+docs/PERF_NOTES.md 2026-08-17) put >50% of device time in the network's
+first four blocks.  At 320/160 px spatial with 32-64 channels, XLA's conv
+emitters run the MXU at 2-10% utilization (batch lives in sublanes, 32 of
+128 lanes carry channels), and the fat low-channel activations cost extra
+relayout copies.  The bandwidth/compute sweet spot only starts at 80 px /
+128 channels (c2f2 onward).
+
+Fix: run every front conv in a 2x2 space-to-depth layout - each (H, W, C)
+tensor is represented as (H/2, W/2, 4C) with packed channel c*4 + (2p + q)
+holding unpacked pixel (2i+p, 2j+q).  Convolutions map EXACTLY onto this
+layout with rearranged (structurally sparse) kernels:
+
+  * 3x3 stride-2, unpacked in, packed out  -> 3x3 stride-2 (stem: 6 -> 4C)
+  * 3x3 stride-2, packed in, packed out    -> 3x3 stride-2 (down1)
+  * 3x3 stride-1, packed in, packed out    -> 3x3 stride-1 (bottlenecks)
+  * 1x1,          packed in, packed out    -> 1x1 parity-block-diagonal
+  * 3x3 stride-2, packed in, UNPACKED out  -> 2x2 stride-1 (down2 exits
+    packed space at 80 px / 128 channels, where XLA is already efficient)
+
+The parity-minor channel order (c*4 + g) makes unpacked channel split /
+concat (the C2f dense concat) plain contiguous slicing on packed channels.
+Nominal FLOPs grow ~4x from structural zeros, but the contraction depth
+(3*3*4C >= 1152) and 4C >= 128 output lanes keep the MXU fed - measured
+net win ~3x on the front blocks (PERF_NOTES.md).
+
+Eval-only (BatchNorm folded to its running-stats affine); the production
+inference path.  Bypassed in int8 mode - quantization intercepts the Flax
+ConvBN modules, which this module does not execute.
+
+Reference: this replaces the first third of the CUDA YOLOv8s forward that
+the reference runs via ultralytics/TensorRT (detector.py:98-112, SURVEY N1).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from rtmodt_tpu.ops.planar_stem import make_x6, stem_2x2_kernel
+
+# (output parity p, unpacked tap dy) -> (packed kernel row wy, input parity pr)
+_MAP_S2 = {(0, 0): (0, 1), (0, 1): (1, 0), (0, 2): (1, 1),
+           (1, 0): (1, 1), (1, 1): (2, 0), (1, 2): (2, 1)}
+_MAP_S1 = {(0, 0): (0, 1), (0, 1): (1, 0), (0, 2): (1, 1),
+           (1, 0): (1, 0), (1, 1): (1, 1), (1, 2): (2, 0)}
+# packed-in unpacked-out stride-2 (down2): dy -> (wy, pr)
+_MAP_EXIT = {0: (0, 1), 1: (1, 0), 2: (1, 1)}
+
+
+def _pack_in6_kernel(k2: jnp.ndarray) -> jnp.ndarray:
+    """(2, 2, 6, C) stem kernel -> (3, 3, 6, 4C) packed-output kernel."""
+    c = k2.shape[-1]
+    out = jnp.zeros((3, 3, 6, 4 * c), k2.dtype)
+    for p in (0, 1):
+        for q in (0, 1):
+            for ky in (0, 1):
+                for kx in (0, 1):
+                    out = out.at[ky + p, kx + q, :, (2 * p + q)::4].set(
+                        k2[ky, kx])
+    return out
+
+
+def _pack_s2_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, C, K) stride-2 conv -> (3, 3, 4C, 4K) packed->packed."""
+    c, k = w.shape[2], w.shape[3]
+    out = jnp.zeros((3, 3, 4 * c, 4 * k), w.dtype)
+    for p in (0, 1):
+        for q in (0, 1):
+            g_out = 2 * p + q
+            for dy in range(3):
+                for dx in range(3):
+                    wy, pr = _MAP_S2[(p, dy)]
+                    wx, pc = _MAP_S2[(q, dx)]
+                    out = out.at[wy, wx, (2 * pr + pc)::4, g_out::4].set(
+                        w[dy, dx])
+    return out
+
+
+def _pack_s1_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, C, K) stride-1 conv -> (3, 3, 4C, 4K) packed->packed."""
+    c, k = w.shape[2], w.shape[3]
+    out = jnp.zeros((3, 3, 4 * c, 4 * k), w.dtype)
+    for p in (0, 1):
+        for q in (0, 1):
+            g_out = 2 * p + q
+            for dy in range(3):
+                for dx in range(3):
+                    wy, pr = _MAP_S1[(p, dy)]
+                    wx, pc = _MAP_S1[(q, dx)]
+                    out = out.at[wy, wx, (2 * pr + pc)::4, g_out::4].set(
+                        w[dy, dx])
+    return out
+
+
+def _pack_1x1_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(1, 1, C, K) -> (1, 1, 4C, 4K) parity-block-diagonal."""
+    c, k = w.shape[2], w.shape[3]
+    out = jnp.zeros((1, 1, 4 * c, 4 * k), w.dtype)
+    for g in range(4):
+        out = out.at[0, 0, g::4, g::4].set(w[0, 0])
+    return out
+
+
+def _pack_exit_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, C, K) stride-2 conv, packed input -> (2, 2, 4C, K) unpacked
+    output at half the packed grid... no: output matches the packed grid
+    (stride-1 over it), which IS the unpacked stride-2 output grid."""
+    c, k = w.shape[2], w.shape[3]
+    out = jnp.zeros((2, 2, 4 * c, k), w.dtype)
+    for dy in range(3):
+        for dx in range(3):
+            wy, pr = _MAP_EXIT[dy]
+            wx, pc = _MAP_EXIT[dx]
+            out = out.at[wy, wx, (2 * pr + pc)::4, :].set(w[dy, dx])
+    return out
+
+
+def _rep4(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-unpacked-channel vector -> packed (parity-minor) layout."""
+    return jnp.repeat(x, 4)
+
+
+def _eval_affine(layer: dict, stats: dict | None,
+                 bn_eps: float) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Eval-mode (scale, bias) of a ConvBN: BN running-stats affine, or the
+    conv bias for a BN-fused checkpoint."""
+    if stats is None:                     # fused: conv has a bias, no BN
+        b = layer["conv"]["bias"].astype(jnp.float32)
+        return jnp.ones_like(b), b
+    bn = layer["bn"]
+    mean = stats["bn"]["mean"].astype(jnp.float32)
+    var = stats["bn"]["var"].astype(jnp.float32)
+    scale = bn["scale"].astype(jnp.float32) * jax.lax.rsqrt(var + bn_eps)
+    bias = bn["bias"].astype(jnp.float32) - mean * scale
+    return scale, bias
+
+
+def _conv(x, kernel, stride, pad, dtype):
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        x, kernel.astype(dtype), (stride, stride), pad,
+        dimension_numbers=dn, preferred_element_type=dtype)
+
+
+def _convbn(x, kernel, scale, bias, stride, pad, dtype):
+    y = _conv(x, kernel, stride, pad, dtype).astype(jnp.float32)
+    return jax.nn.silu(y * scale + bias).astype(dtype)
+
+
+def s2d_front_apply(params: dict, y: jnp.ndarray, u: jnp.ndarray,
+                    v: jnp.ndarray, dtype=jnp.bfloat16,
+                    bn_eps: float = 1e-3) -> jnp.ndarray:
+    """stem+down1+c2f1+down2 on letterboxed planes, packed layout throughout.
+
+    Args:
+      params: the full model variables ({"params": ..., "batch_stats"?: ...}).
+      y: (B, S, S) uint8 Y plane padded with 114; u, v: (B, S/2, S/2) chroma
+        padded with 128 (same contract as ``planar_stem_apply``).
+    Returns the post-down2 feature map (B, S/8, S/8, C2) ready for c2f2
+    (feed ``model.apply(..., skip_front=True)``).
+    """
+    pr = params["params"]
+    stats_root = params.get("batch_stats")
+
+    def stats(*path):
+        if stats_root is None:
+            return None
+        node = stats_root
+        for k in path:
+            node = node[k]
+        return node
+
+    p10 = ((1, 0), (1, 0))
+    p11 = ((1, 1), (1, 1))
+    x = make_x6(y, u, v, dtype)                                # (B, S/2, S/2, 6)
+
+    # stem: packed output (B, S/4, S/4, 4*C0); color offset added pre-BN
+    k2, const = stem_2x2_kernel(pr["stem"]["conv"]["kernel"])
+    sc, bi = _eval_affine(pr["stem"], stats("stem"), bn_eps)
+    x = _conv(x, _pack_in6_kernel(k2), 2, p10, dtype).astype(jnp.float32)
+    x = jax.nn.silu((x + _rep4(const)) * _rep4(sc) + _rep4(bi)).astype(dtype)
+
+    # down1: packed -> packed, (B, S/8, S/8, 4*C1)
+    sc, bi = _eval_affine(pr["down1"], stats("down1"), bn_eps)
+    x = _convbn(x, _pack_s2_kernel(pr["down1"]["conv"]["kernel"]),
+                _rep4(sc), _rep4(bi), 2, p10, dtype)
+
+    # c2f1 in packed layout (parity-minor channels: unpacked split/concat
+    # becomes contiguous packed slicing)
+    c2f = pr["c2f1"]
+    sc, bi = _eval_affine(c2f["cv1"], stats("c2f1", "cv1"), bn_eps)
+    yv = _convbn(x, _pack_1x1_kernel(c2f["cv1"]["conv"]["kernel"]),
+                 _rep4(sc), _rep4(bi), 1, ((0, 0), (0, 0)), dtype)
+    hidden4 = yv.shape[-1] // 2
+    parts = [yv[..., :hidden4], yv[..., hidden4:]]
+    n_bottlenecks = len([k for k in c2f if k.startswith("m")])
+    for i in range(n_bottlenecks):
+        m = c2f[f"m{i}"]
+        sc, bi = _eval_affine(m["cv1"], stats("c2f1", f"m{i}", "cv1"), bn_eps)
+        t = _convbn(parts[-1], _pack_s1_kernel(m["cv1"]["conv"]["kernel"]),
+                    _rep4(sc), _rep4(bi), 1, p11, dtype)
+        sc, bi = _eval_affine(m["cv2"], stats("c2f1", f"m{i}", "cv2"), bn_eps)
+        t = _convbn(t, _pack_s1_kernel(m["cv2"]["conv"]["kernel"]),
+                    _rep4(sc), _rep4(bi), 1, p11, dtype)
+        parts.append(parts[-1] + t)                            # shortcut
+    sc, bi = _eval_affine(c2f["cv2"], stats("c2f1", "cv2"), bn_eps)
+    x = _convbn(jnp.concatenate(parts, axis=-1),
+                _pack_1x1_kernel(c2f["cv2"]["conv"]["kernel"]),
+                _rep4(sc), _rep4(bi), 1, ((0, 0), (0, 0)), dtype)
+
+    # down2: exit packed space -> (B, S/8, S/8, C2) unpacked
+    sc, bi = _eval_affine(pr["down2"], stats("down2"), bn_eps)
+    return _convbn(x, _pack_exit_kernel(pr["down2"]["conv"]["kernel"]),
+                   sc, bi, 1, p10, dtype)

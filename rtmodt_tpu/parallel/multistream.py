@@ -159,17 +159,26 @@ class MultiStreamPipeline:
             scale=min(ch / src_h, cw / src_w), pad_left=pad_left,
             pad_top=pad_top, new_w=cw, new_h=ch)
 
+        use_s2d_front = dcfg.quant == "none"   # int8 intercepts ConvBN modules
+
         def chunk(params, state, y, u, v):
             n = t * s_streams
             yf = y.reshape(n, *y.shape[2:])
             uf = u.reshape(n, *u.shape[2:])
             vf = v.reshape(n, *v.shape[2:])
             yp, up, vp = pad_planes(yf, uf, vf, size, pad_left, pad_top)
-            stem_stats = (params["batch_stats"]["stem"]
-                          if "batch_stats" in params else None)
-            feats = planar_stem_apply(params["params"]["stem"], stem_stats,
-                                      yp, up, vp, dtype=dtype)
-            bd, cl = model.apply(params, feats, train=False, skip_stem=True)
+            if use_s2d_front:
+                from rtmodt_tpu.ops.s2d_front import s2d_front_apply
+
+                feats = s2d_front_apply(params, yp, up, vp, dtype=dtype)
+                bd, cl = model.apply(params, feats, train=False,
+                                     skip_front=True)
+            else:
+                stem_stats = (params["batch_stats"]["stem"]
+                              if "batch_stats" in params else None)
+                feats = planar_stem_apply(params["params"]["stem"], stem_stats,
+                                          yp, up, vp, dtype=dtype)
+                bd, cl = model.apply(params, feats, train=False, skip_stem=True)
 
             def one_nms(bdi, cli):
                 res = batched_nms_from_logits(

@@ -363,17 +363,26 @@ class Pipeline:
             scale=scale, pad_left=pad_left, pad_top=pad_top,
             new_w=cw, new_h=ch)
 
+        use_s2d_front = dcfg.quant == "none"   # int8 intercepts ConvBN modules
+
         @partial(jax.jit, donate_argnums=donate)
         def chunk_fn(params, state, y, u, v):
-            # planar stem: the (S, S, 3) image tensor never exists (see
-            # ops/planar_stem.py) - color conversion folds into conv weights
+            # planar front: the (S, S, 3) image tensor never exists; the
+            # first four blocks run in space-to-depth layout (ops/s2d_front)
             yp, up, vp = pad_planes(y, u, v, size, pad_left, pad_top)
-            stem_stats = (params["batch_stats"]["stem"]
-                          if "batch_stats" in params else None)
-            feats = planar_stem_apply(
-                params["params"]["stem"], stem_stats, yp, up, vp, dtype=dtype)
-            box_dist, cls_logits = model.apply(params, feats, train=False,
-                                               skip_stem=True)
+            if use_s2d_front:
+                from rtmodt_tpu.ops.s2d_front import s2d_front_apply
+
+                feats = s2d_front_apply(params, yp, up, vp, dtype=dtype)
+                box_dist, cls_logits = model.apply(params, feats, train=False,
+                                                   skip_front=True)
+            else:
+                stem_stats = (params["batch_stats"]["stem"]
+                              if "batch_stats" in params else None)
+                feats = planar_stem_apply(
+                    params["params"]["stem"], stem_stats, yp, up, vp, dtype=dtype)
+                box_dist, cls_logits = model.apply(params, feats, train=False,
+                                                   skip_stem=True)
 
             def one_nms(bd, cl):
                 res = batched_nms_from_logits(
@@ -427,15 +436,24 @@ class Pipeline:
             scale=min(ch / src_h, cw / src_w), pad_left=pad_left,
             pad_top=pad_top, new_w=cw, new_h=ch)
 
+        use_s2d_front = dcfg.quant == "none"   # int8 intercepts ConvBN modules
+
         @partial(jax.jit, donate_argnums=donate)
         def chunk_fn(params, state, y, u, v):
             yp, up, vp = pad_planes(y, u, v, size, pad_left, pad_top)
-            stem_stats = (params["batch_stats"]["stem"]
-                          if "batch_stats" in params else None)
-            feats_in = planar_stem_apply(
-                params["params"]["stem"], stem_stats, yp, up, vp, dtype=dtype)
-            box_dist, cls_logits = model.apply(params, feats_in, train=False,
-                                               skip_stem=True)
+            if use_s2d_front:
+                from rtmodt_tpu.ops.s2d_front import s2d_front_apply
+
+                feats_in = s2d_front_apply(params, yp, up, vp, dtype=dtype)
+                box_dist, cls_logits = model.apply(params, feats_in,
+                                                   train=False, skip_front=True)
+            else:
+                stem_stats = (params["batch_stats"]["stem"]
+                              if "batch_stats" in params else None)
+                feats_in = planar_stem_apply(
+                    params["params"]["stem"], stem_stats, yp, up, vp, dtype=dtype)
+                box_dist, cls_logits = model.apply(params, feats_in, train=False,
+                                                   skip_stem=True)
 
             def per_frame(bd, cl, ypi, upi, vpi):
                 res_lb = batched_nms_from_logits(

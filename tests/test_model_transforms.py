@@ -105,6 +105,46 @@ class TestPlanarStem:
                                    atol=2e-3)
 
 
+class TestS2DFront:
+    """ops/s2d_front: stem..down2 in space-to-depth layout must match the
+    planar-stem + standard-blocks path exactly (same math, rearranged
+    kernels) - fused and unfused, single- and multi-bottleneck variants."""
+
+    @pytest.mark.parametrize("variant", ["yolov8n", "yolov8m"])
+    @pytest.mark.parametrize("fused", [False, True])
+    def test_matches_planar_path(self, rng, variant, fused):
+        from rtmodt_tpu.models.weights import fuse_bn
+        from rtmodt_tpu.models.yolov8 import build_model
+        from rtmodt_tpu.ops.planar_stem import planar_stem_apply
+        from rtmodt_tpu.ops.s2d_front import s2d_front_apply
+
+        S = 128
+        base = build_model(variant, num_classes=8, dtype=jnp.float32)
+        vs = base.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, S, S, 3), jnp.float32), train=False)
+        if fused:
+            model = build_model(variant, num_classes=8, dtype=jnp.float32,
+                                fused=True)
+            vs = fuse_bn(vs)
+            stem_stats = None
+        else:
+            model = base
+            stem_stats = vs["batch_stats"]["stem"]
+
+        y = jnp.asarray(rng.integers(0, 256, (2, S, S), np.uint8))
+        u = jnp.asarray(rng.integers(0, 256, (2, S // 2, S // 2), np.uint8))
+        v = jnp.asarray(rng.integers(0, 256, (2, S // 2, S // 2), np.uint8))
+
+        feats = planar_stem_apply(vs["params"]["stem"], stem_stats, y, u, v,
+                                  dtype=jnp.float32)
+        ref = model.apply(vs, feats, train=False, skip_stem=True)
+        f8 = s2d_front_apply(vs, y, u, v, dtype=jnp.float32)
+        got = model.apply(vs, f8, train=False, skip_front=True)
+        for a, b in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4)
+
+
 class TestNativeFramePack:
     def test_roundtrip_with_device_decode(self, rng):
         """native pack -> device decode must reconstruct the resized frame
