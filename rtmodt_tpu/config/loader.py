@@ -191,6 +191,8 @@ class ParallelConfig:
                               # (hides host<->device latency; 0 = lowest latency)
     chunk_size: int = 1       # >1: run() batches frames into lax.scan chunks
                               # (throughput mode for file/offline sources)
+    transport: str = "packed" # packed (planar I420, 7.5x fewer link bytes)
+                              # | bgr (raw frames; deepsort/per-stage always bgr)
 
 
 @dataclass
@@ -321,6 +323,9 @@ def _deep_merge(base: dict, over: dict) -> dict:
 
 
 def _validate(cfg: PipelineConfig) -> None:
+    if cfg.parallel.transport not in ("packed", "bgr"):
+        raise ValueError("parallel.transport must be packed|bgr, "
+                         f"got {cfg.parallel.transport!r}")
     d = cfg.detection
     if not (0.0 <= d.conf_threshold <= 1.0):
         raise ValueError(f"detection.conf_threshold must be in [0,1], got {d.conf_threshold}")

@@ -221,7 +221,10 @@ class Pipeline:
     def _packed_fused_for(self, src_h: int, src_w: int):
         """Single-frame fused step over PLANAR I420 input - the low-latency
         twin of ``_packed_chunk_for`` (7.5x less transfer than the BGR fused
-        path, planar stem, one dispatch per frame)."""
+        path, one dispatch per frame).  Takes the SINGLE (ch*3/2, cw) packed
+        I420 buffer ``pack_i420`` emits - one host->device put per frame;
+        through a high-latency link each extra put costs a full round trip,
+        so the plane split happens on device (free slicing under jit)."""
         key = ("i420_fused", src_h, src_w)
         if key in self._fused_fns:
             return self._fused_fns[key]
@@ -243,16 +246,30 @@ class Pipeline:
             scale=min(ch / src_h, cw / src_w), pad_left=pad_left,
             pad_top=pad_top, new_w=cw, new_h=ch)
 
+        use_s2d_front = dcfg.quant == "none"   # int8 intercepts ConvBN modules
+        n_chroma = (ch // 2) * (cw // 2)
+
         @partial(jax.jit, donate_argnums=donate)
-        def step_fn(params, state, y, u, v):
+        def step_fn(params, state, yuv):
+            y = yuv[:ch]
+            chroma = yuv[ch:].reshape(-1)
+            u = chroma[:n_chroma].reshape(ch // 2, cw // 2)
+            v = chroma[n_chroma:2 * n_chroma].reshape(ch // 2, cw // 2)
             yp, up, vp = pad_planes(y[None], u[None], v[None], size,
                                     pad_left, pad_top)
-            stem_stats = (params["batch_stats"]["stem"]
-                          if "batch_stats" in params else None)
-            feats = planar_stem_apply(params["params"]["stem"], stem_stats,
-                                      yp, up, vp, dtype=dtype)
-            box_dist, cls_logits = model.apply(params, feats, train=False,
-                                               skip_stem=True)
+            if use_s2d_front:
+                from rtmodt_tpu.ops.s2d_front import s2d_front_apply
+
+                feats = s2d_front_apply(params, yp, up, vp, dtype=dtype)
+                box_dist, cls_logits = model.apply(params, feats, train=False,
+                                                   skip_front=True)
+            else:
+                stem_stats = (params["batch_stats"]["stem"]
+                              if "batch_stats" in params else None)
+                feats = planar_stem_apply(params["params"]["stem"], stem_stats,
+                                          yp, up, vp, dtype=dtype)
+                box_dist, cls_logits = model.apply(params, feats, train=False,
+                                                   skip_stem=True)
             res = batched_nms_from_logits(
                 box_dist[0], cls_logits[0], size,
                 dcfg.conf_threshold, dcfg.iou_threshold,
@@ -274,16 +291,15 @@ class Pipeline:
             raise NotImplementedError(
                 "the packed planar path never forms an RGB image, which "
                 "deepsort's ROI crops need; use step() for deepsort")
-        from rtmodt_tpu.ops.yuv import pack_i420_planar
+        from rtmodt_tpu.ops.yuv import pack_i420
 
         h, w = frame_bgr.shape[:2]
-        (y, u, v), _ = pack_i420_planar(frame_bgr, self.cfg.detection.input_size)
+        yuv, _ = pack_i420(frame_bgr, self.cfg.detection.input_size)
         fn = self._packed_fused_for(h, w)
         p = self.profiler
         p.tick("inference")
         self.tracker.state, outputs, res = fn(
-            self.detector.params, self.tracker.state,
-            jax.device_put(y), jax.device_put(u), jax.device_put(v))
+            self.detector.params, self.tracker.state, jax.device_put(yuv))
         tracks = self.tracker.tracks_from_outputs(outputs, self.detector.class_names)
         p.tock("inference")
         p.tick("events")
@@ -548,6 +564,15 @@ class Pipeline:
                         state, _ = self._track_fn(state, res.boxes, res.scores,
                                                   res.classes, res.valid)
                 jax.block_until_ready(res)
+        elif self._use_packed_transport():
+            from rtmodt_tpu.ops.yuv import pack_i420
+
+            yuv, _ = pack_i420(dummy, self.cfg.detection.input_size)
+            step = self._packed_fused_for(h, w)
+            for _ in range(iters):
+                state, outputs, res = step(
+                    self.detector.params, state, jax.device_put(yuv))
+                jax.block_until_ready(outputs.visible)
         else:
             step = self._fused_for(h, w)
             for _ in range(iters):
@@ -665,6 +690,31 @@ class Pipeline:
             if hasattr(leaf, "copy_to_host_async"):
                 leaf.copy_to_host_async()
         return outputs, res
+
+    def submit_packed_frame(self, frame: np.ndarray):
+        """Packed-transport twin of :meth:`submit`: host packs the frame to
+        planar I420 (~7.5x fewer bytes over the link than BGR, ONE put) and
+        the fused step consumes the planes through the space-to-depth front."""
+        from rtmodt_tpu.ops.yuv import pack_i420
+
+        h, w = frame.shape[:2]
+        yuv, _ = pack_i420(frame, self.cfg.detection.input_size)
+        step_fn = self._packed_fused_for(h, w)
+        self.tracker.state, outputs, res = step_fn(
+            self.detector.params, self.tracker.state, jax.device_put(yuv))
+        for leaf in jax.tree.leaves((outputs, res)):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+        return outputs, res
+
+    def _use_packed_transport(self) -> bool:
+        """Packed planar transport applies to the fused device-tracker path
+        (deepsort needs RGB ROI crops; per-stage and host-tracker modes keep
+        the BGR stages the reference profiler mirrors)."""
+        return (self.cfg.parallel.transport == "packed"
+                and not self._is_deepsort
+                and not self._per_stage
+                and self.tracker._host is None)
 
     # ------------------------------------------------------------------
     def run_chunked(self, source: str | int | None = None,
@@ -841,14 +891,19 @@ class Pipeline:
                     if depth > 0:
                         # async submit; consume the oldest once the window is full
                         p.tick("inference")
-                        outputs, _res = self.submit(frame)
+                        outputs, _res = (self.submit_packed_frame(frame)
+                                         if self._use_packed_transport()
+                                         else self.submit(frame))
                         p.tock("inference")
                         inflight.append((frame, fid, ts, outputs))
                         if len(inflight) > depth:
                             if not consume(inflight.popleft()):
                                 break
                     else:
-                        tracks, events, _ = self.step(frame, fid, ts)
+                        tracks, events, _ = (
+                            self.step_packed(frame, fid, ts)
+                            if self._use_packed_transport()
+                            else self.step(frame, fid, ts))
                         if self.renderer is not None:
                             p.tick("visualization")
                             self.renderer.render(frame, tracks, zones, fps=p.current_fps,

@@ -81,6 +81,43 @@ class TestPipelineEndToEnd:
         assert pipe.profiler._frame_count == 14  # 3 chunks + 2-frame remainder
         assert "inference_mean_ms" in summary or pipe.profiler._frame_count > 0
 
+    def test_run_live_packed_transport(self, small_cfg, tmp_path):
+        """Live mode (renderer on, fused tracker) with the default packed
+        planar transport: frames ship as I420 planes through the
+        space-to-depth front instead of raw BGR."""
+        import dataclasses
+        from rtmodt_tpu.runtime.pipeline import Pipeline
+        from rtmodt_tpu.utils.synthetic import write_synthetic_video
+
+        video = str(tmp_path / "synth.mp4")
+        write_synthetic_video(video, frames=10, h=160, w=160, n_objects=2)
+        cfg = dataclasses.replace(
+            small_cfg,
+            profiling=dataclasses.replace(small_cfg.profiling, per_stage=False),
+        )
+        pipe = Pipeline(cfg)
+        assert pipe._use_packed_transport()
+        summary = pipe.run(source=video, max_frames=8)
+        assert pipe.profiler._frame_count >= 5
+        assert "inference_mean_ms" in summary
+
+    def test_step_packed_matches_step_shapes(self, small_cfg):
+        import dataclasses
+        from rtmodt_tpu.runtime.pipeline import Pipeline
+
+        cfg = dataclasses.replace(
+            small_cfg,
+            profiling=dataclasses.replace(small_cfg.profiling, per_stage=False))
+        pipe = Pipeline(cfg)
+        frame = np.random.default_rng(1).integers(0, 255, (160, 160, 3), np.uint8)
+        tracks, events, res = pipe.step_packed(frame, 0, timestamp=0.0)
+        assert res.boxes.shape[0] == cfg.detection.max_detections
+        assert isinstance(tracks, list)
+
+    def test_transport_validation(self):
+        with pytest.raises(ValueError, match="transport"):
+            load_config(overrides={"parallel": {"transport": "pigeon"}})
+
     def test_deepsort_fused_and_per_stage_agree(self, small_cfg):
         """DeepSORT pipeline: the single fused XLA program (letterbox ->
         YOLO -> NMS -> ROI crop -> embed -> associate) and the per-stage
