@@ -63,7 +63,8 @@ class DetectionConfig:
     nms_candidates: int = 300           # top-k pool entering NMS (static shape)
     classes: list[int] | None = None    # keep-list, e.g. [0,1,2,3,5,7]
     agnostic_nms: bool = False
-    nms_impl: str = "fixpoint"          # fixpoint (XLA) | pallas (fused kernel)
+    nms_impl: str = "fixpoint"          # fixpoint (XLA, fastest batched) |
+                                        # pallas (fused kernel) | auto
     fuse_bn: bool = True                # fold BN into convs for inference
     half: bool = True                   # bf16 on TPU
     quant: str = "none"                 # none | int8 (PTQ, v5e int8 MXU path;

@@ -193,6 +193,13 @@ def _suppress_and_pack(
     else:
         offset_boxes = cand_boxes + (cand_classes.astype(f32) * _CLASS_OFFSET)[:, None]
 
+    if impl == "auto":
+        # measured (PERF_NOTES.md): in BATCHED chunk programs the fixpoint
+        # wins (one masked (K,K) VPU round covers all frames; the vmapped
+        # pallas kernel serializes per-frame sequential loops, 0.081 vs
+        # 0.054 ms/frame at 16 frames); single-frame latency programs the
+        # pallas kernel wins slightly. "auto" = the batched-path default.
+        impl = "fixpoint"
     if impl == "pallas":
         from rtmodt_tpu.ops.pallas.nms_kernel import pallas_greedy_suppress
 
