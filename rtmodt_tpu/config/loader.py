@@ -275,12 +275,13 @@ def _apply_reference_aliases(raw: dict) -> dict:
             sec.setdefault(ours, value)
             logger.info(f"config: reference key {section}.{ref_key} -> "
                         f"{section}.{ours}")
-    # reference resolution is {width, height}; ours is [w, h]
-    res = raw.get("ingestion", {}).get("resolution")
+    # reference resolution is {width, height}; ours is [w, h].  Sections may
+    # be present but empty ('ingestion:' alone parses as None) - guard.
+    res = (raw.get("ingestion") or {}).get("resolution")
     if isinstance(res, dict):
         raw["ingestion"]["resolution"] = [res.get("width"), res.get("height")]
     # reference input_size is [w, h]; ours is the square letterbox side
-    size = raw.get("detection", {}).get("input_size")
+    size = (raw.get("detection") or {}).get("input_size")
     if isinstance(size, (list, tuple)):
         raw["detection"]["input_size"] = int(max(size))
         logger.info(f"config: reference detection.input_size {list(size)} -> "
@@ -327,6 +328,16 @@ def _validate(cfg: PipelineConfig) -> None:
     if cfg.parallel.transport not in ("packed", "bgr"):
         raise ValueError("parallel.transport must be packed|bgr, "
                          f"got {cfg.parallel.transport!r}")
+    alert = cfg.events.alert
+    if alert.backend not in ("json_file", "webhook", "mqtt"):
+        raise ValueError("events.alert.backend must be json_file|webhook|mqtt, "
+                         f"got {alert.backend!r}")
+    if alert.backend == "mqtt" and not alert.mqtt_host:
+        raise ValueError("events.alert.backend=mqtt requires "
+                         "events.alert.mqtt_host")
+    if alert.backend == "webhook" and not alert.webhook_url:
+        raise ValueError("events.alert.backend=webhook requires "
+                         "events.alert.webhook_url")
     d = cfg.detection
     if not (0.0 <= d.conf_threshold <= 1.0):
         raise ValueError(f"detection.conf_threshold must be in [0,1], got {d.conf_threshold}")

@@ -41,8 +41,12 @@ class MQTTPublisher:
     """Tiny QoS-0 publisher: lazy connect, publish, auto-reconnect on error."""
 
     def __init__(self, host: str, port: int = 1883,
-                 client_id: str = "rtmodt-tpu", keepalive: int = 60,
+                 client_id: str = "rtmodt-tpu", keepalive: int = 0,
                  timeout: float = 2.0):
+        # keepalive=0 disables the broker's idle timeout (MQTT 3.1.1
+        # 3.1.2.10): this publisher never sends PINGREQ, so any non-zero
+        # keepalive would get idle connections dropped and the next
+        # publish silently lost into the dead socket's kernel buffer.
         self.host = host
         self.port = port
         self.client_id = client_id
@@ -54,17 +58,26 @@ class MQTTPublisher:
     # ------------------------------------------------------------------
     def _connect(self) -> None:
         sock = socket.create_connection((self.host, self.port), self.timeout)
-        sock.settimeout(self.timeout)
-        # variable header: protocol name "MQTT", level 4, clean session, keepalive
-        vh = _utf8("MQTT") + bytes([4, 0x02]) + struct.pack(">H", self.keepalive)
-        payload = _utf8(self.client_id)
-        packet = bytes([0x10]) + _encode_remaining_length(len(vh) + len(payload)) \
-            + vh + payload
-        sock.sendall(packet)
-        ack = sock.recv(4)
-        if len(ack) < 4 or ack[0] != 0x20 or ack[3] != 0x00:
+        try:
+            sock.settimeout(self.timeout)
+            # variable header: protocol name "MQTT", level 4, clean session
+            vh = _utf8("MQTT") + bytes([4, 0x02]) + struct.pack(">H", self.keepalive)
+            payload = _utf8(self.client_id)
+            packet = bytes([0x10]) + _encode_remaining_length(len(vh) + len(payload)) \
+                + vh + payload
+            sock.sendall(packet)
+            ack = b""
+            while len(ack) < 4:          # CONNACK may arrive split across segments
+                chunk = sock.recv(4 - len(ack))
+                if not chunk:
+                    break
+                ack += chunk
+            if len(ack) < 4 or ack[0] != 0x20 or ack[3] != 0x00:
+                raise ConnectionError(
+                    f"MQTT CONNACK refused: {ack.hex() if ack else 'EOF'}")
+        except BaseException:
             sock.close()
-            raise ConnectionError(f"MQTT CONNACK refused: {ack.hex() if ack else 'EOF'}")
+            raise
         self._sock = sock
 
     def publish(self, topic: str, payload: bytes | str) -> bool:

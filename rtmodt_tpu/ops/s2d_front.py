@@ -153,6 +153,24 @@ def _convbn(x, kernel, scale, bias, stride, pad, dtype):
     return jax.nn.silu(y * scale + bias).astype(dtype)
 
 
+def apply_front(params: dict, model: Any, yp: jnp.ndarray, up: jnp.ndarray,
+                vp: jnp.ndarray, quant: str, dtype=jnp.bfloat16):
+    """Front-end dispatch shared by every packed execution path: the
+    space-to-depth front when quantization is off, else the Flax module
+    path (whose ConvBN modules the int8 interceptor wraps).  Takes
+    letterboxed planes; returns raw (box_dist, cls_logits)."""
+    if quant == "none":
+        feats = s2d_front_apply(params, yp, up, vp, dtype=dtype)
+        return model.apply(params, feats, train=False, skip_front=True)
+    from rtmodt_tpu.ops.planar_stem import planar_stem_apply
+
+    stem_stats = (params["batch_stats"]["stem"]
+                  if "batch_stats" in params else None)
+    feats = planar_stem_apply(params["params"]["stem"], stem_stats,
+                              yp, up, vp, dtype=dtype)
+    return model.apply(params, feats, train=False, skip_stem=True)
+
+
 def s2d_front_apply(params: dict, y: jnp.ndarray, u: jnp.ndarray,
                     v: jnp.ndarray, dtype=jnp.bfloat16,
                     bn_eps: float = 1e-3) -> jnp.ndarray:

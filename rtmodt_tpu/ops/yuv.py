@@ -28,6 +28,18 @@ def content_dims(src_h: int, src_w: int, size: int) -> tuple[int, int]:
     return (m.new_h // 2) * 2, (m.new_w // 2) * 2
 
 
+def packed_meta(src_h: int, src_w: int, size: int) -> LetterboxMeta:
+    """LetterboxMeta of the packed-I420 geometry - the ONE place the
+    even-rounding convention lives: content dims rounded to even (I420
+    chroma) and pads rounded DOWN to even so the half-res chroma grid
+    stays aligned (<= 1 px shift vs ultralytics centering)."""
+    ch, cw = content_dims(src_h, src_w, size)
+    scale = min(ch / src_h, cw / src_w)
+    pad_left = (int(round((size - cw) / 2 - 0.1)) // 2) * 2
+    pad_top = (int(round((size - ch) / 2 - 0.1)) // 2) * 2
+    return LetterboxMeta(scale, pad_left, pad_top, cw, ch, src_w, src_h)
+
+
 def pack_i420(frame_bgr: np.ndarray, size: int) -> tuple[np.ndarray, LetterboxMeta]:
     """Resize to letterbox content size and pack as I420 planar uint8.
 
@@ -113,10 +125,7 @@ def pack_chunk(frames_bgr: np.ndarray, size: int,
     if native_pack_wins(h, w, ch, cw):
         res = pack_i420_chunk_native(frames_bgr, ch, cw, out=out)
         if res is not None:
-            scale = min(ch / h, cw / w)
-            pad_left = (int(round((size - cw) / 2 - 0.1)) // 2) * 2
-            pad_top = (int(round((size - ch) / 2 - 0.1)) // 2) * 2
-            return res, LetterboxMeta(scale, pad_left, pad_top, cw, ch, w, h)
+            return res, packed_meta(h, w, size)
 
     if out is None:
         out = (np.empty((n, ch, cw), np.uint8),
@@ -132,11 +141,7 @@ def pack_chunk(frames_bgr: np.ndarray, size: int,
         chroma = yuv[ch:].reshape(-1)
         u[i] = chroma[:n_chroma].reshape(ch // 2, cw // 2)
         v[i] = chroma[n_chroma:2 * n_chroma].reshape(ch // 2, cw // 2)
-    scale = min(ch / h, cw / w)
-    pad_left = (int(round((size - cw) / 2 - 0.1)) // 2) * 2
-    pad_top = (int(round((size - ch) / 2 - 0.1)) // 2) * 2
-    meta = LetterboxMeta(scale, pad_left, pad_top, cw, ch, w, h)
-    return (y, u, v), meta
+    return (y, u, v), packed_meta(h, w, size)
 
 
 def i420_to_rgb(yuv: jnp.ndarray, ch: int, cw: int,

@@ -141,9 +141,9 @@ class MultiStreamPipeline:
         key = ("packed", src_h, src_w, t)
         if key in self._jitted:
             return self._jitted[key]
-        from rtmodt_tpu.ops.letterbox import letterbox_meta
-        from rtmodt_tpu.ops.planar_stem import pad_planes, planar_stem_apply
-        from rtmodt_tpu.ops.yuv import content_dims
+        from rtmodt_tpu.ops.planar_stem import pad_planes
+        from rtmodt_tpu.ops.s2d_front import apply_front
+        from rtmodt_tpu.ops.yuv import content_dims, packed_meta
 
         dcfg = self.cfg.detection
         bcfg = self.cfg.tracking.bytetrack
@@ -153,13 +153,8 @@ class MultiStreamPipeline:
         size = dcfg.input_size
         s_streams = self.num_streams
         ch, cw = content_dims(src_h, src_w, size)
-        pad_left = (int(round((size - cw) / 2 - 0.1)) // 2) * 2
-        pad_top = (int(round((size - ch) / 2 - 0.1)) // 2) * 2
-        meta = letterbox_meta(src_h, src_w, size)._replace(
-            scale=min(ch / src_h, cw / src_w), pad_left=pad_left,
-            pad_top=pad_top, new_w=cw, new_h=ch)
-
-        use_s2d_front = dcfg.quant == "none"   # int8 intercepts ConvBN modules
+        meta = packed_meta(src_h, src_w, size)
+        pad_left, pad_top = meta.pad_left, meta.pad_top
 
         def chunk(params, state, y, u, v):
             n = t * s_streams
@@ -167,18 +162,7 @@ class MultiStreamPipeline:
             uf = u.reshape(n, *u.shape[2:])
             vf = v.reshape(n, *v.shape[2:])
             yp, up, vp = pad_planes(yf, uf, vf, size, pad_left, pad_top)
-            if use_s2d_front:
-                from rtmodt_tpu.ops.s2d_front import s2d_front_apply
-
-                feats = s2d_front_apply(params, yp, up, vp, dtype=dtype)
-                bd, cl = model.apply(params, feats, train=False,
-                                     skip_front=True)
-            else:
-                stem_stats = (params["batch_stats"]["stem"]
-                              if "batch_stats" in params else None)
-                feats = planar_stem_apply(params["params"]["stem"], stem_stats,
-                                          yp, up, vp, dtype=dtype)
-                bd, cl = model.apply(params, feats, train=False, skip_stem=True)
+            bd, cl = apply_front(params, model, yp, up, vp, dcfg.quant, dtype)
 
             def one_nms(bdi, cli):
                 res = batched_nms_from_logits(
@@ -248,7 +232,7 @@ class MultiStreamPipeline:
 
         from rtmodt_tpu.events.zone_engine import ZoneEventEngine
         from rtmodt_tpu.ingestion.rtsp_reader import RTSPReader
-        from rtmodt_tpu.ops.yuv import content_dims, pack_i420_planar
+        from rtmodt_tpu.ops.yuv import content_dims, packed_meta, pack_i420_planar
 
         s_streams = self.num_streams
         if len(sources) != s_streams:

@@ -35,7 +35,7 @@ import numpy as np
 from rtmodt_tpu.config.loader import PipelineConfig
 from rtmodt_tpu.detection.detector import Detector
 from rtmodt_tpu.events.zone_engine import ZoneEventEngine
-from rtmodt_tpu.ops.letterbox import letterbox, unletterbox_boxes
+from rtmodt_tpu.ops.letterbox import letterbox, letterbox_meta, unletterbox_boxes
 from rtmodt_tpu.ops.nms import batched_nms_fixed, batched_nms_from_logits
 from rtmodt_tpu.profiling.latency_profiler import LatencyProfiler
 from rtmodt_tpu.tracking.bytetrack import bytetrack_update, init_track_state
@@ -138,7 +138,6 @@ class Pipeline:
                 dcfg.max_detections, dcfg.nms_candidates, class_mask, dcfg.agnostic_nms,
                 impl=dcfg.nms_impl,
             )
-            from rtmodt_tpu.ops.letterbox import letterbox_meta
             meta = letterbox_meta(h, w, dcfg.input_size)
             return res._replace(boxes=unletterbox_boxes(res.boxes, meta))
 
@@ -228,9 +227,9 @@ class Pipeline:
         key = ("i420_fused", src_h, src_w)
         if key in self._fused_fns:
             return self._fused_fns[key]
-        from rtmodt_tpu.ops.letterbox import letterbox_meta
-        from rtmodt_tpu.ops.planar_stem import pad_planes, planar_stem_apply
-        from rtmodt_tpu.ops.yuv import content_dims
+        from rtmodt_tpu.ops.planar_stem import pad_planes
+        from rtmodt_tpu.ops.s2d_front import apply_front
+        from rtmodt_tpu.ops.yuv import content_dims, packed_meta
 
         dcfg = self.cfg.detection
         bcfg = self.cfg.tracking.bytetrack
@@ -240,13 +239,9 @@ class Pipeline:
         donate = (1,) if self.cfg.parallel.donate_state else ()
         size = dcfg.input_size
         ch, cw = content_dims(src_h, src_w, size)
-        pad_left = (int(round((size - cw) / 2 - 0.1)) // 2) * 2
-        pad_top = (int(round((size - ch) / 2 - 0.1)) // 2) * 2
-        meta = letterbox_meta(src_h, src_w, size)._replace(
-            scale=min(ch / src_h, cw / src_w), pad_left=pad_left,
-            pad_top=pad_top, new_w=cw, new_h=ch)
+        meta = packed_meta(src_h, src_w, size)
+        pad_left, pad_top = meta.pad_left, meta.pad_top
 
-        use_s2d_front = dcfg.quant == "none"   # int8 intercepts ConvBN modules
         n_chroma = (ch // 2) * (cw // 2)
 
         @partial(jax.jit, donate_argnums=donate)
@@ -257,19 +252,8 @@ class Pipeline:
             v = chroma[n_chroma:2 * n_chroma].reshape(ch // 2, cw // 2)
             yp, up, vp = pad_planes(y[None], u[None], v[None], size,
                                     pad_left, pad_top)
-            if use_s2d_front:
-                from rtmodt_tpu.ops.s2d_front import s2d_front_apply
-
-                feats = s2d_front_apply(params, yp, up, vp, dtype=dtype)
-                box_dist, cls_logits = model.apply(params, feats, train=False,
-                                                   skip_front=True)
-            else:
-                stem_stats = (params["batch_stats"]["stem"]
-                              if "batch_stats" in params else None)
-                feats = planar_stem_apply(params["params"]["stem"], stem_stats,
-                                          yp, up, vp, dtype=dtype)
-                box_dist, cls_logits = model.apply(params, feats, train=False,
-                                                   skip_stem=True)
+            box_dist, cls_logits = apply_front(params, model, yp, up, vp,
+                                               dcfg.quant, dtype)
             res = batched_nms_from_logits(
                 box_dist[0], cls_logits[0], size,
                 dcfg.conf_threshold, dcfg.iou_threshold,
@@ -360,9 +344,9 @@ class Pipeline:
         key = ("i420", src_h, src_w, k)
         if key in self._chunk_fns:
             return self._chunk_fns[key]
-        from rtmodt_tpu.ops.letterbox import letterbox_meta
-        from rtmodt_tpu.ops.planar_stem import pad_planes, planar_stem_apply
-        from rtmodt_tpu.ops.yuv import content_dims
+        from rtmodt_tpu.ops.planar_stem import pad_planes
+        from rtmodt_tpu.ops.s2d_front import apply_front
+        from rtmodt_tpu.ops.yuv import content_dims, packed_meta
 
         dcfg = self.cfg.detection
         bcfg = self.cfg.tracking.bytetrack
@@ -372,33 +356,16 @@ class Pipeline:
         donate = (1,) if self.cfg.parallel.donate_state else ()
         size = dcfg.input_size
         ch, cw = content_dims(src_h, src_w, size)
-        pad_left = (int(round((size - cw) / 2 - 0.1)) // 2) * 2
-        pad_top = (int(round((size - ch) / 2 - 0.1)) // 2) * 2
-        scale = min(ch / src_h, cw / src_w)
-        meta = letterbox_meta(src_h, src_w, size)._replace(
-            scale=scale, pad_left=pad_left, pad_top=pad_top,
-            new_w=cw, new_h=ch)
-
-        use_s2d_front = dcfg.quant == "none"   # int8 intercepts ConvBN modules
+        meta = packed_meta(src_h, src_w, size)
+        pad_left, pad_top = meta.pad_left, meta.pad_top
 
         @partial(jax.jit, donate_argnums=donate)
         def chunk_fn(params, state, y, u, v):
             # planar front: the (S, S, 3) image tensor never exists; the
             # first four blocks run in space-to-depth layout (ops/s2d_front)
             yp, up, vp = pad_planes(y, u, v, size, pad_left, pad_top)
-            if use_s2d_front:
-                from rtmodt_tpu.ops.s2d_front import s2d_front_apply
-
-                feats = s2d_front_apply(params, yp, up, vp, dtype=dtype)
-                box_dist, cls_logits = model.apply(params, feats, train=False,
-                                                   skip_front=True)
-            else:
-                stem_stats = (params["batch_stats"]["stem"]
-                              if "batch_stats" in params else None)
-                feats = planar_stem_apply(
-                    params["params"]["stem"], stem_stats, yp, up, vp, dtype=dtype)
-                box_dist, cls_logits = model.apply(params, feats, train=False,
-                                                   skip_stem=True)
+            box_dist, cls_logits = apply_front(params, model, yp, up, vp,
+                                               dcfg.quant, dtype)
 
             def one_nms(bd, cl):
                 res = batched_nms_from_logits(
@@ -429,10 +396,10 @@ class Pipeline:
         key = ("i420_deepsort", src_h, src_w, k)
         if key in self._chunk_fns:
             return self._chunk_fns[key]
-        from rtmodt_tpu.ops.letterbox import letterbox_meta
-        from rtmodt_tpu.ops.planar_stem import pad_planes, planar_stem_apply
+        from rtmodt_tpu.ops.planar_stem import pad_planes
+        from rtmodt_tpu.ops.s2d_front import apply_front
         from rtmodt_tpu.ops.roi import crop_yuv_rgb
-        from rtmodt_tpu.ops.yuv import content_dims
+        from rtmodt_tpu.ops.yuv import content_dims, packed_meta
         from rtmodt_tpu.tracking.deepsort import deepsort_update
 
         dcfg = self.cfg.detection
@@ -446,30 +413,14 @@ class Pipeline:
         donate = (1,) if self.cfg.parallel.donate_state else ()
         size = dcfg.input_size
         ch, cw = content_dims(src_h, src_w, size)
-        pad_left = (int(round((size - cw) / 2 - 0.1)) // 2) * 2
-        pad_top = (int(round((size - ch) / 2 - 0.1)) // 2) * 2
-        meta = letterbox_meta(src_h, src_w, size)._replace(
-            scale=min(ch / src_h, cw / src_w), pad_left=pad_left,
-            pad_top=pad_top, new_w=cw, new_h=ch)
-
-        use_s2d_front = dcfg.quant == "none"   # int8 intercepts ConvBN modules
+        meta = packed_meta(src_h, src_w, size)
+        pad_left, pad_top = meta.pad_left, meta.pad_top
 
         @partial(jax.jit, donate_argnums=donate)
         def chunk_fn(params, state, y, u, v):
             yp, up, vp = pad_planes(y, u, v, size, pad_left, pad_top)
-            if use_s2d_front:
-                from rtmodt_tpu.ops.s2d_front import s2d_front_apply
-
-                feats_in = s2d_front_apply(params, yp, up, vp, dtype=dtype)
-                box_dist, cls_logits = model.apply(params, feats_in,
-                                                   train=False, skip_front=True)
-            else:
-                stem_stats = (params["batch_stats"]["stem"]
-                              if "batch_stats" in params else None)
-                feats_in = planar_stem_apply(
-                    params["params"]["stem"], stem_stats, yp, up, vp, dtype=dtype)
-                box_dist, cls_logits = model.apply(params, feats_in, train=False,
-                                                   skip_stem=True)
+            box_dist, cls_logits = apply_front(params, model, yp, up, vp,
+                                               dcfg.quant, dtype)
 
             def per_frame(bd, cl, ypi, upi, vpi):
                 res_lb = batched_nms_from_logits(
@@ -745,6 +696,11 @@ class Pipeline:
         last_id = 0
 
         use_dm = self._mask_fn is not None
+        # transport=bgr is the debug escape from the packed/s2d-front path;
+        # deepsort's chunk program needs the planes (ROI crops), so it
+        # always ships packed
+        use_bgr = (self.cfg.parallel.transport == "bgr"
+                   and not self._is_deepsort)
 
         def consume(entry):
             nonlocal frames_done
@@ -781,8 +737,13 @@ class Pipeline:
                 metas.append((fid, ts))
                 if len(buf) == k:
                     p.tick("inference")
-                    planes, _ = pack_chunk(np.stack(buf), self.cfg.detection.input_size)
-                    outs, _res = self.submit_packed_yuv(planes, *buf[0].shape[:2])
+                    if use_bgr:
+                        outs, _res = self.submit_chunk(np.stack(buf))
+                    else:
+                        planes, _ = pack_chunk(np.stack(buf),
+                                               self.cfg.detection.input_size)
+                        outs, _res = self.submit_packed_yuv(planes,
+                                                            *buf[0].shape[:2])
                     masks = None
                     if use_dm:
                         masks = self._mask_fn(outs.boxes)

@@ -85,6 +85,27 @@ class TestConfig:
         assert cfg.visualization.codec == "XVID"
         assert cfg.visualization.window_name == "ref"
 
+    def test_empty_sections_load(self, tmp_path):
+        """A bare section header ('ingestion:' with no keys) parses as None
+        and must still load with defaults (regression: the alias layer
+        crashed on None sections)."""
+        from rtmodt_tpu.config import load_config
+
+        p = tmp_path / "empty.yaml"
+        p.write_text("ingestion:\ndetection:\nvisualization:\n")
+        cfg = load_config(str(p))
+        assert cfg.detection.input_size == 640
+
+    def test_alert_backend_validation(self):
+        from rtmodt_tpu.config import load_config
+
+        with pytest.raises(ValueError, match="mqtt_host"):
+            load_config(overrides={"events": {"alert": {"backend": "mqtt"}}})
+        with pytest.raises(ValueError, match="webhook_url"):
+            load_config(overrides={"events": {"alert": {"backend": "webhook"}}})
+        with pytest.raises(ValueError, match="backend"):
+            load_config(overrides={"events": {"alert": {"backend": "carrier_pigeon"}}})
+
     def test_reference_default_yaml_loads(self):
         """The reference repo's own config/default.yaml parses end-to-end
         through the alias layer (migration: reuse existing configs as-is)."""
