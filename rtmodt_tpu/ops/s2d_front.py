@@ -171,17 +171,19 @@ def apply_front(params: dict, model: Any, yp: jnp.ndarray, up: jnp.ndarray,
     return model.apply(params, feats, train=False, skip_stem=True)
 
 
-def s2d_front_apply(params: dict, y: jnp.ndarray, u: jnp.ndarray,
-                    v: jnp.ndarray, dtype=jnp.bfloat16,
-                    bn_eps: float = 1e-3) -> jnp.ndarray:
-    """stem+down1+c2f1+down2 on letterboxed planes, packed layout throughout.
+def precompute_front(params: dict, bn_eps: float = 1e-3) -> dict:
+    """Build the packed front kernels + eval-mode affines ONCE.
 
-    Args:
-      params: the full model variables ({"params": ..., "batch_stats"?: ...}).
-      y: (B, S, S) uint8 Y plane padded with 114; u, v: (B, S/2, S/2) chroma
-        padded with 128 (same contract as ``planar_stem_apply``).
-    Returns the post-down2 feature map (B, S/8, S/8, C2) ready for c2f2
-    (feed ``model.apply(..., skip_front=True)``).
+    Weights are static at inference, so repacking the structurally-sparse
+    kernels from live params inside every jitted call (36-144
+    dynamic-update-slices per conv) is wasted work in the single-frame
+    path and bloats every compiled program.  Call this at pipeline init
+    (optionally under ``jax.jit``), keep the result on device, and feed it
+    to :func:`s2d_front_apply_packed`; invalidate when weights change.
+
+    Every entry is {"k": packed kernel, "scale": per-packed-channel scale,
+    "bias": per-packed-channel bias} - the stem's color-offset const is
+    folded into its bias (silu((conv + c)*s + b) = silu(conv*s + (c*s+b))).
     """
     pr = params["params"]
     stats_root = params.get("batch_stats")
@@ -194,45 +196,83 @@ def s2d_front_apply(params: dict, y: jnp.ndarray, u: jnp.ndarray,
             node = node[k]
         return node
 
+    def entry(kernel, layer, st, pack_fn, rep=_rep4, extra_bias=None):
+        sc, bi = _eval_affine(layer, st, bn_eps)
+        if extra_bias is not None:
+            bi = bi + extra_bias * sc
+        return {"k": pack_fn(kernel), "scale": rep(sc), "bias": rep(bi)}
+
+    k2, const = stem_2x2_kernel(pr["stem"]["conv"]["kernel"])
+    out = {
+        "stem": entry(k2, pr["stem"], stats("stem"), _pack_in6_kernel,
+                      extra_bias=const),
+        "down1": entry(pr["down1"]["conv"]["kernel"], pr["down1"],
+                       stats("down1"), _pack_s2_kernel),
+        "down2": entry(pr["down2"]["conv"]["kernel"], pr["down2"],
+                       stats("down2"), _pack_exit_kernel, rep=lambda x: x),
+    }
+    c2f = pr["c2f1"]
+    out["c2f1"] = {
+        "cv1": entry(c2f["cv1"]["conv"]["kernel"], c2f["cv1"],
+                     stats("c2f1", "cv1"), _pack_1x1_kernel),
+        "cv2": entry(c2f["cv2"]["conv"]["kernel"], c2f["cv2"],
+                     stats("c2f1", "cv2"), _pack_1x1_kernel),
+        "m": [
+            {"cv1": entry(c2f[f"m{i}"]["cv1"]["conv"]["kernel"],
+                          c2f[f"m{i}"]["cv1"],
+                          stats("c2f1", f"m{i}", "cv1"), _pack_s1_kernel),
+             "cv2": entry(c2f[f"m{i}"]["cv2"]["conv"]["kernel"],
+                          c2f[f"m{i}"]["cv2"],
+                          stats("c2f1", f"m{i}", "cv2"), _pack_s1_kernel)}
+            for i in range(len([k for k in c2f if k.startswith("m")]))
+        ],
+    }
+    return out
+
+
+def _cb(x, e, stride, pad, dtype):
+    """Packed ConvBN+SiLU from a precomputed entry."""
+    return _convbn(x, e["k"], e["scale"], e["bias"], stride, pad, dtype)
+
+
+def s2d_front_apply_packed(pk: dict, y: jnp.ndarray, u: jnp.ndarray,
+                           v: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """stem+down1+c2f1+down2 on letterboxed planes from precomputed packed
+    kernels (:func:`precompute_front`).
+
+    y: (B, S, S) uint8 Y plane padded with 114; u, v: (B, S/2, S/2) chroma
+    padded with 128 (same contract as ``planar_stem_apply``).  Returns the
+    post-down2 feature map (B, S/8, S/8, C2) ready for
+    ``model.apply(..., skip_front=True)``.
+    """
+    p00 = ((0, 0), (0, 0))
     p10 = ((1, 0), (1, 0))
     p11 = ((1, 1), (1, 1))
     x = make_x6(y, u, v, dtype)                                # (B, S/2, S/2, 6)
-
-    # stem: packed output (B, S/4, S/4, 4*C0); color offset added pre-BN
-    k2, const = stem_2x2_kernel(pr["stem"]["conv"]["kernel"])
-    sc, bi = _eval_affine(pr["stem"], stats("stem"), bn_eps)
-    x = _conv(x, _pack_in6_kernel(k2), 2, p10, dtype).astype(jnp.float32)
-    x = jax.nn.silu((x + _rep4(const)) * _rep4(sc) + _rep4(bi)).astype(dtype)
-
-    # down1: packed -> packed, (B, S/8, S/8, 4*C1)
-    sc, bi = _eval_affine(pr["down1"], stats("down1"), bn_eps)
-    x = _convbn(x, _pack_s2_kernel(pr["down1"]["conv"]["kernel"]),
-                _rep4(sc), _rep4(bi), 2, p10, dtype)
+    x = _cb(x, pk["stem"], 2, p10, dtype)                      # (B, S/4, S/4, 4C0)
+    x = _cb(x, pk["down1"], 2, p10, dtype)                     # (B, S/8, S/8, 4C1)
 
     # c2f1 in packed layout (parity-minor channels: unpacked split/concat
     # becomes contiguous packed slicing)
-    c2f = pr["c2f1"]
-    sc, bi = _eval_affine(c2f["cv1"], stats("c2f1", "cv1"), bn_eps)
-    yv = _convbn(x, _pack_1x1_kernel(c2f["cv1"]["conv"]["kernel"]),
-                 _rep4(sc), _rep4(bi), 1, ((0, 0), (0, 0)), dtype)
+    yv = _cb(x, pk["c2f1"]["cv1"], 1, p00, dtype)
     hidden4 = yv.shape[-1] // 2
     parts = [yv[..., :hidden4], yv[..., hidden4:]]
-    n_bottlenecks = len([k for k in c2f if k.startswith("m")])
-    for i in range(n_bottlenecks):
-        m = c2f[f"m{i}"]
-        sc, bi = _eval_affine(m["cv1"], stats("c2f1", f"m{i}", "cv1"), bn_eps)
-        t = _convbn(parts[-1], _pack_s1_kernel(m["cv1"]["conv"]["kernel"]),
-                    _rep4(sc), _rep4(bi), 1, p11, dtype)
-        sc, bi = _eval_affine(m["cv2"], stats("c2f1", f"m{i}", "cv2"), bn_eps)
-        t = _convbn(t, _pack_s1_kernel(m["cv2"]["conv"]["kernel"]),
-                    _rep4(sc), _rep4(bi), 1, p11, dtype)
+    for m in pk["c2f1"]["m"]:
+        t = _cb(parts[-1], m["cv1"], 1, p11, dtype)
+        t = _cb(t, m["cv2"], 1, p11, dtype)
         parts.append(parts[-1] + t)                            # shortcut
-    sc, bi = _eval_affine(c2f["cv2"], stats("c2f1", "cv2"), bn_eps)
-    x = _convbn(jnp.concatenate(parts, axis=-1),
-                _pack_1x1_kernel(c2f["cv2"]["conv"]["kernel"]),
-                _rep4(sc), _rep4(bi), 1, ((0, 0), (0, 0)), dtype)
+    x = _cb(jnp.concatenate(parts, axis=-1), pk["c2f1"]["cv2"], 1, p00, dtype)
 
     # down2: exit packed space -> (B, S/8, S/8, C2) unpacked
-    sc, bi = _eval_affine(pr["down2"], stats("down2"), bn_eps)
-    return _convbn(x, _pack_exit_kernel(pr["down2"]["conv"]["kernel"]),
-                   sc, bi, 1, p10, dtype)
+    return _cb(x, pk["down2"], 1, p10, dtype)
+
+
+def s2d_front_apply(params: dict, y: jnp.ndarray, u: jnp.ndarray,
+                    v: jnp.ndarray, dtype=jnp.bfloat16,
+                    bn_eps: float = 1e-3) -> jnp.ndarray:
+    """Convenience form: precompute + apply in one call (the packing then
+    happens inside the caller's jit; chunk programs amortize it, the
+    single-frame path should precompute once instead - see
+    :func:`precompute_front`)."""
+    return s2d_front_apply_packed(precompute_front(params, bn_eps), y, u, v,
+                                  dtype=dtype)

@@ -103,6 +103,8 @@ class Pipeline:
         self._trace_state = {"frames_left": 0, "active": False}
         self._stage_fns: dict[tuple[int, int], Any] = {}
         self._fused_fns: dict[tuple[int, int], Any] = {}
+        self._front_pack: Any = None       # precomputed s2d front kernels
+        self._front_pack_key: int | None = None
         self._chunk_fns: dict[tuple[int, int, int], Any] = {}
         self._track_fn = jax.jit(partial(bytetrack_update, cfg=cfg.tracking.bytetrack))
         if warmup_shape:
@@ -217,6 +219,20 @@ class Pipeline:
         self._fused_fns[key] = step_fn
         return step_fn
 
+    def _get_front_pack(self):
+        """Precomputed packed s2d-front kernels, cached per weight set
+        (ops/s2d_front.py::precompute_front).  None in int8 mode (the
+        quant interceptor wraps the Flax modules the front bypasses)."""
+        if self.cfg.detection.quant != "none":
+            return None
+        params = self.detector.params
+        if self._front_pack_key != id(params):
+            from rtmodt_tpu.ops.s2d_front import precompute_front
+
+            self._front_pack = jax.jit(precompute_front)(params)
+            self._front_pack_key = id(params)
+        return self._front_pack
+
     def _packed_fused_for(self, src_h: int, src_w: int):
         """Single-frame fused step over PLANAR I420 input - the low-latency
         twin of ``_packed_chunk_for`` (7.5x less transfer than the BGR fused
@@ -228,7 +244,7 @@ class Pipeline:
         if key in self._fused_fns:
             return self._fused_fns[key]
         from rtmodt_tpu.ops.planar_stem import pad_planes
-        from rtmodt_tpu.ops.s2d_front import apply_front
+        from rtmodt_tpu.ops.s2d_front import apply_front, s2d_front_apply_packed
         from rtmodt_tpu.ops.yuv import content_dims, packed_meta
 
         dcfg = self.cfg.detection
@@ -236,7 +252,7 @@ class Pipeline:
         dtype = jnp.bfloat16 if dcfg.half else jnp.float32
         model = self.detector.model
         class_mask = self.detector._class_mask
-        donate = (1,) if self.cfg.parallel.donate_state else ()
+        donate = (2,) if self.cfg.parallel.donate_state else ()
         size = dcfg.input_size
         ch, cw = content_dims(src_h, src_w, size)
         meta = packed_meta(src_h, src_w, size)
@@ -245,15 +261,23 @@ class Pipeline:
         n_chroma = (ch // 2) * (cw // 2)
 
         @partial(jax.jit, donate_argnums=donate)
-        def step_fn(params, state, yuv):
+        def step_fn(params, front_pack, state, yuv):
+            # front_pack: precomputed packed front kernels (None in int8
+            # mode) - per-frame steps must not repack weights every frame
             y = yuv[:ch]
             chroma = yuv[ch:].reshape(-1)
             u = chroma[:n_chroma].reshape(ch // 2, cw // 2)
             v = chroma[n_chroma:2 * n_chroma].reshape(ch // 2, cw // 2)
             yp, up, vp = pad_planes(y[None], u[None], v[None], size,
                                     pad_left, pad_top)
-            box_dist, cls_logits = apply_front(params, model, yp, up, vp,
-                                               dcfg.quant, dtype)
+            if front_pack is not None:
+                feats = s2d_front_apply_packed(front_pack, yp, up, vp,
+                                               dtype=dtype)
+                box_dist, cls_logits = model.apply(params, feats, train=False,
+                                                   skip_front=True)
+            else:
+                box_dist, cls_logits = apply_front(params, model, yp, up, vp,
+                                                   dcfg.quant, dtype)
             res = batched_nms_from_logits(
                 box_dist[0], cls_logits[0], size,
                 dcfg.conf_threshold, dcfg.iou_threshold,
@@ -283,7 +307,8 @@ class Pipeline:
         p = self.profiler
         p.tick("inference")
         self.tracker.state, outputs, res = fn(
-            self.detector.params, self.tracker.state, jax.device_put(yuv))
+            self.detector.params, self._get_front_pack(),
+            self.tracker.state, jax.device_put(yuv))
         tracks = self.tracker.tracks_from_outputs(outputs, self.detector.class_names)
         p.tock("inference")
         p.tick("events")
@@ -522,7 +547,8 @@ class Pipeline:
             step = self._packed_fused_for(h, w)
             for _ in range(iters):
                 state, outputs, res = step(
-                    self.detector.params, state, jax.device_put(yuv))
+                    self.detector.params, self._get_front_pack(), state,
+                    jax.device_put(yuv))
                 jax.block_until_ready(outputs.visible)
         else:
             step = self._fused_for(h, w)
@@ -652,7 +678,8 @@ class Pipeline:
         yuv, _ = pack_i420(frame, self.cfg.detection.input_size)
         step_fn = self._packed_fused_for(h, w)
         self.tracker.state, outputs, res = step_fn(
-            self.detector.params, self.tracker.state, jax.device_put(yuv))
+            self.detector.params, self._get_front_pack(),
+            self.tracker.state, jax.device_put(yuv))
         for leaf in jax.tree.leaves((outputs, res)):
             if hasattr(leaf, "copy_to_host_async"):
                 leaf.copy_to_host_async()

@@ -116,6 +116,15 @@ class TestQuantizedInference:
             tracks, events, res = pipe.step(frame, fid)
         assert res.boxes.shape[0] == 20
 
+        # packed paths must take the module branch of apply_front (int8's
+        # interceptor wraps ConvBN modules, which the s2d front bypasses)
+        tracks, events, res = pipe.step_packed(frame, 3)
+        assert res.boxes.shape[0] == 20
+        from rtmodt_tpu.ops.yuv import pack_chunk
+        planes, _ = pack_chunk(np.stack([frame] * 2), 128)
+        outs, ress = pipe.submit_packed_yuv(planes, 160, 160)
+        assert np.asarray(ress.boxes).shape == (2, 20, 4)
+
 
 class TestQAT:
     """Quantization-aware fine-tuning (quant/qat.py): BN-fold -> frozen
