@@ -41,7 +41,7 @@ def main() -> None:
         if line:
             results.append(json.loads(line[-1]))
             print(f"pass {i}: {results[-1]['value']} fps", file=sys.stderr)
-            if results[-1]["value"] >= 360.0:
+            if results[-1]["value"] >= 340.0:
                 break  # interference-free pass observed; done
         else:
             print(f"pass {i} failed:\n{r.stderr[-1500:]}", file=sys.stderr)
