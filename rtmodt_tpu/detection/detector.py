@@ -107,6 +107,8 @@ class Detector:
         dtype = jnp.bfloat16 if self.cfg.half else jnp.float32
         self.model = build_model(self.cfg.model, self.cfg.num_classes, dtype=dtype)
         self._ckpt_fused = False
+        self.params_version = 0   # bumped by the params setter; derived
+        # caches (e.g. Pipeline._get_front_pack) key on it, never on id()
         self.params = self._load_params()
         if self._ckpt_fused and not self.cfg.fuse_bn:
             raise ValueError(
@@ -143,6 +145,18 @@ class Detector:
             self._warmup(warmup_shape or (640, 640))
 
     # -- weights ---------------------------------------------------------
+    @property
+    def params(self) -> Any:
+        return self._params
+
+    @params.setter
+    def params(self, value: Any) -> None:
+        """Every (re)assignment bumps ``params_version`` so derived caches
+        (precomputed s2d-front kernels, quant scales) invalidate by value,
+        not by ``id()`` - CPython reuses ids of collected trees."""
+        self._params = value
+        self.params_version += 1
+
     def _load_params(self) -> Any:
         """Load weights with fallback chain (reference detector.py:82-90):
         primary -> fallback -> (new capability) random init with a warning."""

@@ -17,6 +17,7 @@ from __future__ import annotations
 import socket
 import struct
 import threading
+import time
 
 from rtmodt_tpu.utils.logging import logger
 
@@ -54,6 +55,12 @@ class MQTTPublisher:
         self.timeout = timeout
         self._sock: socket.socket | None = None
         self._lock = threading.Lock()
+        # reconnect backoff: with an unreachable broker, every publish would
+        # otherwise block the pipeline's consume thread for the full connect
+        # timeout; after a failure, publishes are dropped (the events JSONL
+        # is the durable record) until the backoff window expires
+        self.reconnect_backoff_sec = 5.0
+        self._next_connect_ok = 0.0
 
     # ------------------------------------------------------------------
     def _connect(self) -> None:
@@ -89,11 +96,15 @@ class MQTTPublisher:
         with self._lock:
             try:
                 if self._sock is None:
+                    if time.monotonic() < self._next_connect_ok:
+                        return False   # inside backoff window: drop quietly
                     self._connect()
                 self._sock.sendall(packet)
                 return True
             except OSError as e:
-                logger.warning(f"mqtt publish failed ({e}); will reconnect")
+                self._next_connect_ok = time.monotonic() + self.reconnect_backoff_sec
+                logger.warning(f"mqtt publish failed ({e}); next reconnect "
+                               f"attempt in {self.reconnect_backoff_sec:.0f}s")
                 self.close()
                 return False
 

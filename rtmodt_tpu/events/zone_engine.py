@@ -119,6 +119,7 @@ class ZoneEventEngine:
         self._hist: np.ndarray | None = None      # (S, L, 2) float64
         self._hist_len: np.ndarray | None = None  # (S,) int32
         self._hist_tid: np.ndarray | None = None  # (S,) int64
+        self._last_wall_chunk: float | None = None  # wall-clock interpolation
         logger.info(f"ZoneEventEngine loaded {len(self.zones)} zones "
                     f"(clock={clock}, backend={self.alert.backend})")
 
@@ -258,7 +259,19 @@ class ZoneEventEngine:
         if k == 0 or not self.zones:
             return []
         if timestamps is None or self.clock == "wall":
-            ts = np.full((k,), time.time(), np.float64)
+            # wall clock per chunk: the K frames arrived spread over the
+            # interval since the previous chunk, so interpolate per-frame
+            # wall offsets across it (a single time.time() for all K would
+            # quantize dwell/cooldown to chunk-sized steps, diverging from
+            # the per-frame reference-compat path); the first chunk has no
+            # interval yet and stamps all K frames with one reading
+            now = time.time()
+            prev = self._last_wall_chunk
+            if prev is not None and now > prev:
+                ts = prev + (np.arange(1, k + 1, dtype=np.float64) / k) * (now - prev)
+            else:
+                ts = np.full((k,), now, np.float64)
+            self._last_wall_chunk = now
         else:
             ts = np.asarray(timestamps, np.float64)
         visible = np.asarray(visible, bool)
@@ -390,7 +403,8 @@ class ZoneEventEngine:
         if (self._hist is not None and slot < self._hist.shape[0]
                 and self._hist_tid[slot] == tid and self._hist_len[slot] > 0):
             pts = np.concatenate([self._hist[slot, :self._hist_len[slot]], pts])
-        pts = pts[-self._trail_maxlen:]
+        pts = np.trunc(pts[-self._trail_maxlen:])  # int-truncate like
+        # Track.trail so both paths give one verdict on sub-pixel motion
         if len(pts) < 2:
             return False
         dx = pts[-1, 0] - pts[0, 0]

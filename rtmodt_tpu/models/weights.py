@@ -52,11 +52,49 @@ def _convert_c2f(name: str, tp: dict[str, np.ndarray], torch_prefix: str,
         i += 1
 
 
+class _TrackingDict(dict):
+    """Records which checkpoint keys the converter actually read, so
+    anything left over fails loudly instead of silently vanishing."""
+
+    def __init__(self, d: dict) -> None:
+        super().__init__(d)
+        self.consumed: set = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+
+# Checkpoint tensors that are intentionally NOT mapped into the Flax tree.
+# Each entry must justify itself:
+#  * num_batches_tracked: torch-BN bookkeeping, no inference meaning;
+#  * model.22.dfl.conv.weight: the DFL "conv" is the fixed expectation over
+#    bins 0..REG_MAX-1 (arange, non-trainable in ultralytics); our decode
+#    computes it in closed form (models/yolov8.py DFL decode), and the
+#    VALUE is verified against arange below - a checkpoint with retrained
+#    bins would be rejected, not silently mis-decoded.
+_UNMAPPED_OK = re.compile(
+    r"(\.num_batches_tracked$)|(^model\.22\.dfl\.conv\.weight$)")
+
+
 def convert_ultralytics_state_dict(state: dict[str, np.ndarray]) -> dict[str, Any]:
-    """Map an ultralytics YOLOv8 float state dict to the Flax variables tree."""
+    """Map an ultralytics YOLOv8 float state dict to the Flax variables tree.
+
+    Every tensor in ``state`` must be consumed by the mapping or matched by
+    ``_UNMAPPED_OK``; anything else raises (a renamed/extra trainable tensor
+    must never vanish silently)."""
     params: dict[tuple[str, ...], np.ndarray] = {}
     stats: dict[tuple[str, ...], np.ndarray] = {}
-    tp = state
+    tp = _TrackingDict(state)
+
+    dfl = state.get("model.22.dfl.conv.weight")
+    if dfl is not None:
+        bins = np.arange(dfl.size, dtype=np.float32)
+        if not np.allclose(np.asarray(dfl).reshape(-1), bins):
+            raise ValueError(
+                "model.22.dfl.conv.weight is not the fixed arange(REG_MAX) "
+                "expectation; this checkpoint's DFL decode differs from the "
+                "closed form this framework computes")
 
     for idx, name in _LAYER_MAP.items():
         if name == "head":
@@ -83,6 +121,15 @@ def convert_ultralytics_state_dict(state: dict[str, np.ndarray]) -> dict[str, An
             params[("head", f"{ours}{lvl}_2", "kernel")] = np.transpose(w, (2, 3, 1, 0))
             params[("head", f"{ours}{lvl}_2", "bias")] = b
 
+    leftover = sorted(k for k in state
+                      if k not in tp.consumed and not _UNMAPPED_OK.search(k))
+    if leftover:
+        raise ValueError(
+            f"{len(leftover)} checkpoint tensor(s) not consumed by the "
+            f"ultralytics->Flax mapping (first 10: {leftover[:10]}); "
+            "refusing to silently drop weights - extend _LAYER_MAP / "
+            "_UNMAPPED_OK for this architecture variant")
+
     return {
         "params": traverse_util.unflatten_dict(params),
         "batch_stats": traverse_util.unflatten_dict(stats),
@@ -101,8 +148,11 @@ def load_ultralytics_pt(path: str) -> dict[str, Any]:
         sd = model
     else:
         raise TypeError(f"unsupported checkpoint structure in {path}")
+    # hand EVERY tensor to the converter - it asserts full consumption, so
+    # unexpected keys (renamed layers, EMA trees, adapters) fail loudly
+    # instead of being filtered away here
     state = {k: v.float().numpy() for k, v in sd.items()
-             if isinstance(v, torch.Tensor) and re.match(r"model\.\d+\.", k)}
+             if isinstance(v, torch.Tensor)}
     logger.info(f"converted {len(state)} tensors from {path}")
     return convert_ultralytics_state_dict(state)
 

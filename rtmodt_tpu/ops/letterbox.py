@@ -57,7 +57,12 @@ def letterbox(
     x = frame_u8.astype(dtype)
     if bgr_to_rgb:
         x = x[..., ::-1]
-    x = jax.image.resize(x, (meta.new_h, meta.new_w, 3), method="bilinear")
+    # antialias=False: ultralytics preprocesses with cv2.INTER_LINEAR, which
+    # is plain half-pixel-center bilinear with no antialias prefilter; the
+    # default antialiased downscale would diverge from the reference pixels
+    # (parity oracle: ops/letterbox_ref.py, tests/test_letterbox_parity.py)
+    x = jax.image.resize(x, (meta.new_h, meta.new_w, 3), method="bilinear",
+                         antialias=False)
     pad_bottom = size - meta.new_h - meta.pad_top
     pad_right = size - meta.new_w - meta.pad_left
     x = jnp.pad(

@@ -186,13 +186,30 @@ class MultiStreamPipeline:
             return state, outs, ress
 
         ts_shard = NamedSharding(self.mesh, P(None, "data"))
-        self._jitted[key] = jax.jit(
-            chunk,
-            in_shardings=(self._repl, self._stream_shard,
-                          ts_shard, ts_shard, ts_shard),
-            out_shardings=(self._stream_shard, ts_shard, ts_shard),
-            donate_argnums=(1,),
-        )
+
+        def build():
+            return jax.jit(
+                chunk,
+                in_shardings=(self._repl, self._stream_shard,
+                              ts_shard, ts_shard, ts_shard),
+                out_shardings=(self._stream_shard, ts_shard, ts_shard),
+                donate_argnums=(1,),
+            )
+
+        # tracing this program (scan over T of a vmapped tracker) costs
+        # ~100 s per process; the AOT cache makes later cold-starts
+        # millisecond-scale (runtime/aot_cache.py)
+        from rtmodt_tpu.runtime.aot_cache import aot_cached
+
+        def example_args():
+            y0 = np.zeros((t, s_streams, ch, cw), np.uint8)
+            u0 = np.zeros((t, s_streams, ch // 2, cw // 2), np.uint8)
+            return (self.params, self.state, y0, u0, u0.copy())
+
+        self._jitted[key] = aot_cached(
+            ("msp_packed", repr(dcfg), repr(bcfg), s_streams,
+             tuple(self.mesh.shape.items()), src_h, src_w, t),
+            build, example_args)
         return self._jitted[key]
 
     def submit_chunk_packed(self, planes, src_h: int, src_w: int):

@@ -1,0 +1,132 @@
+"""Ahead-of-time program cache: skip per-process tracing of big programs.
+
+JAX's persistent compilation cache only skips the XLA *compile*; the Python
+*tracing/lowering* of a large jitted program is redone by every process.
+For the multi-stream chunk program (scan over T of a vmapped tracker with
+data-dependent while-loops) tracing alone measures ~100 s on this host -
+dwarfing the cache-hit compile (~2 s) and dominating pipeline cold-start.
+
+This module serializes the traced program (StableHLO via ``jax.export``)
+keyed by (jax version, device kind, program key); later processes
+deserialize in milliseconds and go straight to the (persistently cached)
+XLA compile.  The production serving analog is TensorRT's engine cache in
+the reference stack (reference ``src/detection/detector.py`` TRT path);
+here it is a first-class runtime feature for every jitted program.
+
+Usage::
+
+    fn = aot_cached(key_parts, build_jit_fn, example_args)
+
+On any failure (unregistered pytree, version skew, corrupt blob) it falls
+back to the plain jitted function - the cache is purely an optimization.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import threading
+from typing import Any, Callable, Sequence
+
+from rtmodt_tpu.utils.logging import logger
+
+_registered = False
+_reg_lock = threading.Lock()
+
+
+def _register_serializations() -> None:
+    """Register the framework's NamedTuple pytrees with jax.export (idempotent)."""
+    global _registered
+    with _reg_lock:
+        if _registered:
+            return
+        from jax import export as jexport
+
+        from rtmodt_tpu.ops.nms import NMSResult
+        from rtmodt_tpu.tracking.bytetrack import TrackOutputs, TrackState
+
+        for cls in (NMSResult, TrackOutputs, TrackState):
+            try:
+                jexport.register_namedtuple_serialization(
+                    cls, serialized_name=f"rtmodt_tpu.{cls.__name__}")
+            except ValueError:
+                pass  # already registered (e.g. by a second pipeline)
+        _registered = True
+
+
+def cache_dir() -> str:
+    path = os.environ.get(
+        "RTMODT_AOT_CACHE",
+        os.path.expanduser("~/.cache/rtmodt_aot_cache"))
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _cache_key(parts: Sequence[Any]) -> str:
+    import jax
+
+    try:
+        dev = jax.devices()[0]
+        hw = f"{dev.platform}:{getattr(dev, 'device_kind', '?')}"
+    except Exception:
+        hw = "unknown"
+    payload = "|".join([jax.__version__, hw] + [repr(p) for p in parts])
+    return hashlib.sha256(payload.encode()).hexdigest()[:24]
+
+
+def aot_cached(key_parts: Sequence[Any], build: Callable[[], Any],
+               example_args: Callable[[], tuple] | None = None,
+               enabled: bool = True):
+    """Return a callable for the program identified by ``key_parts``.
+
+    * cache hit: deserialize the exported StableHLO (no tracing) and return
+      its ``call``;
+    * cache miss: ``build()`` the jitted function; if ``example_args`` is
+      given, trace + export + serialize it in the background of first use
+      so the NEXT process hits.
+
+    ``key_parts`` must capture everything that changes the traced program:
+    config values, shapes, mesh layout.  Donation is not preserved through
+    export (the state buffers are small; measured perf parity is within
+    noise - see docs/PERF_NOTES.md).
+    """
+    if not enabled or os.environ.get("RTMODT_AOT_CACHE_DISABLE"):
+        return build()
+    path = os.path.join(cache_dir(), _cache_key(key_parts) + ".jaxexport")
+    if os.path.exists(path):
+        try:
+            from jax import export as jexport
+
+            _register_serializations()
+            with open(path, "rb") as f:
+                rt = jexport.deserialize(f.read())
+            logger.debug(f"AOT cache hit: {os.path.basename(path)}")
+            return rt.call
+        except Exception as e:
+            logger.warning(f"AOT cache read failed ({e}); re-tracing")
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+    fn = build()
+    if example_args is None:
+        return fn
+    # miss: trace exactly once via export, store, and run off the exported
+    # program so the build's own tracing is the only one this process pays
+    try:
+        from jax import export as jexport
+
+        _register_serializations()
+        exported = jexport.export(fn)(*example_args())
+        blob = exported.serialize()
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        logger.debug(f"AOT cache store: {os.path.basename(path)} "
+                     f"({len(blob) / 1e6:.1f} MB)")
+        return exported.call
+    except Exception as e:
+        logger.warning(f"AOT cache store failed ({e}); "
+                       "cold starts will re-trace")
+        return fn

@@ -225,12 +225,11 @@ class Pipeline:
         quant interceptor wraps the Flax modules the front bypasses)."""
         if self.cfg.detection.quant != "none":
             return None
-        params = self.detector.params
-        if self._front_pack_key != id(params):
+        if self._front_pack_key != self.detector.params_version:
             from rtmodt_tpu.ops.s2d_front import precompute_front
 
-            self._front_pack = jax.jit(precompute_front)(params)
-            self._front_pack_key = id(params)
+            self._front_pack = jax.jit(precompute_front)(self.detector.params)
+            self._front_pack_key = self.detector.params_version
         return self._front_pack
 
     def _packed_fused_for(self, src_h: int, src_w: int):

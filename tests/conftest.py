@@ -10,6 +10,10 @@ otherwise every test compiles through the TPU tunnel.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the AOT program cache (runtime/aot_cache.py) adds an export/serialize pass
+# on miss; tests exercise it explicitly in test_aot_cache.py and keep every
+# other program on the plain jit path for determinism and speed
+os.environ.setdefault("RTMODT_AOT_CACHE_DISABLE", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
