@@ -90,6 +90,16 @@ class ByteTrackConfig:
     assignment: str = "greedy"          # greedy (device) | lapjv (host C++)
     fuse_score: bool = False            # stage-1 similarity = IoU * det conf
     gate_distance: bool = False         # Mahalanobis chi2(4dof, 0.975) gate
+    # Acceptance semantics of match_thresh:
+    #   iou          - accept when IoU >= match_thresh (REFERENCE-compat:
+    #                  reference tracker.py:170 passes cost_limit=1-thresh,
+    #                  so 0.8 demands 80% overlap - far stricter than
+    #                  canonical ByteTrack and prone to id churn under fast
+    #                  motion; kept as the default for output parity);
+    #   iou_distance - accept when 1 - IoU <= match_thresh (canonical
+    #                  ByteTrack matching.py semantics: 0.8 accepts IoU >=
+    #                  0.2; use this for MOT-benchmark-grade tracking).
+    match_metric: str = "iou"
     mot20: bool = False
 
 

@@ -162,6 +162,10 @@ def bytetrack_update(
     use_kalman = cfg.motion_model == "kalman"
     det_boxes = det_boxes.astype(jnp.float32)
     det_conf = det_conf.astype(jnp.float32)
+    # similarity is IoU either way; only the acceptance floor differs
+    # (config/loader.py ByteTrackConfig.match_metric)
+    accept = (cfg.match_thresh if cfg.match_metric == "iou"
+              else 1.0 - cfg.match_thresh)
 
     # -- 0. Kalman predict for all active slots ---------------------------
     if use_kalman:
@@ -182,7 +186,7 @@ def bytetrack_update(
     state, matched1, det_matched1 = _associate_and_update(
         state, pred_boxes, det_boxes, det_conf, det_cls,
         det_eligible=high, row_eligible=state.active,
-        match_thresh=cfg.match_thresh, use_kalman=use_kalman,
+        match_thresh=accept, use_kalman=use_kalman,
         fuse_score=cfg.fuse_score, gate_distance=cfg.gate_distance,
     )
 
@@ -191,7 +195,7 @@ def bytetrack_update(
     state, matched2, _ = _associate_and_update(
         state, pred_boxes, det_boxes, det_conf, det_cls,
         det_eligible=low, row_eligible=state.active & ~matched1,
-        match_thresh=cfg.match_thresh, use_kalman=use_kalman,
+        match_thresh=accept, use_kalman=use_kalman,
         gate_distance=cfg.gate_distance,
     )
     matched = matched1 | matched2
