@@ -79,32 +79,49 @@ def main() -> None:
     # transfer throughput degrades with process age (docs/PERF_NOTES.md -
     # measured 306 -> 266 -> 85 fps for consecutive passes in one process),
     # so the first pass of a fresh process is the honest repeatable sample.
-    # With the persistent compile cache warm a pass costs ~25-35 s; best-of
-    # wins the headline (tunnel throughput swings minute to minute).
-    # multi first: on a healthy tunnel it is the likely >=500 configuration.
-    plan = (["multi", "single"] * 6)[:12]
+    # Best-of wins the headline (tunnel throughput swings minute to minute).
+    # single passes are cheap (~35-45 s warm); the S=4 multi pass costs
+    # ~90-180 s (exported-program load varies through the tunnel) and wins
+    # only on a healthy tunnel - schedule singles first, weave multis in.
+    plan = ["single", "multi", "single", "multi"] + ["single"] * 4
+    est_cost = {"single": 45.0, "multi": 150.0}
     for i, cfg_name in enumerate(plan):
         remaining = budget - (time.monotonic() - t0) - 8.0
         # don't start a pass that cannot finish; the first child may have to
         # compile from scratch (minutes) and killing a compiling client
         # stalls the device, so it gets the whole remaining budget
-        if i > 0 and remaining < 45.0:
-            break
+        if i > 0 and remaining < est_cost[cfg_name]:
+            if remaining >= est_cost["single"] and cfg_name != "single":
+                cfg_name = "single"   # squeeze one more cheap pass in
+            else:
+                break
+        err_path = f"/tmp/rtmodt_bench_child_{i}.log"
         try:
             env = dict(os.environ, RTMODT_BENCH_CHILD=cfg_name)
-            child[0] = subprocess.Popen(
-                [sys.executable, os.path.abspath(__file__)],
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-                text=True, env=env)
+            with open(err_path, "w") as err_f:
+                child[0] = subprocess.Popen(
+                    [sys.executable, os.path.abspath(__file__)],
+                    stdout=subprocess.PIPE, stderr=err_f,
+                    text=True, env=env)
+            # cap per child so one wedged tunnel session cannot eat the
+            # whole budget (a fresh process often recovers); child 0 gets a
+            # bigger window in case it must cold-compile
+            cap = (max(150.0, remaining * 0.6) if i == 0
+                   else min(remaining, est_cost[cfg_name] * 3))
             try:
-                out, err = child[0].communicate(timeout=remaining + 15.0)
+                out, _ = child[0].communicate(timeout=cap + 15.0)
             except subprocess.TimeoutExpired:
                 child[0].terminate()  # SIGTERM -> child flushes partial JSON
                 try:
-                    out, err = child[0].communicate(timeout=10.0)
+                    out, _ = child[0].communicate(timeout=10.0)
                 except subprocess.TimeoutExpired:
                     child[0].kill()
-                    out, err = child[0].communicate()
+                    out, _ = child[0].communicate()
+            try:
+                with open(err_path) as f:
+                    err = f.read()
+            except OSError:
+                err = ""
             lines = [ln for ln in out.splitlines() if ln.startswith("{")]
             if lines:
                 val = float(json.loads(lines[-1])["value"])

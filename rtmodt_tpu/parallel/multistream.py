@@ -206,9 +206,13 @@ class MultiStreamPipeline:
             u0 = np.zeros((t, s_streams, ch // 2, cw // 2), np.uint8)
             return (self.params, self.state, y0, u0, u0.copy())
 
+        # the key must pin the full traced signature - including the params
+        # tree's avals (e.g. f32 vs bf16 deploy storage changes the program)
+        param_sig = jax.tree.map(
+            lambda x: (tuple(x.shape), str(x.dtype)), self.params)
         self._jitted[key] = aot_cached(
             ("msp_packed", repr(dcfg), repr(bcfg), s_streams,
-             tuple(self.mesh.shape.items()), src_h, src_w, t),
+             tuple(self.mesh.shape.items()), src_h, src_w, t, param_sig),
             build, example_args)
         return self._jitted[key]
 

@@ -74,6 +74,32 @@ def _cache_key(parts: Sequence[Any]) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:24]
 
 
+def _guarded(rt_call: Callable, build: Callable[[], Any], path: str) -> Callable:
+    """Until its first success, a deserialized program may still reject the
+    live arguments (e.g. a key that under-captured the traced signature);
+    fall back to a fresh build once instead of crashing the pipeline."""
+    state = {"fn": rt_call, "ok": False}
+
+    def call(*args, **kwargs):
+        if state["ok"]:
+            return state["fn"](*args, **kwargs)
+        try:
+            out = state["fn"](*args, **kwargs)
+        except Exception as e:
+            logger.warning(f"AOT cached program rejected arguments ({e}); "
+                           "re-tracing and dropping the stale blob")
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+            state["fn"] = build()
+            out = state["fn"](*args, **kwargs)
+        state["ok"] = True
+        return out
+
+    return call
+
+
 def aot_cached(key_parts: Sequence[Any], build: Callable[[], Any],
                example_args: Callable[[], tuple] | None = None,
                enabled: bool = True):
@@ -101,7 +127,7 @@ def aot_cached(key_parts: Sequence[Any], build: Callable[[], Any],
             with open(path, "rb") as f:
                 rt = jexport.deserialize(f.read())
             logger.debug(f"AOT cache hit: {os.path.basename(path)}")
-            return rt.call
+            return _guarded(rt.call, build, path)
         except Exception as e:
             logger.warning(f"AOT cache read failed ({e}); re-tracing")
             try:

@@ -51,3 +51,104 @@ def write_synthetic_video(path: str, frames: int = 100, h: int = 720, w: int = 1
         frame, _ = moving_boxes_frame(t, h, w, n_objects, seed)
         vw.write(frame)
     vw.release()
+
+SHAPE_CLASSES = ["box", "disc", "triangle", "ring", "cross", "diamond",
+                 "stripe_v", "star"]
+
+
+def cluttered_scene(
+    idx: int,
+    h: int = 512,
+    w: int = 512,
+    n_classes: int = 8,
+    min_objects: int = 3,
+    max_objects: int = 14,
+    seed: int = 0,
+):
+    """Render one multi-class detection scene with clutter and occlusion.
+
+    A harder synthetic than ``moving_boxes_frame`` (VERDICT round-1
+    weakness #5: training was only validated on single-class rectangles):
+    8 shape classes at 3x scale variation, textured gradient+noise
+    background, distractor strokes that are NOT objects, and real occlusion
+    (later shapes draw over earlier ones; boxes with > 70% of their area
+    covered are dropped from the labels, like crowd-filtered GT).
+
+    Deterministic in (idx, seed).  Returns (frame BGR uint8, boxes (N,4)
+    xyxy f32, labels (N,) i32).
+    """
+    import cv2
+
+    rng = np.random.default_rng((seed << 20) ^ idx)
+    n_classes = min(n_classes, len(SHAPE_CLASSES))
+
+    # background: directional gradient + per-pixel noise + big soft blobs
+    gy, gx = np.mgrid[0:h, 0:w].astype(np.float32)
+    ang = rng.uniform(0, 2 * np.pi)
+    base = (np.cos(ang) * gx / w + np.sin(ang) * gy / h)
+    base = (base - base.min()) / (np.ptp(base) + 1e-9)
+    bg = (30 + 70 * base)[..., None] * rng.uniform(0.5, 1.0, (3,))
+    frame = np.clip(bg + rng.normal(0, 12, (h, w, 3)), 0, 255).astype(np.uint8)
+    for _ in range(rng.integers(2, 6)):       # distractor strokes (no label)
+        p1 = rng.integers(0, [w, h]); p2 = rng.integers(0, [w, h])
+        cv2.line(frame, tuple(p1), tuple(p2),
+                 tuple(int(c) for c in rng.integers(40, 120, 3)),
+                 int(rng.integers(1, 4)))
+
+    n = int(rng.integers(min_objects, max_objects + 1))
+    order = []
+    for _ in range(n):
+        cls = int(rng.integers(0, n_classes))
+        s = int(rng.uniform(0.05, 0.16) * min(h, w) * rng.choice([1.0, 1.0, 2.0]))
+        s = max(12, min(s, min(h, w) // 3))
+        cx = int(rng.uniform(s, w - s)); cy = int(rng.uniform(s, h - s))
+        color = tuple(int(c) for c in rng.integers(90, 255, 3))
+        order.append((cls, cx, cy, s, color))
+
+    boxes, labels = [], []
+    for cls, cx, cy, s, color in order:
+        x1, y1, x2, y2 = cx - s, cy - s, cx + s, cy + s
+        name = SHAPE_CLASSES[cls]
+        if name == "box":
+            cv2.rectangle(frame, (x1, y1), (x2, y2), color, -1)
+        elif name == "disc":
+            cv2.circle(frame, (cx, cy), s, color, -1)
+        elif name == "triangle":
+            pts = np.array([[cx, y1], [x1, y2], [x2, y2]], np.int32)
+            cv2.fillPoly(frame, [pts], color)
+        elif name == "ring":
+            cv2.circle(frame, (cx, cy), s, color, max(3, s // 3))
+        elif name == "cross":
+            t_ = max(3, s // 3)
+            cv2.rectangle(frame, (cx - t_, y1), (cx + t_, y2), color, -1)
+            cv2.rectangle(frame, (x1, cy - t_), (x2, cy + t_), color, -1)
+        elif name == "diamond":
+            pts = np.array([[cx, y1], [x2, cy], [cx, y2], [x1, cy]], np.int32)
+            cv2.fillPoly(frame, [pts], color)
+        elif name == "stripe_v":
+            t_ = max(3, s // 2)
+            cv2.rectangle(frame, (cx - t_, y1), (cx + t_, y2), color, -1)
+        elif name == "star":
+            a = np.linspace(-np.pi / 2, 1.5 * np.pi, 11)[:-1]
+            r = np.where(np.arange(10) % 2 == 0, s, s * 0.45)
+            pts = np.stack([cx + r * np.cos(a), cy + r * np.sin(a)], -1)
+            cv2.fillPoly(frame, [pts.astype(np.int32)], color)
+        boxes.append([x1, y1, x2, y2])
+        labels.append(cls)
+
+    # occlusion filter: drop a box when later shapes cover > 70% of it
+    boxes_a = np.asarray(boxes, np.float32)
+    keep = np.ones(len(order), bool)
+    for i in range(len(order)):
+        xi1, yi1, xi2, yi2 = boxes_a[i]
+        area = max(1.0, (xi2 - xi1) * (yi2 - yi1))
+        covered = 0.0
+        for j in range(i + 1, len(order)):
+            xj1, yj1, xj2, yj2 = boxes_a[j]
+            iw = max(0.0, min(xi2, xj2) - max(xi1, xj1))
+            ih = max(0.0, min(yi2, yj2) - max(yi1, yj1))
+            covered = max(covered, iw * ih)
+        if covered / area > 0.7:
+            keep[i] = False
+    boxes_a = np.clip(boxes_a[keep], 0, [w - 1, h - 1, w - 1, h - 1])
+    return frame, boxes_a, np.asarray(labels, np.int32)[keep]

@@ -134,6 +134,57 @@ def make_synthetic(root: str, n_train: int, n_val: int, h: int, w: int,
     click.echo(f"synthetic dataset at {root}: {n_train} train / {n_val} val")
 
 
+def make_synthetic_rich(root: str, n_train: int, n_val: int, h: int, w: int,
+                        n_classes: int, seed: int) -> None:
+    """coco128-scale multi-class synthetic: 8 shape classes, occlusion,
+    distractor clutter (utils/synthetic.py::cluttered_scene).  YOLO layout +
+    COCO GT for the val split, same contract as ``make_synthetic``."""
+    import cv2
+
+    from rtmodt_tpu.utils.synthetic import SHAPE_CLASSES, cluttered_scene
+
+    n_classes = min(n_classes, len(SHAPE_CLASSES))
+    coco = {"images": [], "annotations": [],
+            "categories": [{"id": c + 1, "name": SHAPE_CLASSES[c]}
+                           for c in range(n_classes)]}
+    aid = 1
+    for split, count, offset in (("train", n_train, 0), ("val", n_val, n_train)):
+        img_dir = os.path.join(root, "images", split)
+        lbl_dir = os.path.join(root, "labels", split)
+        os.makedirs(img_dir, exist_ok=True)
+        os.makedirs(lbl_dir, exist_ok=True)
+        for i in range(count):
+            t = offset + i
+            frame, boxes, labels = cluttered_scene(
+                t, h, w, n_classes=n_classes, seed=seed)
+            name = f"{t:06d}"
+            cv2.imwrite(os.path.join(img_dir, name + ".jpg"), frame)
+            with open(os.path.join(lbl_dir, name + ".txt"), "w") as f:
+                for b, c in zip(boxes, labels):
+                    cx, cy = (b[0] + b[2]) / 2 / w, (b[1] + b[3]) / 2 / h
+                    bw, bh = (b[2] - b[0]) / w, (b[3] - b[1]) / h
+                    f.write(f"{int(c)} {cx:.6f} {cy:.6f} {bw:.6f} {bh:.6f}\n")
+            if split == "val":
+                coco["images"].append({"id": t, "file_name": name + ".jpg",
+                                       "width": w, "height": h})
+                for b, c in zip(boxes, labels):
+                    coco["annotations"].append({
+                        "id": aid, "image_id": t, "category_id": int(c) + 1,
+                        "bbox": [float(b[0]), float(b[1]),
+                                 float(b[2] - b[0]), float(b[3] - b[1])],
+                        "area": float((b[2] - b[0]) * (b[3] - b[1])),
+                        "iscrowd": 0})
+                    aid += 1
+    with open(os.path.join(root, "val_coco_gt.json"), "w") as f:
+        json.dump(coco, f)
+    with open(os.path.join(root, "dataset.yaml"), "w") as f:
+        names = "\n".join(f"  {c}: {SHAPE_CLASSES[c]}" for c in range(n_classes))
+        f.write(f"path: {os.path.abspath(root)}\ntrain: images/train\n"
+                f"val: images/val\nnames:\n{names}\n")
+    click.echo(f"rich synthetic dataset at {root}: {n_train} train / "
+               f"{n_val} val, {n_classes} classes")
+
+
 @click.command()
 @click.option("--dataset", type=click.Choice(["coco128", "coco", "mot17", "synthetic"]),
               default="synthetic")
@@ -144,11 +195,20 @@ def make_synthetic(root: str, n_train: int, n_val: int, h: int, w: int,
 @click.option("--height", default=720, type=int)
 @click.option("--width", default=1280, type=int)
 @click.option("--objects", default=6, type=int)
+@click.option("--classes", default=1, type=int,
+              help="> 1: multi-class cluttered scenes (8 shape classes, "
+                   "occlusion, distractors - utils/synthetic.py::"
+                   "cluttered_scene) instead of the easy moving-boxes scene")
 @click.option("--seed", default=0, type=int)
-def main(dataset, root, two_class, n_train, n_val, height, width, objects, seed):
+def main(dataset, root, two_class, n_train, n_val, height, width, objects,
+         classes, seed):
     if dataset == "synthetic":
-        make_synthetic(os.path.join(root, "synthetic"), n_train, n_val,
-                       height, width, objects, seed)
+        if classes > 1:
+            make_synthetic_rich(os.path.join(root, "synthetic_rich"),
+                                n_train, n_val, height, width, classes, seed)
+        else:
+            make_synthetic(os.path.join(root, "synthetic"), n_train, n_val,
+                           height, width, objects, seed)
         return
     try:
         if dataset == "coco128":
