@@ -86,6 +86,9 @@ def main() -> None:
     plan = ["single", "multi", "single", "multi"] + ["single"] * 4
     est_cost = {"single": 45.0, "multi": 150.0}
     for i, cfg_name in enumerate(plan):
+        if i > 0:
+            time.sleep(15.0)   # let the previous relay session drain; an
+            # immediate follow-up process reliably wedges in warmup
         remaining = budget - (time.monotonic() - t0) - 8.0
         # don't start a pass that cannot finish; the first child may have to
         # compile from scratch (minutes) and killing a compiling client
