@@ -35,10 +35,16 @@ def main() -> None:
 @click.option("--out", default="outputs/predictions.json")
 @click.option("--model", default="yolov8s")
 @click.option("--weights", default=None)
+@click.option("--num-classes", default=80, type=int)
 @click.option("--input-size", default=640, type=int)
 @click.option("--conf", default=0.001, type=float, help="low conf for mAP sweeps")
+@click.option("--quant", default="none", type=click.Choice(["none", "int8"]),
+              help="int8 deploys the PTQ/QAT path (quant/ptq.py)")
+@click.option("--quant-scales", default=None,
+              help="qat_act_scales.npz from tools/train.py --qat-steps")
 @click.option("--evaluate", "do_eval", is_flag=True)
-def detect(images, gt_json, out, model, weights, input_size, conf, do_eval):
+def detect(images, gt_json, out, model, weights, num_classes, input_size,
+           conf, quant, quant_scales, do_eval):
     """Detection over images -> COCO results json (+ optional mAP)."""
     import cv2
 
@@ -47,9 +53,10 @@ def detect(images, gt_json, out, model, weights, input_size, conf, do_eval):
     from rtmodt_tpu.utils.logging import logger
 
     det = Detector(DetectionConfig(
-        model=model, weights=weights, input_size=input_size,
-        conf_threshold=conf, classes=None, max_detections=300,
-        nms_candidates=1000), warmup=False)
+        model=model, weights=weights, num_classes=num_classes,
+        input_size=input_size, conf_threshold=conf, classes=None,
+        max_detections=300, nms_candidates=1000, quant=quant,
+        quant_scales=quant_scales), warmup=False)
 
     if gt_json:
         with open(gt_json) as f:

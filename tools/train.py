@@ -32,8 +32,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
               help="after training: fold BN and run N quantization-aware "
                    "fine-tune steps (quant/qat.py); saves qat_final.npz + "
                    "per-layer activation scales for int8 deployment")
+@click.option("--compare-raw", is_flag=True, default=False,
+              help="each validation also evaluates the RAW (non-EMA) params "
+                   "and logs both, to quantify the EMA benefit")
 def main(config_path, epochs, batch_size, imgsz, data_root, resume, max_steps,
-         qat_steps):
+         qat_steps, compare_raw):
     import jax
     import numpy as np
     import yaml
@@ -181,6 +184,12 @@ def main(config_path, epochs, batch_size, imgsz, data_root, resume, max_steps,
             if gstep % val_every == 0:
                 eval_params = ema_params if ema_decay else state.params
                 r = run_validation(eval_params, state.batch_stats, gstep)
+                if compare_raw and ema_decay and r is not None:
+                    raw = run_validation(state.params, state.batch_stats, gstep)
+                    logger.info(
+                        f"val @ step {gstep}: EMA mAP50={r['mAP_50']:.4f} "
+                        f"vs raw mAP50={raw['mAP_50']:.4f} "
+                        f"(delta {r['mAP_50'] - raw['mAP_50']:+.4f})")
                 if r is not None:
                     if r["mAP_50"] > best_map:
                         best_map, no_improve = r["mAP_50"], 0
