@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Dense-scene device-cost scaling: ms/frame vs object count.
+
+The production chunk program is fully static-shape EXCEPT its data-dependent
+`lax.while_loop`s: the parallel-fixpoint NMS (ops/nms.py) and the mutual-best
+assignment rounds inside the tracker scan (ops/assignment.py) both iterate
+until convergence, so crowded scenes are the one place device time can grow
+with content.  VERDICT round-1 weakness #4 asked for measurements beyond the
+sparse 8-object scene; this tool sweeps object density with a real trained
+checkpoint so the detection pool genuinely fills (random weights produce a
+density-independent candidate pool and would measure nothing).
+
+For each density: render K-frame chunks of `cluttered_scene` crowds, pack to
+planar I420, run the production `submit_packed_yuv` program amortized, and
+report device ms/frame, mean detections/frame, and live-track occupancy.
+
+Usage:
+  python tools/bench_dense.py --weights checkpoints/rich/ema_final.npz \
+      --model yolov8n --num-classes 8 --input-size 416 \
+      --densities 8,32,64,128 [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--weights", default=None)
+    ap.add_argument("--model", default="yolov8n")
+    ap.add_argument("--num-classes", type=int, default=8)
+    ap.add_argument("--input-size", type=int, default=416)
+    ap.add_argument("--conf", type=float, default=0.25)
+    ap.add_argument("--densities", default="8,32,64,128")
+    ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--reps", type=int, default=6)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    from rtmodt_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+    import jax
+
+    from rtmodt_tpu.config import load_config
+    from rtmodt_tpu.ops.yuv import pack_chunk
+    from rtmodt_tpu.runtime.pipeline import Pipeline
+    from rtmodt_tpu.utils.synthetic import cluttered_scene
+
+    cfg = load_config(overrides={
+        "detection": {"model": args.model, "weights": args.weights,
+                      "num_classes": args.num_classes,
+                      "input_size": args.input_size,
+                      "conf_threshold": args.conf, "classes": None,
+                      "max_detections": 256, "nms_candidates": 512},
+        "tracking": {"bytetrack": {"max_tracks": 256}},
+        "profiling": {"per_stage": False, "warmup_frames": 0,
+                      "log_interval": 0},
+        "visualization": {"enabled": False},
+        "events": {"enabled": False},
+    })
+    pipe = Pipeline(cfg)
+    h, w, k = args.height, args.width, args.chunk
+    rows = []
+    for dens in [int(d) for d in args.densities.split(",")]:
+        # two alternating chunks so no dispatch repeats its predecessor's
+        # bytes (the tunnel dedups identical buffers - docs/PERF_NOTES.md)
+        chunks = []
+        for c in range(2):
+            frames = np.stack([
+                cluttered_scene(c * k + t, h, w,
+                                min_objects=dens, max_objects=dens,
+                                seed=1234 + dens)[0]
+                for t in range(k)])
+            chunks.append(pack_chunk(frames, cfg.detection.input_size)[0])
+
+        pipe.tracker.reset()
+        outs, _ = pipe.submit_packed_yuv(chunks[0], h, w)   # compile
+        outs, _ = pipe.submit_packed_yuv(chunks[1], h, w)   # warm tracker
+        jax.block_until_ready(outs)
+
+        t0 = time.perf_counter()
+        for r in range(args.reps):
+            outs, res = pipe.submit_packed_yuv(chunks[r % 2], h, w)
+        host = jax.device_get(outs)          # sync once at the end
+        wall = (time.perf_counter() - t0) / (args.reps * k)
+
+        n_det = float(np.asarray(jax.device_get(res.count)).mean())
+        occupancy = int(np.asarray(host.visible[-1]).sum())
+        rows.append({"objects": dens, "ms_per_frame": wall * 1e3,
+                     "mean_detections": n_det, "live_tracks": occupancy})
+        print(f"objects={dens:4d}  {wall * 1e3:7.3f} ms/frame  "
+              f"det/frame={n_det:6.1f}  live_tracks={occupancy}",
+              flush=True)
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(rows, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
