@@ -90,6 +90,13 @@ def main() -> None:
         outs, _ = pipe.submit_packed_yuv(chunks[1], h, w)   # warm tracker
         jax.block_until_ready(outs)
 
+        # discarded timed loop first: the tunnel's transfer path ramps over
+        # the first dispatches of a new shape/content mix, which otherwise
+        # lands entirely in the first density's row
+        for r in range(max(2, args.reps // 2)):
+            outs, _ = pipe.submit_packed_yuv(chunks[r % 2], h, w)
+        jax.block_until_ready(outs)
+
         t0 = time.perf_counter()
         for r in range(args.reps):
             outs, res = pipe.submit_packed_yuv(chunks[r % 2], h, w)
