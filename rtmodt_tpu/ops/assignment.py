@@ -83,3 +83,42 @@ def greedy_assign(
     )
     _, row_to_col, col_to_row, _ = jax.lax.while_loop(cond, body, init)
     return AssignResult(row_to_col, col_to_row)
+
+
+def greedy_assign_rounds(
+    similarity: jnp.ndarray,
+    threshold: float,
+    row_valid: jnp.ndarray | None = None,
+    col_valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Mutual-best rounds until convergence (debug-only scaling diagnostic).
+
+    Re-runs the exact ``greedy_assign`` loop and returns the iteration
+    counter; the production path does not carry it.
+    """
+    r, c = similarity.shape
+    sim = similarity.astype(jnp.float32)
+    neg = jnp.float32(-1e9)
+    if row_valid is not None:
+        sim = jnp.where(row_valid[:, None], sim, neg)
+    if col_valid is not None:
+        sim = jnp.where(col_valid[None, :], sim, neg)
+
+    def cond(carry):
+        sim, it = carry
+        return (it < min(r, c)) & (jnp.max(sim) >= threshold)
+
+    def body(carry):
+        sim, it = carry
+        row_best = jnp.argmax(sim, axis=1).astype(jnp.int32)
+        col_best = jnp.argmax(sim, axis=0).astype(jnp.int32)
+        row_val = jnp.max(sim, axis=1)
+        mutual = (col_best[row_best] == jnp.arange(r, dtype=jnp.int32)) & \
+            (row_val >= threshold)
+        col_gone = jnp.zeros((c,), bool).at[jnp.where(mutual, row_best, c)].set(
+            True, mode="drop")
+        sim = jnp.where(mutual[:, None] | col_gone[None, :], neg, sim)
+        return sim, it + 1
+
+    _, rounds = jax.lax.while_loop(cond, body, (sim, jnp.int32(0)))
+    return rounds

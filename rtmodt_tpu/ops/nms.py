@@ -70,8 +70,8 @@ def _greedy_suppress(iou: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float) -
 
     init = jnp.ones((k,), dtype=bool)
     first = step(init)
-    keep, _, _ = jax.lax.while_loop(cond, body, (first, init, jnp.int32(1)))
-    return keep
+    keep, _, rounds = jax.lax.while_loop(cond, body, (first, init, jnp.int32(1)))
+    return keep, rounds
 
 
 def batched_nms_from_logits(
@@ -101,6 +101,22 @@ def batched_nms_from_logits(
       box_dist: (A, 4*REG_MAX) raw DFL distributions from the head.
       cls_logits: (A, C) raw class logits (pre-sigmoid).
     """
+    cand_boxes, cand_scores, cand_classes, k = _candidates_from_logits(
+        box_dist, cls_logits, input_size, conf_thresh, num_candidates,
+        class_mask)
+    return _suppress_and_pack(cand_boxes, cand_scores, cand_classes,
+                              iou_thresh, max_det, k, agnostic, impl)
+
+
+def _candidates_from_logits(
+    box_dist: jnp.ndarray,
+    cls_logits: jnp.ndarray,
+    input_size: int,
+    conf_thresh: float,
+    num_candidates: int,
+    class_mask: jnp.ndarray | None,
+):
+    """Decode-after-topk candidate pool (shared by NMS and debug paths)."""
     import numpy as np
 
     from rtmodt_tpu.models.yolov8 import REG_MAX, make_anchors
@@ -131,9 +147,40 @@ def batched_nms_from_logits(
     ltrb = jnp.sum(jax.nn.softmax(cd, axis=-1) * bins, axis=-1) * strides[top_idx]
     a = anchors[top_idx]
     cand_boxes = jnp.concatenate([a - ltrb[:, :2], a + ltrb[:, 2:]], axis=-1)
+    return cand_boxes, cand_scores, cand_classes, k
 
-    return _suppress_and_pack(cand_boxes, cand_scores, cand_classes,
-                              iou_thresh, max_det, k, agnostic, impl)
+
+def nms_debug_from_logits(
+    box_dist: jnp.ndarray,
+    cls_logits: jnp.ndarray,
+    input_size: int,
+    conf_thresh: float,
+    iou_thresh: float,
+    num_candidates: int = 300,
+    class_mask: jnp.ndarray | None = None,
+    agnostic: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Diagnostics for the fixpoint NMS on real head outputs.
+
+    Returns ``(rounds, pool_used, kept)``: fixpoint iterations until
+    convergence, candidates that survived the confidence gate (pool
+    saturation vs ``num_candidates``), and post-suppression survivors.
+    Debug-only - the production path (``batched_nms_from_logits``) does not
+    carry these scalars.
+    """
+    cand_boxes, cand_scores, cand_classes, _ = _candidates_from_logits(
+        box_dist, cls_logits, input_size, conf_thresh, num_candidates,
+        class_mask)
+    f32 = jnp.float32
+    if agnostic:
+        offset_boxes = cand_boxes
+    else:
+        offset_boxes = cand_boxes + (cand_classes.astype(f32) * _CLASS_OFFSET)[:, None]
+    iou = pairwise_iou(offset_boxes, offset_boxes)
+    keep, rounds = _greedy_suppress(iou, cand_scores, iou_thresh)
+    keep = keep & (cand_scores > 0.0)
+    pool_used = jnp.sum((cand_scores > 0.0).astype(jnp.int32))
+    return rounds, pool_used, jnp.sum(keep.astype(jnp.int32))
 
 
 def batched_nms_fixed(
@@ -210,7 +257,7 @@ def _suppress_and_pack(
                                       interpret=interpret)
     else:
         iou = pairwise_iou(offset_boxes, offset_boxes)
-        keep = _greedy_suppress(iou, cand_scores, iou_thresh)
+        keep, _ = _greedy_suppress(iou, cand_scores, iou_thresh)
     keep = keep & (cand_scores > 0.0)
 
     kept_scores = jnp.where(keep, cand_scores, -1.0)

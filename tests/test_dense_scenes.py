@@ -266,3 +266,40 @@ class TestDenseTracker:
                               velocity=(3.0, 1.5), frames=2)
         # frame 1's ids are all fresh births (> n), not frame 0's ids
         assert min(hist[0].values()) > 128
+
+
+class TestRoundDiagnostics:
+    """The device-side round counters (ops/nms.py::nms_debug_from_logits /
+    _greedy_suppress, ops/assignment.py::greedy_assign_rounds) power
+    tools/bench_dense.py's scaling table - pin them to the host replicas."""
+
+    def test_device_nms_rounds_match_host_replica(self, rng):
+        from rtmodt_tpu.ops.iou import pairwise_iou
+        from rtmodt_tpu.ops.nms import _greedy_suppress
+
+        for n in (64, 128):
+            boxes = dense_cluster_scene(rng, n)
+            scores = np.sort(rng.uniform(0.05, 1.0, n)
+                             .astype(np.float32))[::-1].copy()
+            iou = pairwise_iou(jnp.asarray(boxes), jnp.asarray(boxes))
+            keep_d, rounds_d = _greedy_suppress(iou, jnp.asarray(scores), 0.5)
+            # host replica sorts internally; scores are pre-sorted here
+            keep_h, rounds_h = _fixpoint_rounds(boxes, scores, 0.5)
+            assert np.array_equal(np.asarray(keep_d), keep_h)
+            assert int(rounds_d) == rounds_h
+
+    def test_assign_rounds_consistent_with_assignment(self, rng):
+        from rtmodt_tpu.ops.assignment import (greedy_assign,
+                                               greedy_assign_rounds)
+
+        n = 96
+        a = dense_cluster_scene(rng, n)
+        b = a + rng.normal(0, 6.0, a.shape).astype(np.float32)
+        sim = jnp.asarray(_np_iou(a, b))
+        rounds = int(greedy_assign_rounds(sim, 0.1))
+        res = greedy_assign(sim, 0.1)
+        n_matched = int((np.asarray(res.row_to_col) >= 0).sum())
+        assert 1 <= rounds <= n
+        # every round commits >= 1 pair, so rounds can never exceed matches
+        assert rounds <= max(1, n_matched)
+        assert rounds <= 16, f"{rounds} rounds for 96x96 dense"

@@ -53,5 +53,5 @@ class TestPallasNMS:
         a = np.asarray(pallas_greedy_suppress(
             jnp.asarray(boxes), jnp.asarray(scores), 0.45, interpret=True))
         iou = pairwise_iou(jnp.asarray(boxes), jnp.asarray(boxes))
-        b = np.asarray(_greedy_suppress(iou, jnp.asarray(scores), 0.45))
+        b = np.asarray(_greedy_suppress(iou, jnp.asarray(scores), 0.45)[0])
         np.testing.assert_array_equal(a, b & (scores > 0))

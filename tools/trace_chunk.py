@@ -13,13 +13,9 @@ Usage: python tools/trace_chunk.py [--chunk 16] [--iters 4] [--out /tmp/trace]
 from __future__ import annotations
 
 import argparse
-import glob
-import gzip
-import json
 import os
 import sys
 import time
-from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -73,34 +69,15 @@ def capture(out_dir: str, chunk: int, iters: int) -> None:
 
 
 def summarize(out_dir: str, iters: int, chunk: int, top: int = 25) -> None:
-    paths = glob.glob(os.path.join(out_dir, "**", "*.trace.json.gz"),
-                      recursive=True)
-    if not paths:
+    from rtmodt_tpu.profiling.trace_summary import (device_op_times,
+                                                    load_latest_trace)
+
+    events = load_latest_trace(out_dir)
+    if not events:
         print("no trace.json.gz found under", out_dir, file=sys.stderr)
         return
-    path = max(paths, key=os.path.getmtime)
-    with gzip.open(path, "rt") as f:
-        trace = json.load(f)
-    events = trace.get("traceEvents", [])
-    # device lanes: TPU core pids have "TPU" in the process name
-    pid_name = {e["pid"]: e["args"].get("name", "")
-                for e in events if e.get("ph") == "M"
-                and e.get("name") == "process_name" and "args" in e}
-    device_pids = {p for p, n in pid_name.items()
-                   if "TPU" in n.upper() or "/device" in n.lower()}
-    by_op: dict[str, float] = defaultdict(float)
-    n_ev: dict[str, int] = defaultdict(int)
-    total = 0.0
-    for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in device_pids:
-            continue
-        name = e.get("name", "?")
-        dur = e.get("dur", 0) / 1e3          # us -> ms
-        if name.startswith("jit_") or name == "program":   # container spans
-            continue
-        by_op[name] += dur
-        n_ev[name] += 1
-        total += dur
+    by_op, n_ev = device_op_times(events)
+    total = sum(by_op.values())
     frames = iters * chunk
     print(f"\ndevice op time over {frames} frames "
           f"(total {total:.1f} ms, {total / frames:.3f} ms/frame):")
