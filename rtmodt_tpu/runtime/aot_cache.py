@@ -54,6 +54,20 @@ def _register_serializations() -> None:
         _registered = True
 
 
+def _platform_unsupported() -> bool:
+    """The axon remote-TPU relay plugin never completes ``Exported.call``
+    (the XlaCallModule custom call blocks forever - measured on a 128x128
+    matmul: export+serialize instant, call hangs at 0% CPU).  Standard
+    PJRT backends (cpu, direct tpu, gpu) serve it fine, so gate the cache
+    off only there; everything falls back to plain jit tracing."""
+    try:
+        import jax
+
+        return jax.default_backend() == "axon"
+    except Exception:
+        return False
+
+
 def cache_dir() -> str:
     path = os.environ.get(
         "RTMODT_AOT_CACHE",
@@ -117,6 +131,8 @@ def aot_cached(key_parts: Sequence[Any], build: Callable[[], Any],
     noise - see docs/PERF_NOTES.md).
     """
     if not enabled or os.environ.get("RTMODT_AOT_CACHE_DISABLE"):
+        return build()
+    if _platform_unsupported():
         return build()
     path = os.path.join(cache_dir(), _cache_key(key_parts) + ".jaxexport")
     if os.path.exists(path):

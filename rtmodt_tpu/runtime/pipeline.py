@@ -259,7 +259,6 @@ class Pipeline:
 
         n_chroma = (ch // 2) * (cw // 2)
 
-        @partial(jax.jit, donate_argnums=donate)
         def step_fn(params, front_pack, state, yuv):
             # front_pack: precomputed packed front kernels (None in int8
             # mode) - per-frame steps must not repack weights every frame
@@ -287,8 +286,26 @@ class Pipeline:
                 state, res.boxes, res.scores, res.classes, res.valid, bcfg)
             return state, outputs, res
 
-        self._fused_fns[key] = step_fn
-        return step_fn
+        def build():
+            return jax.jit(step_fn, donate_argnums=donate)
+
+        # the live path's cold-start is dominated by tracing this program;
+        # serialize it once (runtime/aot_cache.py) so restarts and latency
+        # benches skip straight to the persistently-cached XLA compile
+        from rtmodt_tpu.runtime.aot_cache import aot_cached
+
+        def example_args():
+            yuv0 = np.zeros((ch + ch // 2, cw), np.uint8)
+            return (self.detector.params, self._get_front_pack(),
+                    self.tracker.state, yuv0)
+
+        sig = jax.tree.map(lambda x: (tuple(x.shape), str(x.dtype)),
+                           (self.detector.params, self._get_front_pack()))
+        self._fused_fns[key] = aot_cached(
+            ("pipe_fused_packed", repr(dcfg), repr(bcfg), src_h, src_w,
+             donate, sig),
+            build, example_args)
+        return self._fused_fns[key]
 
     def step_packed(self, frame_bgr: np.ndarray, frame_id: int,
                     timestamp: float | None = None):
@@ -383,8 +400,7 @@ class Pipeline:
         meta = packed_meta(src_h, src_w, size)
         pad_left, pad_top = meta.pad_left, meta.pad_top
 
-        @partial(jax.jit, donate_argnums=donate)
-        def chunk_fn(params, state, y, u, v):
+        def chunk(params, state, y, u, v):
             # planar front: the (S, S, 3) image tensor never exists; the
             # first four blocks run in space-to-depth layout (ops/s2d_front)
             yp, up, vp = pad_planes(y, u, v, size, pad_left, pad_top)
@@ -408,8 +424,28 @@ class Pipeline:
             state, outs = jax.lax.scan(body, state, ress)
             return state, outs, ress
 
-        self._chunk_fns[key] = chunk_fn
-        return chunk_fn
+        def build():
+            return jax.jit(chunk, donate_argnums=donate)
+
+        # tracing the scan-over-K tracker program costs tens of seconds per
+        # process; serialize it once so later cold-starts (bench passes,
+        # CLI restarts) deserialize in milliseconds (runtime/aot_cache.py)
+        from rtmodt_tpu.runtime.aot_cache import aot_cached
+
+        def example_args():
+            import numpy as np
+            y0 = np.zeros((k, ch, cw), np.uint8)
+            u0 = np.zeros((k, ch // 2, cw // 2), np.uint8)
+            return (self.detector.params, self.tracker.state, y0, u0,
+                    u0.copy())
+
+        param_sig = jax.tree.map(
+            lambda x: (tuple(x.shape), str(x.dtype)), self.detector.params)
+        self._chunk_fns[key] = aot_cached(
+            ("pipe_packed", repr(dcfg), repr(bcfg), src_h, src_w, k,
+             donate, param_sig),
+            build, example_args)
+        return self._chunk_fns[key]
 
     def _packed_chunk_deepsort_for(self, src_h: int, src_w: int, k: int):
         """DeepSORT twin of ``_packed_chunk_for``: same batched planar
