@@ -58,7 +58,13 @@ def main() -> None:
     if mode:
         return run_child(mode)
 
-    budget = float(os.environ.get("RTMODT_BENCH_BUDGET", "270"))
+    # 540 s: one single-stream pass is banked in ~180 s; the remainder gives
+    # the S=4 multi pass (the >=500 FPS configuration) a real window when
+    # the tunnel is healthy (warmup 90-180 s) without risking the whole run
+    # on it (r1's driver record shows the harness ran well past 10 min
+    # before being cut, so a ~9.5 min exit stays inside the driver cap; if
+    # not, SIGTERM/SIGALRM still flush the banked best as a parsed line).
+    budget = float(os.environ.get("RTMODT_BENCH_BUDGET", "540"))
     t0 = time.monotonic()
     best = [0.0]
     child: list[subprocess.Popen | None] = [None]
