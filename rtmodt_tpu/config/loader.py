@@ -95,11 +95,15 @@ class ByteTrackConfig:
     #                  reference tracker.py:170 passes cost_limit=1-thresh,
     #                  so 0.8 demands 80% overlap - far stricter than
     #                  canonical ByteTrack and prone to id churn under fast
-    #                  motion; kept as the default for output parity);
+    #                  motion; select for bit-parity with the reference's
+    #                  association);
     #   iou_distance - accept when 1 - IoU <= match_thresh (canonical
     #                  ByteTrack matching.py semantics: 0.8 accepts IoU >=
-    #                  0.2; use this for MOT-benchmark-grade tracking).
-    match_metric: str = "iou"
+    #                  0.2).  DEFAULT: measured IDF1 0.51 vs 0.034 under
+    #                  fast-motion occlusion (docs/RESULTS.md tracker
+    #                  comparison); the reference's own gate is an artifact
+    #                  of its lap cost_limit plumbing, not a design choice.
+    match_metric: str = "iou_distance"
     mot20: bool = False
 
 

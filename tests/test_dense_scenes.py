@@ -238,7 +238,8 @@ class TestDenseTracker:
         tracker.py:170): one id per object across 12 frames."""
         from rtmodt_tpu.config.loader import ByteTrackConfig
 
-        hist = self._run_grid(ByteTrackConfig(max_tracks=256),
+        hist = self._run_grid(ByteTrackConfig(max_tracks=256,
+                                              match_metric="iou"),
                               velocity=(1.0, 0.5))
         for later in hist[1:]:
             assert later == hist[0], "track id switch in dense scene"
@@ -257,12 +258,13 @@ class TestDenseTracker:
             assert later == hist[0], "track id switch under canonical metric"
 
     def test_reference_gate_churns_under_fast_motion(self):
-        """Documents the reference quirk the default faithfully mirrors:
+        """Documents the reference quirk (opt-in via match_metric="iou"):
         at IoU ~0.77 < 0.8 nothing associates, so ids churn every frame
         (new ids born while slots last)."""
         from rtmodt_tpu.config.loader import ByteTrackConfig
 
-        hist = self._run_grid(ByteTrackConfig(max_tracks=256),
+        hist = self._run_grid(ByteTrackConfig(max_tracks=256,
+                                              match_metric="iou"),
                               velocity=(3.0, 1.5), frames=2)
         # frame 1's ids are all fresh births (> n), not frame 0's ids
         assert min(hist[0].values()) > 128

@@ -118,8 +118,12 @@ class TestQualityKnobs:
         the Kalman prediction must NOT be matched when gating is on."""
         import numpy as _np
 
-        cfg_on = ByteTrackConfig(match_thresh=0.1, gate_distance=True)
-        cfg_off = ByteTrackConfig(match_thresh=0.1, gate_distance=False)
+        # pin the reference-compat gate: the scenario calibrates "matchable
+        # by IoU" as IoU >= 0.1, independent of the default match metric
+        cfg_on = ByteTrackConfig(match_thresh=0.1, match_metric="iou",
+                                 gate_distance=True)
+        cfg_off = ByteTrackConfig(match_thresh=0.1, match_metric="iou",
+                                  gate_distance=False)
         results = {}
         for name, cfg in (("on", cfg_on), ("off", cfg_off)):
             tr = MultiObjectTracker("bytetrack", bytetrack=cfg)
