@@ -433,7 +433,6 @@ class Pipeline:
         from rtmodt_tpu.runtime.aot_cache import aot_cached
 
         def example_args():
-            import numpy as np
             y0 = np.zeros((k, ch, cw), np.uint8)
             u0 = np.zeros((k, ch // 2, cw // 2), np.uint8)
             return (self.detector.params, self.tracker.state, y0, u0,
