@@ -74,3 +74,13 @@ def test_no_example_args_returns_plain_jit(aot_dir):
     fn = aot_cache.aot_cached(("noargs", 0), _build, None)
     assert int(fn(*_args()).count) == 4
     assert list(aot_dir.glob("*.jaxexport")) == []
+
+
+def test_axon_backend_disables_cache(aot_dir, monkeypatch):
+    """Exported.call hangs forever through the axon relay plugin
+    (docs/PERF_NOTES.md section 7) - the cache must refuse to build or
+    serve blobs there and return the plain jitted function."""
+    monkeypatch.setattr(aot_cache, "_platform_unsupported", lambda: True)
+    fn = aot_cache.aot_cached(("axon", 0), _build, _args)
+    assert int(fn(*_args()).count) == 4
+    assert list(aot_dir.glob("*.jaxexport")) == []
