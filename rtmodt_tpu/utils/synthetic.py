@@ -106,8 +106,10 @@ def dense_moving_scene(
     ``n_objects``.  Sizes shrink as density grows so crowds stay largely
     visible.  Deterministic in (t, seed).
 
-    Returns (frame BGR uint8, gt_boxes (N, 4) xyxy f32, labels (N,) i32)
-    with >70%-occluded boxes dropped from the GT like ``cluttered_scene``.
+    Returns (frame BGR uint8, gt_boxes (N, 4) xyxy f32, labels (N,) i32,
+    ids (N,) i32) with >70%-occluded boxes dropped from the GT like
+    ``cluttered_scene``; ``ids`` are the persistent per-object identities
+    (stable across frames - usable as MOT ground-truth track ids).
     """
     rng = np.random.default_rng(seed)
     n_classes = min(n_classes, len(SHAPE_CLASSES))
@@ -147,7 +149,8 @@ def dense_moving_scene(
     boxes_a = np.asarray(boxes, np.float32)
     keep = _occlusion_keep(boxes_a)
     boxes_a = np.clip(boxes_a[keep], 0, [w - 1, h - 1, w - 1, h - 1])
-    return frame, boxes_a, np.asarray(labels, np.int32)[keep]
+    return (frame, boxes_a, np.asarray(labels, np.int32)[keep],
+            np.arange(n_objects, dtype=np.int32)[keep])
 
 
 def _occlusion_keep(boxes_a: np.ndarray, thresh: float = 0.7) -> np.ndarray:

@@ -185,8 +185,35 @@ def make_synthetic_rich(root: str, n_train: int, n_val: int, h: int, w: int,
                f"{n_val} val, {n_classes} classes")
 
 
+def make_dense_mot(root: str, n_frames: int, h: int, w: int,
+                   n_objects: int, seed: int) -> None:
+    """Dense tracking sequence: PNG frames + MOT15-2D ground truth with
+    PERSISTENT object ids (utils/synthetic.py::dense_moving_scene).  Feeds
+    ``run_inference.py track --video <root>/img --gt-mot <root>/gt.txt`` for
+    IDF1/MOTA at density (the quality companion to tools/bench_dense.py's
+    device-cost sweep)."""
+    import cv2
+
+    from rtmodt_tpu.utils.synthetic import dense_moving_scene
+
+    img_dir = os.path.join(root, "img")
+    os.makedirs(img_dir, exist_ok=True)
+    with open(os.path.join(root, "gt.txt"), "w") as f:
+        for t in range(n_frames):
+            frame, boxes, _labels, ids = dense_moving_scene(
+                t, h, w, n_objects=n_objects, seed=seed)
+            cv2.imwrite(os.path.join(img_dir, f"{t + 1:06d}.png"), frame)
+            for b, oid in zip(boxes, ids):
+                # MOT15-2D: frame, id, x, y, w, h, conf, -1, -1, -1 (1-based)
+                f.write(f"{t + 1},{int(oid) + 1},{b[0]:.2f},{b[1]:.2f},"
+                        f"{b[2] - b[0]:.2f},{b[3] - b[1]:.2f},1,-1,-1,-1\n")
+    click.echo(f"dense MOT sequence at {root}: {n_frames} frames, "
+               f"{n_objects} objects")
+
+
 @click.command()
-@click.option("--dataset", type=click.Choice(["coco128", "coco", "mot17", "synthetic"]),
+@click.option("--dataset", type=click.Choice(["coco128", "coco", "mot17",
+                                              "synthetic", "dense-mot"]),
               default="synthetic")
 @click.option("--root", default="data")
 @click.option("--two-class", is_flag=True, help="person/vehicle remap")
@@ -200,8 +227,14 @@ def make_synthetic_rich(root: str, n_train: int, n_val: int, h: int, w: int,
                    "occlusion, distractors - utils/synthetic.py::"
                    "cluttered_scene) instead of the easy moving-boxes scene")
 @click.option("--seed", default=0, type=int)
+@click.option("--frames", default=120, type=int,
+              help="sequence length for --dataset dense-mot")
 def main(dataset, root, two_class, n_train, n_val, height, width, objects,
-         classes, seed):
+         classes, seed, frames):
+    if dataset == "dense-mot":
+        make_dense_mot(os.path.join(root, f"dense_mot_{objects}"),
+                       frames, height, width, objects, seed)
+        return
     if dataset == "synthetic":
         if classes > 1:
             make_synthetic_rich(os.path.join(root, "synthetic_rich"),

@@ -105,9 +105,13 @@ def detect(images, gt_json, out, model, weights, num_classes, input_size,
 @click.option("--gt-mot", default=None, help="MOT15-2D GT for evaluation")
 @click.option("--conf", default=0.35, type=float)
 @click.option("--match-thresh", default=0.8, type=float)
+@click.option("--track-thresh", default=0.5, type=float,
+              help="min confidence to BIRTH a track (ByteTrack high gate); "
+                   "match scene statistics - small/crowded objects score "
+                   "lower than large clean ones")
 @click.option("--max-frames", default=None, type=int)
 def track(video, out, model, weights, num_classes, input_size, gt_mot, conf,
-          match_thresh, max_frames):
+          match_thresh, track_thresh, max_frames):
     """Detect+track over a video -> MOT15-2D rows (+ optional IDF1/MOTA)."""
     import cv2
 
@@ -119,7 +123,9 @@ def track(video, out, model, weights, num_classes, input_size, gt_mot, conf,
         "detection": {"model": model, "weights": weights, "conf_threshold": conf,
                       "num_classes": num_classes, "input_size": input_size,
                       "classes": None},
-        "tracking": {"bytetrack": {"match_thresh": match_thresh}},
+        "tracking": {"bytetrack": {"match_thresh": match_thresh,
+                                   "track_thresh": track_thresh,
+                                   "new_track_thresh": track_thresh}},
         "events": {"enabled": False},
         "visualization": {"enabled": False},
         "profiling": {"per_stage": False, "warmup_frames": 0, "log_interval": 0},
