@@ -243,8 +243,14 @@ class MultiStreamPipeline:
         ``sources``: S video paths / RTSP URLs / webcam indices (len must
         equal ``num_streams``).  Returns a summary dict with aggregate and
         per-stream FPS.  Streams must share one resolution (static shapes).
-        Stops at the first stream's EOF; the incomplete tail chunk is
-        dropped and reported in the summary (``tail_frames_dropped``).
+
+        Degraded mode: a stream that ends (file EOF) or dies (reconnects
+        exhausted, decoder error) does NOT stop the others - the SPMD
+        program keeps its static (T, S) shape and the dead slot is fed
+        blank frames (its tracker slots age out and its zone occupancy
+        drains naturally, like a camera going black).  The run ends when
+        every stream is done; ``dead_streams`` and per-stream frame counts
+        are reported in the summary.
         """
         import queue
         import threading
@@ -316,7 +322,6 @@ class MultiStreamPipeline:
         size = self.cfg.detection.input_size
         inflight: deque = deque()
         frames_done = 0
-        tail_dropped = 0
         n_chunks = 0
         src_hw = None
         y = u = v = None
@@ -324,7 +329,7 @@ class MultiStreamPipeline:
 
         def consume(entry):
             nonlocal frames_done
-            metas, outs = entry
+            metas, outs, n_real = entry
             host = jax.device_get(outs)
             if engines is not None:
                 tid = np.asarray(host.track_id)
@@ -337,17 +342,21 @@ class MultiStreamPipeline:
                         [m[si][0] for m in metas],
                         np.asarray([m[si][1] for m in metas], np.float64),
                         class_names=names)
-            frames_done += len(metas) * s_streams
+            frames_done += n_real
+
+        dead = [False] * s_streams
+        last_meta = [(0, 0.0)] * s_streams   # per-stream (fid, ts) for blanks
+        per_stream_frames = [0] * s_streams
 
         try:
             while True:
                 if max_frames and n_chunks * t_chunk >= max_frames:
                     break
-                # gather one time-aligned (T, S) block
+                # gather one time-aligned (T, S) block; a stream hitting its
+                # EOF sentinel goes dead and contributes blanks from then on
                 block: list[list] = [[] for _ in range(s_streams)]
-                eof = False
                 for si in range(s_streams):
-                    while len(block[si]) < t_chunk:
+                    while not dead[si] and len(block[si]) < t_chunk:
                         try:
                             item = qs[si].get(timeout=2.0)
                         except queue.Empty:
@@ -355,16 +364,16 @@ class MultiStreamPipeline:
                                 continue
                             item = None   # worker died; sentinel was dropped
                         if item is None:  # EOF sentinel
-                            eof = True
+                            dead[si] = True
+                            logger.info(f"stream {si} ended; continuing "
+                                        "degraded (blank frames)")
                             break
                         block[si].append(item)
-                    if eof:
-                        break
-                if eof:
-                    tail_dropped = sum(len(b) for b in block)
+                n_real = sum(len(b) for b in block)
+                if n_real == 0:           # every stream done
                     break
                 if src_hw is None:
-                    src_hw = block[0][0][1]
+                    src_hw = next(b for b in block if b)[0][1]
                     ch, cw = content_dims(*src_hw, size)
                     y = np.empty((t_chunk, s_streams, ch, cw), np.uint8)
                     u = np.empty((t_chunk, s_streams, ch // 2, cw // 2), np.uint8)
@@ -373,19 +382,29 @@ class MultiStreamPipeline:
                 for t in range(t_chunk):
                     row = []
                     for si in range(s_streams):
-                        planes, hw, fid, ts = block[si][t]
-                        if hw != src_hw:
-                            raise ValueError(
-                                f"stream {si} resolution {hw} != {src_hw}; "
-                                "all streams must share one resolution")
-                        y[t, si], u[t, si], v[t, si] = planes
-                        row.append((fid, ts))
+                        if t < len(block[si]):
+                            planes, hw, fid, ts = block[si][t]
+                            if hw != src_hw:
+                                raise ValueError(
+                                    f"stream {si} resolution {hw} != {src_hw}; "
+                                    "all streams must share one resolution")
+                            y[t, si], u[t, si], v[t, si] = planes
+                            last_meta[si] = (fid, ts)
+                            per_stream_frames[si] += 1
+                        else:             # dead/short slot: blank frame,
+                            y[t, si] = 0  # fid/ts sequence continued so the
+                            u[t, si] = 128  # zone engine's stream clock
+                            v[t, si] = 128  # stays monotonic
+                            fid = last_meta[si][0] + 1
+                            ts = last_meta[si][1] + 1.0 / 30.0
+                            last_meta[si] = (fid, ts)
+                        row.append(last_meta[si])
                     metas.append(row)
                 outs, _ress = self.submit_chunk_packed((y, u, v), *src_hw)
                 for leaf in jax.tree.leaves(outs):
                     if hasattr(leaf, "copy_to_host_async"):
                         leaf.copy_to_host_async()
-                inflight.append((metas, outs))
+                inflight.append((metas, outs, n_real))
                 n_chunks += 1
                 if t_start is None:
                     t_start = _time.perf_counter()
@@ -407,7 +426,8 @@ class MultiStreamPipeline:
             "streams": s_streams,
             "fps_aggregate": round(fps, 1),
             "fps_per_stream": round(fps / s_streams, 1),
-            "tail_frames_dropped": tail_dropped,
+            "per_stream_frames": per_stream_frames,
+            "dead_streams": [si for si, d in enumerate(dead) if d],
         }
         logger.info(f"multi-stream run: {frames_done} frames over "
                     f"{s_streams} streams, {summary['fps_aggregate']} fps "

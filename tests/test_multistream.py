@@ -106,13 +106,45 @@ class TestMultiStreamRun:
         })
         pipe = MultiStreamPipeline(cfg, num_streams=8, mesh=create_mesh(8))
         summary = pipe.run([vid] * 8)
-        assert summary["frames"] == 8 * 8  # 10 frames -> 2 full chunks of 4
-        assert summary["tail_frames_dropped"] >= 0
+        # 10 frames/stream: 2 full chunks of 4 + the 2-frame tail padded
+        # with blanks (degraded mode) - every real frame is processed
+        assert summary["frames"] == 10 * 8
+        assert summary["per_stream_frames"] == [10] * 8
+        assert summary["dead_streams"] == list(range(8))
         import json
         events = [json.loads(ln) for ln in log.read_text().splitlines()]
         assert events, "full-frame zone with zero dwell must fire"
         streams_seen = {e["metadata"]["stream"] for e in events}
         assert len(streams_seen) > 1  # per-stream engines, stream-tagged
+
+    def test_run_degraded_mixed_length_streams(self, tmp_path):
+        """A stream that ends early must NOT stop the others: its slot goes
+        blank while the longer streams play out to their own EOF (the static
+        SPMD shape is preserved - a camera outage cannot kill the fleet)."""
+        from rtmodt_tpu.config import load_config
+        from rtmodt_tpu.parallel.mesh import create_mesh
+        from rtmodt_tpu.parallel.multistream import MultiStreamPipeline
+        from rtmodt_tpu.utils.synthetic import write_synthetic_video
+
+        short = str(tmp_path / "short.mp4")
+        long_ = str(tmp_path / "long.mp4")
+        write_synthetic_video(short, frames=4, h=160, w=160, n_objects=2)
+        write_synthetic_video(long_, frames=16, h=160, w=160, n_objects=2)
+        cfg = load_config(overrides={
+            "detection": {"model": "yolov8n", "input_size": 128,
+                          "conf_threshold": 0.01, "nms_candidates": 32,
+                          "max_detections": 8, "classes": None},
+            "tracking": {"bytetrack": {"max_tracks": 16}},
+            "parallel": {"chunk_size": 4, "pipeline_depth": 1},
+            "visualization": {"enabled": False},
+            "events": {"enabled": False},
+        })
+        pipe = MultiStreamPipeline(cfg, num_streams=8, mesh=create_mesh(8))
+        summary = pipe.run([short] + [long_] * 7)
+        assert summary["per_stream_frames"][0] == 4
+        assert summary["per_stream_frames"][1:] == [16] * 7
+        assert summary["frames"] == 4 + 16 * 7
+        assert summary["dead_streams"] == list(range(8))
 
     def test_run_source_count_mismatch(self):
         from rtmodt_tpu.config import load_config

@@ -65,7 +65,10 @@ def main(config_path, source, display, max_frames, save_video):
     if summary:
         click.echo("\n=== final profile ===")
         for k, v in sorted(summary.items()):
-            click.echo(f"  {k}: {v:.2f}")
+            # multi-camera summaries carry non-scalar fields too
+            # (per_stream_frames, dead_streams)
+            click.echo(f"  {k}: {v:.2f}" if isinstance(v, float)
+                       else f"  {k}: {v}")
 
 
 if __name__ == "__main__":
