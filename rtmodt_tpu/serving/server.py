@@ -234,6 +234,84 @@ def create_app() -> App:
             session_id = str(session_id)[:64]
         return JSONResponse(_run_detection(_decode_image(img_bytes), session_id))
 
+    @app.post("/api/track/video")
+    def track_video(req: Request) -> Response:
+        """Server-side detect+track over an uploaded video clip.
+
+        The reference SPA only grabs ONE frame from uploaded videos
+        (web/static/app.js capture-at-t=0.5s path); this endpoint runs the
+        real tracker over the clip and returns per-frame persistent-ID
+        tracks.  Query/body knobs: ``max_frames`` (default 150, cap 600),
+        ``stride`` (process every Nth frame, default 1).
+        """
+        import tempfile
+
+        import cv2
+
+        files = req.files()
+        if "file" not in files:
+            raise HTTPError(400, "missing multipart field 'file'")
+        filename, content = files["file"]
+        if len(content) > 64 * 1024 * 1024:
+            raise HTTPError(413, "video too large (64 MB limit)")
+        try:
+            max_frames = min(int(req.query.get("max_frames", 150)), 600)
+            stride = max(1, int(req.query.get("stride", 1)))
+        except (TypeError, ValueError):
+            raise HTTPError(400, "max_frames/stride must be integers")
+
+        suffix = os.path.splitext(filename or "clip.mp4")[1] or ".mp4"
+        from rtmodt_tpu.tracking.tracker import MultiObjectTracker
+
+        detector = _singleton.get()
+        tracker = MultiObjectTracker("bytetrack")
+        t0 = time.perf_counter()
+        frames_out = []
+        n_read = 0
+        track_ids = set()
+        with tempfile.NamedTemporaryFile(suffix=suffix) as tmp:
+            tmp.write(content)
+            tmp.flush()
+            cap = cv2.VideoCapture(tmp.name)
+            if not cap.isOpened():
+                raise HTTPError(400, "Could not decode video.")
+            try:
+                fps_in = cap.get(cv2.CAP_PROP_FPS) or 0.0
+                size = None
+                while len(frames_out) < max_frames:
+                    ok, frame = cap.read()
+                    if not ok:
+                        break
+                    n_read += 1
+                    if (n_read - 1) % stride:
+                        continue
+                    size = (frame.shape[1], frame.shape[0])
+                    det = detector.detect(frame)
+                    tracks = []
+                    for t in tracker.update(det):
+                        track_ids.add(int(t.track_id))
+                        tracks.append({
+                            "track_id": int(t.track_id),
+                            "bbox": [float(v) for v in t.xyxy],
+                            "confidence": float(t.confidence),
+                            "class_id": int(t.class_id),
+                            "class_name": t.class_name,
+                        })
+                    frames_out.append({"frame_id": n_read, "tracks": tracks})
+            finally:
+                cap.release()
+        if not frames_out:
+            raise HTTPError(400, "Could not decode video.")
+        wall = time.perf_counter() - t0
+        return JSONResponse({
+            "frames": frames_out,
+            "num_frames": len(frames_out),
+            "num_tracks": len(track_ids),
+            "video_fps": round(float(fps_in), 2),
+            "processing_fps": round(len(frames_out) / wall, 1) if wall else 0.0,
+            "image_size": list(size) if size else None,
+        })
+
     @app.get("/api/detect/sample/{filename}")
     def detect_sample(req: Request) -> Response:
         import cv2

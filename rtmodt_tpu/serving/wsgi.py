@@ -36,6 +36,13 @@ class Request:
     def json(self) -> Any:
         return json.loads(self.body.decode("utf-8"))
 
+    @property
+    def query(self) -> dict[str, str]:
+        """Parsed query string (last value wins per key)."""
+        from urllib.parse import parse_qsl
+
+        return dict(parse_qsl(self.environ.get("QUERY_STRING", "")))
+
     def files(self) -> dict[str, tuple[str, bytes]]:
         """Parse multipart/form-data -> {field_name: (filename, content)}."""
         m = re.search(r"boundary=([^;]+)", self.content_type)
@@ -169,9 +176,11 @@ class TestClient:
 
     def _call(self, method: str, path: str, body: bytes = b"",
               content_type: str = "") -> "TestResponse":
+        path, _, qs = path.partition("?")
         environ = {
             "REQUEST_METHOD": method,
             "PATH_INFO": path,
+            "QUERY_STRING": qs,
             "CONTENT_TYPE": content_type,
             "CONTENT_LENGTH": str(len(body)),
             "wsgi.input": io.BytesIO(body),

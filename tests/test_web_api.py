@@ -205,3 +205,45 @@ class TestDetectionAPI:
         payload = {"image": base64.b64encode(_jpeg_bytes()).decode()}
         r = client.post("/api/detect/frame", json_body=payload)
         assert r.json()["tracks"] == []
+
+
+class TestVideoTracking:
+    """POST /api/track/video - server-side detect+track over a clip (the
+    reference SPA only grabs one frame from uploaded videos)."""
+
+    def _mp4_bytes(self, tmp_path, frames=8):
+        from rtmodt_tpu.utils.synthetic import write_synthetic_video
+
+        p = tmp_path / "clip.mp4"
+        write_synthetic_video(str(p), frames=frames, h=96, w=96, n_objects=1)
+        return p.read_bytes()
+
+    def test_track_video_persistent_ids(self, client, tmp_path):
+        content = self._mp4_bytes(tmp_path)
+        r = client.post("/api/track/video",
+                        files={"file": ("clip.mp4", content, "video/mp4")})
+        assert r.status_code == 200
+        data = r.json()
+        assert data["num_frames"] == 8
+        assert data["num_tracks"] == 1      # FakeDetector: one steady box
+        ids = {t["track_id"] for f in data["frames"] for t in f["tracks"]}
+        assert len(ids) == 1                # persistent ID across the clip
+        assert data["frames"][0]["frame_id"] == 1
+        assert data["image_size"] == [96, 96]
+        assert data["processing_fps"] > 0
+
+    def test_track_video_stride_and_cap(self, client, tmp_path):
+        content = self._mp4_bytes(tmp_path, frames=10)
+        r = client.post("/api/track/video?max_frames=3&stride=2",
+                        files={"file": ("clip.mp4", content, "video/mp4")})
+        assert r.status_code == 200
+        data = r.json()
+        assert data["num_frames"] == 3
+        assert [f["frame_id"] for f in data["frames"]] == [1, 3, 5]
+
+    def test_track_video_bad_payload_400(self, client):
+        r = client.post("/api/track/video",
+                        files={"file": ("x.mp4", b"not a video", "video/mp4")})
+        assert r.status_code == 400
+        r = client.post("/api/track/video", json_body={"nope": 1})
+        assert r.status_code == 400
