@@ -34,6 +34,7 @@ function switchMode(mode) {
   document.querySelectorAll(".panel").forEach((p) =>
     p.classList.toggle("active", p.id === `panel-${mode}`));
   if (mode !== "webcam") stopWebcam();
+  stopVideoPlayback();
 }
 
 /* ---------- samples ---------- */
@@ -65,6 +66,7 @@ async function loadSamples() {
 async function detectSample(sample) {
   showLoader(true);
   try {
+    stopVideoPlayback();
     const img = await loadImage(sample.url);
     currentImage = img;
     const res = await fetch(`/api/detect/sample/${sample.filename}`);
@@ -101,14 +103,15 @@ dropzone.addEventListener("drop", (e) => {
 
 async function handleFile(file) {
   showLoader(true);
+  stopVideoPlayback();
   try {
-    let blob = file;
     if (file.type.startsWith("video/")) {
-      blob = await firstVideoFrame(file);
+      await trackVideo(file);
+      return;
     }
-    currentImage = await loadImage(URL.createObjectURL(blob));
+    currentImage = await loadImage(URL.createObjectURL(file));
     const form = new FormData();
-    form.append("file", blob, file.name.replace(/\.\w+$/, ".jpg"));
+    form.append("file", file, file.name);
     const res = await fetch("/api/detect/image", { method: "POST", body: form });
     if (!res.ok) throw new Error((await res.json()).detail || res.status);
     drawResults(await res.json());
@@ -119,22 +122,67 @@ async function handleFile(file) {
   }
 }
 
-function firstVideoFrame(file) {
-  return new Promise((resolve, reject) => {
-    const video = document.createElement("video");
-    video.muted = true;
-    video.src = URL.createObjectURL(file);
-    video.addEventListener("loadeddata", () => { video.currentTime = 0.5; });
-    video.addEventListener("seeked", () => {
-      const c = document.createElement("canvas");
-      c.width = video.videoWidth;
-      c.height = video.videoHeight;
-      c.getContext("2d").drawImage(video, 0, 0);
-      c.toBlob((b) => (b ? resolve(b) : reject(new Error("frame capture failed"))),
-               "image/jpeg", 0.9);
-    });
-    video.addEventListener("error", () => reject(new Error("cannot read video")));
+/* Uploaded videos go through the server-side tracker
+   (POST /api/track/video) and play back with persistent-ID overlays -
+   the reference SPA only analyzes a single captured frame. */
+let videoAnim = null;
+
+function stopVideoPlayback() {
+  if (videoAnim) {
+    cancelAnimationFrame(videoAnim.raf);
+    videoAnim.video.pause();
+    URL.revokeObjectURL(videoAnim.video.src);
+    videoAnim = null;
+  }
+}
+
+async function trackVideo(file) {
+  const form = new FormData();
+  form.append("file", file, file.name);
+  const res = await fetch("/api/track/video?max_frames=300",
+                          { method: "POST", body: form });
+  if (!res.ok) throw new Error((await res.json()).detail || res.status);
+  const data = await res.json();
+  if (!data.frames.length) throw new Error("no frames tracked");
+  const fps = data.video_fps > 0 ? data.video_fps : 25;
+  const byFrame = new Map(data.frames.map((f) => [f.frame_id, f.tracks]));
+  const maxFid = data.frames[data.frames.length - 1].frame_id;
+  const stride = data.frames.length > 1
+    ? data.frames[1].frame_id - data.frames[0].frame_id : 1;
+
+  const video = document.createElement("video");
+  video.muted = true;
+  video.loop = true;
+  video.playsInline = true;
+  video.src = URL.createObjectURL(file);
+  await new Promise((ok, bad) => {
+    video.addEventListener("loadeddata", ok, { once: true });
+    video.addEventListener("error", () => bad(new Error("cannot read video")),
+                           { once: true });
   });
+  canvas.width = video.videoWidth;
+  canvas.height = video.videoHeight;
+  document.getElementById("stat-objects").textContent = data.num_tracks;
+  document.getElementById("stat-latency").textContent =
+    (1000 / Math.max(1, data.processing_fps)).toFixed(1);
+  document.getElementById("stat-size").textContent =
+    `${canvas.width}×${canvas.height}`;
+  detList.innerHTML =
+    `<p class="muted">${data.num_tracks} track(s) over ` +
+    `${data.num_frames} frames · server ${data.processing_fps} fps</p>`;
+  await video.play();
+
+  const state = { video, raf: 0 };
+  videoAnim = state;
+  const tick = () => {
+    if (videoAnim !== state) return;
+    let fid = Math.min(maxFid, Math.floor(video.currentTime * fps) + 1);
+    fid = Math.max(1, fid - ((fid - 1) % stride));   // snap to stride grid
+    ctx.drawImage(video, 0, 0, canvas.width, canvas.height);
+    drawBoxes(byFrame.get(fid) || []);
+    state.raf = requestAnimationFrame(tick);
+  };
+  tick();
 }
 
 /* ---------- webcam ---------- */
@@ -203,19 +251,10 @@ function loadImage(src) {
   });
 }
 
-function drawResults(data) {
-  const [iw, ih] = data.image_size;
-  canvas.width = iw;
-  canvas.height = ih;
-  if (currentImage) ctx.drawImage(currentImage, 0, 0, iw, ih);
-  else { ctx.fillStyle = "#10141c"; ctx.fillRect(0, 0, iw, ih); }
-
-  // prefer tracks (persistent ids) when present, like the reference SPA
-  const items = (data.tracks && data.tracks.length) ? data.tracks : data.detections;
-  const scale = Math.max(1, iw / 960);
+function drawBoxes(items) {
+  const scale = Math.max(1, canvas.width / 960);
   ctx.lineWidth = 2 * scale;
   ctx.font = `${13 * scale}px ui-monospace, monospace`;
-
   for (const d of items) {
     const [x1, y1, x2, y2] = d.bbox;
     const key = d.track_id !== undefined ? d.track_id : d.class_id;
@@ -239,6 +278,18 @@ function drawResults(data) {
       ctx.stroke();
     }
   }
+}
+
+function drawResults(data) {
+  const [iw, ih] = data.image_size;
+  canvas.width = iw;
+  canvas.height = ih;
+  if (currentImage) ctx.drawImage(currentImage, 0, 0, iw, ih);
+  else { ctx.fillStyle = "#10141c"; ctx.fillRect(0, 0, iw, ih); }
+
+  // prefer tracks (persistent ids) when present, like the reference SPA
+  const items = (data.tracks && data.tracks.length) ? data.tracks : data.detections;
+  drawBoxes(items);
 
   document.getElementById("stat-objects").textContent = data.num_objects;
   document.getElementById("stat-latency").textContent =
