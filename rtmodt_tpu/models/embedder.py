@@ -53,6 +53,11 @@ def init_embedder(crop_hw: tuple[int, int], embed_dim: int = 128,
         missing = set(flat) - set(loaded)
         if missing:
             raise ValueError(f"embedder weights {weights_path} missing keys: {sorted(missing)}")
+        bad = [k for k in flat if tuple(loaded[k].shape) != tuple(flat[k].shape)]
+        if bad:
+            raise ValueError(
+                f"embedder weights {weights_path} shape mismatch for {bad[:3]} "
+                f"(checkpoint was trained with different embed_dim/width)")
         params = _unflatten({k: jnp.asarray(loaded[k]) for k in flat})
     return model, params
 

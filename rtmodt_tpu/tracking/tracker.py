@@ -19,6 +19,7 @@ from __future__ import annotations
 from collections import defaultdict
 from dataclasses import dataclass, field
 from functools import partial
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -72,8 +73,26 @@ class MultiObjectTracker:
             else:
                 known = {f for f in DeepSortConfig.__dataclass_fields__}
                 self.cfg = DeepSortConfig(**{k: v for k, v in ds.items() if k in known})
-            self.embedder, self.embedder_params = init_embedder(
-                tuple(self.cfg.crop_hw), self.cfg.embed_dim, self.cfg.embedder)
+            weights = self.cfg.embedder
+            if not weights:
+                # weights fallback chain (same idea as the detector's): an
+                # in-repo trained checkpoint beats random init when present
+                default_npz = (Path(__file__).resolve().parents[2]
+                               / "checkpoints" / "embedder.npz")
+                if default_npz.exists():
+                    weights = str(default_npz)
+            try:
+                self.embedder, self.embedder_params = init_embedder(
+                    tuple(self.cfg.crop_hw), self.cfg.embed_dim, weights)
+                if weights and not self.cfg.embedder:
+                    logger.info(f"deepsort: using shipped embedder weights {weights}")
+            except ValueError as e:
+                if self.cfg.embedder:
+                    raise          # user asked for these weights explicitly
+                logger.warning(f"shipped embedder weights unusable ({e}); "
+                               "falling back to random init")
+                self.embedder, self.embedder_params = init_embedder(
+                    tuple(self.cfg.crop_hw), self.cfg.embed_dim, "")
             self.state = init_deepsort_state(self.cfg.max_tracks, self.cfg.embed_dim)
             self._step = jax.jit(partial(deepsort_update, cfg=self.cfg))
             logger.info(f"Tracker initialised: deepsort (embed_dim="

@@ -322,6 +322,31 @@ class TestDeepSort:
         with pytest.raises(ValueError, match="frame"):
             tr.update(dets([[0, 0, 10, 10]], [0.9]))
 
+    def test_shipped_embedder_weights_picked_up_by_default(self):
+        """Empty ``embedder`` config adopts the in-repo trained checkpoint
+        (checkpoints/embedder.npz); shape-incompatible configs fall back to
+        random init instead of erroring; an explicit bad path still raises."""
+        import pathlib
+
+        import numpy as np
+
+        npz = pathlib.Path(__file__).resolve().parents[1] / "checkpoints" / "embedder.npz"
+        if not npz.exists():
+            pytest.skip("shipped embedder checkpoint absent")
+        tr = MultiObjectTracker("deepsort", deepsort={})   # defaults: 128-d
+        loaded = dict(np.load(npz))
+        proj = np.asarray(tr.embedder_params["params"]["proj"]["kernel"])
+        assert proj.shape == loaded["params/proj/kernel"].shape
+        np.testing.assert_array_equal(proj, loaded["params/proj/kernel"])
+
+        # incompatible embed_dim -> graceful random init, not an error
+        tr32 = MultiObjectTracker("deepsort", deepsort={"embed_dim": 32})
+        assert tr32.embedder_params is not None
+
+        with pytest.raises((ValueError, FileNotFoundError)):
+            MultiObjectTracker("deepsort",
+                               deepsort={"embedder": "/nonexistent/w.npz"})
+
     def test_state_roundtrip(self, tmp_path):
         tr = MultiObjectTracker("deepsort", deepsort={"n_init": 1, "embed_dim": 32})
         frame = np.random.default_rng(1).integers(0, 255, (120, 120, 3), np.uint8)
