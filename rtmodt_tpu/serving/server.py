@@ -174,6 +174,58 @@ def _decode_image(data: bytes) -> np.ndarray:
     return img
 
 
+def _build_zone_engine(raw: bytes):
+    """Parse a user-supplied ``zones`` JSON field into a ZoneEventEngine.
+
+    Web-demo defaults differ from the pipeline config: dwell 0 s (fire on
+    entry - uploaded clips are seconds long) and cooldown 2 s.  All input is
+    validated; anything malformed is a 400, never a traceback.
+    """
+    import json as _json
+
+    from rtmodt_tpu.events.zone_engine import ZoneEventEngine
+
+    try:
+        specs = _json.loads(raw.decode("utf-8"))
+    except (UnicodeDecodeError, ValueError):
+        raise HTTPError(400, "zones must be valid JSON")
+    if not isinstance(specs, list) or not specs:
+        raise HTTPError(400, "zones must be a non-empty JSON list")
+    if len(specs) > 8:
+        raise HTTPError(400, "at most 8 zones per request")
+    cleaned = []
+    for i, z in enumerate(specs):
+        if not isinstance(z, dict):
+            raise HTTPError(400, f"zones[{i}] must be an object")
+        poly = z.get("polygon")
+        if (not isinstance(poly, list) or not 3 <= len(poly) <= 32
+                or not all(isinstance(p, (list, tuple)) and len(p) == 2
+                           and all(isinstance(v, (int, float)) for v in p)
+                           for p in poly)):
+            raise HTTPError(400, f"zones[{i}].polygon must be 3-32 [x, y] pairs")
+        spec = {
+            "name": str(z.get("name", f"zone-{i + 1}"))[:64],
+            "polygon": [[float(x), float(y)] for x, y in poly],
+            "dwell_time_sec": float(z.get("dwell_time_sec", 0.0)),
+            "cooldown_sec": float(z.get("cooldown_sec", 2.0)),
+            "trigger": str(z.get("trigger", "intrusion")),
+        }
+        if spec["trigger"] not in ("intrusion", "crossing"):
+            raise HTTPError(400, f"zones[{i}].trigger must be intrusion|crossing")
+        if spec["dwell_time_sec"] < 0 or spec["cooldown_sec"] < 0:
+            raise HTTPError(400, f"zones[{i}] dwell/cooldown must be >= 0")
+        if z.get("direction") is not None:
+            spec["direction"] = str(z["direction"])
+        if z.get("classes") is not None:
+            cls = z["classes"]
+            if not isinstance(cls, list) or not all(isinstance(c, int) for c in cls):
+                raise HTTPError(400, f"zones[{i}].classes must be a list of ints")
+            spec["classes"] = cls
+        cleaned.append(spec)
+    return ZoneEventEngine(cleaned, log_path="logs/web_events.jsonl",
+                           clock="stream")
+
+
 def create_app() -> App:
     app = App()
     STATIC_DIR.mkdir(parents=True, exist_ok=True)
@@ -243,7 +295,14 @@ def create_app() -> App:
         real tracker over the clip and returns per-frame persistent-ID
         tracks.  Query/body knobs: ``max_frames`` (default 150, cap 600),
         ``stride`` (process every Nth frame, default 1).
+
+        An optional ``zones`` multipart field (JSON list of
+        ``{name, polygon: [[x, y], ...], dwell_time_sec?, cooldown_sec?,
+        trigger?, direction?, classes?}``) runs the zone-event engine over
+        the tracked clip on stream time and returns the fired events - the
+        full events subsystem on the demo surface, not just detect+track.
         """
+        import json as _json
         import tempfile
 
         import cv2
@@ -259,6 +318,9 @@ def create_app() -> App:
             stride = max(1, int(req.query.get("stride", 1)))
         except (TypeError, ValueError):
             raise HTTPError(400, "max_frames/stride must be integers")
+        zone_engine = None
+        if "zones" in files:
+            zone_engine = _build_zone_engine(files["zones"][1])
 
         suffix = os.path.splitext(filename or "clip.mp4")[1] or ".mp4"
         from rtmodt_tpu.tracking.tracker import MultiObjectTracker
@@ -266,6 +328,7 @@ def create_app() -> App:
         detector = _singleton.get()
         tracker = MultiObjectTracker("bytetrack")
         t0 = time.perf_counter()
+        events_out = []
         frames_out = []
         n_read = 0
         track_ids = set()
@@ -287,8 +350,13 @@ def create_app() -> App:
                         continue
                     size = (frame.shape[1], frame.shape[0])
                     det = detector.detect(frame)
+                    live = tracker.update(det)
+                    if zone_engine is not None:
+                        ts = n_read / fps_in if fps_in > 0 else float(n_read) / 25.0
+                        for ev in zone_engine.process(live, n_read, timestamp=ts):
+                            events_out.append(_json.loads(ev.to_json()))
                     tracks = []
-                    for t in tracker.update(det):
+                    for t in live:
                         track_ids.add(int(t.track_id))
                         tracks.append({
                             "track_id": int(t.track_id),
@@ -303,14 +371,19 @@ def create_app() -> App:
         if not frames_out:
             raise HTTPError(400, "Could not decode video.")
         wall = time.perf_counter() - t0
-        return JSONResponse({
+        resp = {
             "frames": frames_out,
             "num_frames": len(frames_out),
             "num_tracks": len(track_ids),
             "video_fps": round(float(fps_in), 2),
             "processing_fps": round(len(frames_out) / wall, 1) if wall else 0.0,
             "image_size": list(size) if size else None,
-        })
+        }
+        if zone_engine is not None:
+            resp["events"] = events_out
+            resp["zones"] = [{"name": z.name, "polygon": z.polygon.tolist()}
+                             for z in zone_engine.zones]
+        return JSONResponse(resp)
 
     @app.get("/api/detect/sample/{filename}")
     def detect_sample(req: Request) -> Response:

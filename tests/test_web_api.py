@@ -247,3 +247,62 @@ class TestVideoTracking:
         assert r.status_code == 400
         r = client.post("/api/track/video", json_body={"nope": 1})
         assert r.status_code == 400
+
+    def test_track_video_with_zones_fires_events(self, client, tmp_path):
+        """A ``zones`` multipart field runs the zone-event engine over the
+        clip on stream time (ref zone_engine.py:64-157 semantics; JSONL
+        schema keys per zone_engine.py:29-45)."""
+        import json
+
+        content = self._mp4_bytes(tmp_path)
+        zones = [{"name": "lobby", "polygon": [[0, 0], [96, 0], [96, 96], [0, 96]]}]
+        r = client.post("/api/track/video",
+                        files={"file": ("clip.mp4", content, "video/mp4"),
+                               "zones": ("", json.dumps(zones).encode(), "")})
+        assert r.status_code == 200
+        data = r.json()
+        assert data["zones"] == [{"name": "lobby",
+                                  "polygon": [[0, 0], [96, 0], [96, 96], [0, 96]]}]
+        # FakeDetector's steady box sits inside the whole-frame zone; dwell
+        # defaults to 0 (fire on entry) and cooldown 2 s > clip length, so
+        # exactly one intrusion event fires for the one persistent track
+        assert len(data["events"]) == 1
+        ev = data["events"][0]
+        for key in ("timestamp_utc", "event_type", "zone_name", "track_id",
+                    "class_id", "class_name", "dwell_time_sec", "bbox_xyxy",
+                    "centroid", "frame_id", "metadata"):
+            assert key in ev
+        assert ev["zone_name"] == "lobby"
+        assert ev["event_type"] == "intrusion"
+        assert ev["frame_id"] >= 1 and ev["track_id"] == 1
+
+    def test_track_video_zone_misses_outside_polygon(self, client, tmp_path):
+        """A zone that excludes the detector's centroid fires nothing."""
+        import json
+
+        content = self._mp4_bytes(tmp_path)
+        zones = [{"name": "corner", "polygon": [[80, 80], [95, 80], [95, 95], [80, 95]]}]
+        r = client.post("/api/track/video",
+                        files={"file": ("clip.mp4", content, "video/mp4"),
+                               "zones": ("", json.dumps(zones).encode(), "")})
+        assert r.status_code == 200
+        assert r.json()["events"] == []
+
+    def test_track_video_zones_validation_400(self, client, tmp_path):
+        import json
+
+        content = self._mp4_bytes(tmp_path)
+        bad = [
+            b"not json",
+            json.dumps([]).encode(),
+            json.dumps([{"polygon": [[0, 0], [1, 1]]}]).encode(),      # 2 pts
+            json.dumps([{"polygon": "nope"}]).encode(),
+            json.dumps([{"polygon": [[0, 0], [9, 0], [9, 9]],
+                         "trigger": "teleport"}]).encode(),
+            json.dumps([{"polygon": [[0, 0], [9, 0], [9, 9]]}] * 9).encode(),
+        ]
+        for payload in bad:
+            r = client.post("/api/track/video",
+                            files={"file": ("clip.mp4", content, "video/mp4"),
+                                   "zones": ("", payload, "")})
+            assert r.status_code == 400, payload

@@ -127,6 +127,80 @@ async function handleFile(file) {
    the reference SPA only analyzes a single captured frame. */
 let videoAnim = null;
 
+/* ---------- zones: draw polygons on the video, server fires events ------ */
+let zones = [];            // completed [{name, polygon: [[x,y],...]}]
+let pendingZone = null;    // vertices being drawn, or null
+let lastVideoFile = null;  // re-track this file when zones change
+
+const zoneControls = document.getElementById("zone-controls");
+const zoneDrawBtn = document.getElementById("zone-draw");
+const zoneClearBtn = document.getElementById("zone-clear");
+const zoneHint = document.getElementById("zone-hint");
+
+zoneDrawBtn.addEventListener("click", () => {
+  pendingZone = pendingZone ? null : [];
+  zoneDrawBtn.textContent = pendingZone ? "Cancel drawing" : "Draw zone";
+  zoneHint.textContent = pendingZone
+    ? "click vertices on the video, double-click to close the zone"
+    : "zones re-run the tracker with intrusion alerts";
+});
+
+zoneClearBtn.addEventListener("click", () => {
+  zones = [];
+  pendingZone = null;
+  zoneDrawBtn.textContent = "Draw zone";
+  zoneClearBtn.disabled = true;
+  if (lastVideoFile) handleFile(lastVideoFile);
+});
+
+function canvasPoint(e) {
+  const r = canvas.getBoundingClientRect();
+  return [Math.round((e.clientX - r.left) * canvas.width / r.width),
+          Math.round((e.clientY - r.top) * canvas.height / r.height)];
+}
+
+canvas.addEventListener("click", (e) => {
+  if (pendingZone) pendingZone.push(canvasPoint(e));
+});
+
+canvas.addEventListener("dblclick", () => {
+  if (!pendingZone || pendingZone.length < 4) return;
+  pendingZone.pop();                       // dblclick also fired a click
+  zones.push({ name: `zone-${zones.length + 1}`, polygon: pendingZone });
+  pendingZone = null;
+  zoneDrawBtn.textContent = "Draw zone";
+  zoneClearBtn.disabled = false;
+  zoneHint.textContent = "zones re-run the tracker with intrusion alerts";
+  if (lastVideoFile) handleFile(lastVideoFile);
+});
+
+function drawZones(serverZones, flashing) {
+  for (const z of serverZones) {
+    const hot = flashing.has(z.name);
+    ctx.beginPath();
+    z.polygon.forEach(([x, y], i) => (i ? ctx.lineTo(x, y) : ctx.moveTo(x, y)));
+    ctx.closePath();
+    ctx.fillStyle = hot ? "rgba(255,60,60,0.30)" : "rgba(80,160,255,0.18)";
+    ctx.fill();
+    ctx.strokeStyle = hot ? "#ff3c3c" : "#50a0ff";
+    ctx.lineWidth = 2;
+    ctx.stroke();
+    const [lx, ly] = z.polygon[0];
+    ctx.font = "13px ui-monospace, monospace";
+    ctx.fillStyle = hot ? "#ff3c3c" : "#50a0ff";
+    ctx.fillText(z.name, lx + 4, ly + 14);
+  }
+  if (pendingZone && pendingZone.length) {
+    ctx.beginPath();
+    pendingZone.forEach(([x, y], i) => (i ? ctx.lineTo(x, y) : ctx.moveTo(x, y)));
+    ctx.strokeStyle = "#ffe85d";
+    ctx.lineWidth = 2;
+    ctx.setLineDash([6, 4]);
+    ctx.stroke();
+    ctx.setLineDash([]);
+  }
+}
+
 function stopVideoPlayback() {
   if (videoAnim) {
     cancelAnimationFrame(videoAnim.raf);
@@ -137,13 +211,24 @@ function stopVideoPlayback() {
 }
 
 async function trackVideo(file) {
+  lastVideoFile = file;
+  zoneControls.hidden = false;
   const form = new FormData();
   form.append("file", file, file.name);
+  if (zones.length) form.append("zones", JSON.stringify(zones));
   const res = await fetch("/api/track/video?max_frames=300",
                           { method: "POST", body: form });
   if (!res.ok) throw new Error((await res.json()).detail || res.status);
   const data = await res.json();
   if (!data.frames.length) throw new Error("no frames tracked");
+  const serverZones = data.zones || [];
+  const events = data.events || [];
+  // zone_name -> sorted event frame ids (for the red flash on playback)
+  const zoneEventFids = new Map();
+  for (const ev of events) {
+    if (!zoneEventFids.has(ev.zone_name)) zoneEventFids.set(ev.zone_name, []);
+    zoneEventFids.get(ev.zone_name).push(ev.frame_id);
+  }
   const fps = data.video_fps > 0 ? data.video_fps : 25;
   const byFrame = new Map(data.frames.map((f) => [f.frame_id, f.tracks]));
   const maxFid = data.frames[data.frames.length - 1].frame_id;
@@ -167,9 +252,18 @@ async function trackVideo(file) {
     (1000 / Math.max(1, data.processing_fps)).toFixed(1);
   document.getElementById("stat-size").textContent =
     `${canvas.width}×${canvas.height}`;
-  detList.innerHTML =
+  let html =
     `<p class="muted">${data.num_tracks} track(s) over ` +
     `${data.num_frames} frames · server ${data.processing_fps} fps</p>`;
+  if (serverZones.length) {
+    html += `<p class="muted">${events.length} zone event(s)</p>`;
+    for (const ev of events.slice(0, 20)) {
+      html += `<div class="det-row"><span class="dot" style="background:#ff3c3c"></span>` +
+              `<span class="det-name">${ev.event_type} · ${ev.zone_name}</span>` +
+              `<span class="det-conf">track ${ev.track_id} @ frame ${ev.frame_id}</span></div>`;
+    }
+  }
+  detList.innerHTML = html;
   await video.play();
 
   const state = { video, raf: 0 };
@@ -179,6 +273,11 @@ async function trackVideo(file) {
     let fid = Math.min(maxFid, Math.floor(video.currentTime * fps) + 1);
     fid = Math.max(1, fid - ((fid - 1) % stride));   // snap to stride grid
     ctx.drawImage(video, 0, 0, canvas.width, canvas.height);
+    const flashing = new Set();
+    for (const [name, fids] of zoneEventFids) {
+      if (fids.some((f) => f <= fid && fid - f < 12)) flashing.add(name);
+    }
+    drawZones(serverZones, flashing);
     drawBoxes(byFrame.get(fid) || []);
     state.raf = requestAnimationFrame(tick);
   };
