@@ -87,24 +87,55 @@ class _DetectorSingleton:
 _singleton = _DetectorSingleton()
 
 
+class _Session:
+    """One webcam client's server-side state: tracker + optional zone engine."""
+
+    __slots__ = ("tracker", "engine", "zones_sig", "frame_id")
+
+    def __init__(self):
+        from rtmodt_tpu.tracking.tracker import MultiObjectTracker
+
+        self.tracker = MultiObjectTracker("bytetrack")
+        self.engine = None
+        self.zones_sig: str | None = None
+        self.frame_id = 0
+
+    def set_zones(self, specs) -> None:
+        """(Re)configure zones from decoded JSON; None clears.  Live frames
+        use wall-clock dwell (the reference's zone semantics for live
+        streams, ref zone_engine.py:84)."""
+        import json as _json
+
+        from rtmodt_tpu.events.zone_engine import ZoneEventEngine
+
+        sig = _json.dumps(specs, sort_keys=True) if specs is not None else None
+        if sig == self.zones_sig:
+            return
+        self.zones_sig = sig
+        self.engine = None
+        if specs is not None:
+            self.engine = ZoneEventEngine(
+                _parse_zone_specs(specs),
+                log_path="logs/web_events.jsonl", clock="wall")
+
+
 class _TrackerSessions:
     """Per-client tracker state for the webcam loop.
 
     The reference's web path never tracks (``tracks`` is always ``[]``,
     web/server.py:111); here a client that sends a ``session_id`` with its
-    frames gets persistent-ID tracks + trails across requests.  Sessions
-    expire after ``ttl`` seconds idle.
+    frames gets persistent-ID tracks + trails across requests, and live
+    zone-intrusion alerts when it also sends ``zones``.  Sessions expire
+    after ``ttl`` seconds idle.
     """
 
     def __init__(self, ttl: float = 120.0, max_sessions: int = 32):
         self._lock = threading.Lock()
-        self._sessions: dict[str, tuple[float, object]] = {}
+        self._sessions: dict[str, tuple[float, _Session]] = {}
         self.ttl = ttl
         self.max_sessions = max_sessions
 
-    def get(self, session_id: str):
-        from rtmodt_tpu.tracking.tracker import MultiObjectTracker
-
+    def get(self, session_id: str) -> _Session:
         now = time.time()
         with self._lock:
             for sid in [s for s, (t, _) in self._sessions.items()
@@ -114,19 +145,24 @@ class _TrackerSessions:
                 if len(self._sessions) >= self.max_sessions:
                     oldest = min(self._sessions, key=lambda s: self._sessions[s][0])
                     del self._sessions[oldest]
-                self._sessions[session_id] = (now, MultiObjectTracker("bytetrack"))
-            t, tracker = self._sessions[session_id]
-            self._sessions[session_id] = (now, tracker)
-            return tracker
+                self._sessions[session_id] = (now, _Session())
+            t, sess = self._sessions[session_id]
+            self._sessions[session_id] = (now, sess)
+            return sess
 
 
 _sessions = _TrackerSessions()
 
 
-def _run_detection(img_bgr: np.ndarray, session_id: str | None = None) -> dict:
+def _run_detection(img_bgr: np.ndarray, session_id: str | None = None,
+                   zones=None) -> dict:
     """Single-image detection -> reference response schema
     (web/server.py:84-115).  With a ``session_id``, detections also flow
-    through a per-session ByteTrack and ``tracks`` is populated."""
+    through a per-session ByteTrack and ``tracks`` is populated; with
+    ``zones`` too (decoded JSON list), the session runs a wall-clock
+    zone-event engine and this frame's alerts are returned."""
+    import json as _json
+
     t0 = time.perf_counter()
     det = _singleton.get().detect(img_bgr)
     inference_ms = (time.perf_counter() - t0) * 1e3
@@ -142,9 +178,19 @@ def _run_detection(img_bgr: np.ndarray, session_id: str | None = None) -> dict:
         for i in range(len(det))
     ]
     tracks = []
+    events = zone_polys = None
+    sess = None
     if session_id:
-        tracker = _sessions.get(session_id)
-        for t in tracker.update(det):
+        sess = _sessions.get(session_id)
+        sess.frame_id += 1
+        sess.set_zones(zones)
+        live = sess.tracker.update(det)
+        if sess.engine is not None:
+            events = [_json.loads(ev.to_json())
+                      for ev in sess.engine.process(live, sess.frame_id)]
+            zone_polys = [{"name": z.name, "polygon": z.polygon.tolist()}
+                          for z in sess.engine.zones]
+        for t in live:
             tracks.append({
                 "track_id": int(t.track_id),
                 "bbox": [float(v) for v in t.xyxy],
@@ -155,13 +201,17 @@ def _run_detection(img_bgr: np.ndarray, session_id: str | None = None) -> dict:
                 "trail": [[int(x), int(y)] for x, y in t.trail],
             })
     h, w = img_bgr.shape[:2]
-    return {
+    resp = {
         "detections": detections,
         "tracks": tracks,
         "inference_ms": round(inference_ms, 2),
         "num_objects": len(detections),
         "image_size": [w, h],
     }
+    if events is not None:
+        resp["events"] = events
+        resp["zones"] = zone_polys
+    return resp
 
 
 def _decode_image(data: bytes) -> np.ndarray:
@@ -174,21 +224,13 @@ def _decode_image(data: bytes) -> np.ndarray:
     return img
 
 
-def _build_zone_engine(raw: bytes):
-    """Parse a user-supplied ``zones`` JSON field into a ZoneEventEngine.
+def _parse_zone_specs(specs) -> list[dict]:
+    """Validate user-supplied zone specs (already-decoded JSON).
 
     Web-demo defaults differ from the pipeline config: dwell 0 s (fire on
     entry - uploaded clips are seconds long) and cooldown 2 s.  All input is
     validated; anything malformed is a 400, never a traceback.
     """
-    import json as _json
-
-    from rtmodt_tpu.events.zone_engine import ZoneEventEngine
-
-    try:
-        specs = _json.loads(raw.decode("utf-8"))
-    except (UnicodeDecodeError, ValueError):
-        raise HTTPError(400, "zones must be valid JSON")
     if not isinstance(specs, list) or not specs:
         raise HTTPError(400, "zones must be a non-empty JSON list")
     if len(specs) > 8:
@@ -222,8 +264,21 @@ def _build_zone_engine(raw: bytes):
                 raise HTTPError(400, f"zones[{i}].classes must be a list of ints")
             spec["classes"] = cls
         cleaned.append(spec)
-    return ZoneEventEngine(cleaned, log_path="logs/web_events.jsonl",
-                           clock="stream")
+    return cleaned
+
+
+def _build_zone_engine(raw: bytes, clock: str = "stream"):
+    """Decode + validate a ``zones`` multipart field into a ZoneEventEngine."""
+    import json as _json
+
+    from rtmodt_tpu.events.zone_engine import ZoneEventEngine
+
+    try:
+        specs = _json.loads(raw.decode("utf-8"))
+    except (UnicodeDecodeError, ValueError):
+        raise HTTPError(400, "zones must be valid JSON")
+    return ZoneEventEngine(_parse_zone_specs(specs),
+                           log_path="logs/web_events.jsonl", clock=clock)
 
 
 def create_app() -> App:
@@ -284,7 +339,11 @@ def create_app() -> App:
         session_id = payload.get("session_id") or None
         if session_id is not None:
             session_id = str(session_id)[:64]
-        return JSONResponse(_run_detection(_decode_image(img_bytes), session_id))
+        zones = payload.get("zones")
+        if zones is not None and session_id is None:
+            raise HTTPError(400, "zones require a session_id")
+        return JSONResponse(_run_detection(_decode_image(img_bytes),
+                                           session_id, zones))
 
     @app.post("/api/track/video")
     def track_video(req: Request) -> Response:

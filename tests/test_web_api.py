@@ -199,6 +199,44 @@ class TestDetectionAPI:
         assert len(set(ids)) == 1          # ID persists across requests
         assert data["tracks"][0]["age"] == 3
 
+    def test_session_zones_fire_live_alerts(self, client):
+        """Webcam frames with a session_id + zones get wall-clock intrusion
+        alerts per frame; cooldown suppresses repeats; clearing zones stops
+        alerts; zone changes take effect mid-session."""
+        import base64
+
+        img = base64.b64encode(_jpeg_bytes(100, 100)).decode()
+        zones = [{"name": "gate", "polygon": [[0, 0], [100, 0], [100, 100], [0, 100]],
+                  "cooldown_sec": 3600}]
+        payload = {"image": img, "session_id": "zone-sess", "zones": zones}
+        r = client.post("/api/detect/frame", json_body=payload)
+        assert r.status_code == 200
+        data = r.json()
+        assert data["zones"][0]["name"] == "gate"
+        assert len(data["events"]) == 1
+        assert data["events"][0]["event_type"] == "intrusion"
+        # same zones again: engine persists, cooldown suppresses a repeat
+        r = client.post("/api/detect/frame", json_body=payload)
+        assert r.json()["events"] == []
+        # zones removed: alerts stop, response reverts to the base schema
+        r = client.post("/api/detect/frame",
+                        json_body={"image": img, "session_id": "zone-sess"})
+        data = r.json()
+        assert "events" not in data and "zones" not in data
+        assert len(data["tracks"]) == 1    # tracker state survived
+
+    def test_session_zone_validation(self, client):
+        import base64
+
+        img = base64.b64encode(_jpeg_bytes()).decode()
+        r = client.post("/api/detect/frame",
+                        json_body={"image": img, "zones": [{"polygon": [[0, 0]]}]})
+        assert r.status_code == 400        # zones without session_id
+        r = client.post("/api/detect/frame",
+                        json_body={"image": img, "session_id": "s",
+                                   "zones": [{"polygon": [[0, 0]]}]})
+        assert r.status_code == 400        # bad polygon
+
     def test_no_session_keeps_reference_contract(self, client):
         import base64
 

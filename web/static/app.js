@@ -131,6 +131,7 @@ let videoAnim = null;
 let zones = [];            // completed [{name, polygon: [[x,y],...]}]
 let pendingZone = null;    // vertices being drawn, or null
 let lastVideoFile = null;  // re-track this file when zones change
+let liveEvents = [];       // rolling webcam alert feed (newest first)
 
 const zoneControls = document.getElementById("zone-controls");
 const zoneDrawBtn = document.getElementById("zone-draw");
@@ -148,9 +149,10 @@ zoneDrawBtn.addEventListener("click", () => {
 zoneClearBtn.addEventListener("click", () => {
   zones = [];
   pendingZone = null;
+  liveEvents = [];
   zoneDrawBtn.textContent = "Draw zone";
   zoneClearBtn.disabled = true;
-  if (lastVideoFile) handleFile(lastVideoFile);
+  if (uploadModeActive() && lastVideoFile) handleFile(lastVideoFile);
 });
 
 function canvasPoint(e) {
@@ -163,6 +165,11 @@ canvas.addEventListener("click", (e) => {
   if (pendingZone) pendingZone.push(canvasPoint(e));
 });
 
+function uploadModeActive() {
+  const tab = document.querySelector(".tab.active");
+  return tab && tab.dataset.mode === "upload";
+}
+
 canvas.addEventListener("dblclick", () => {
   if (!pendingZone || pendingZone.length < 4) return;
   pendingZone.pop();                       // dblclick also fired a click
@@ -170,8 +177,10 @@ canvas.addEventListener("dblclick", () => {
   pendingZone = null;
   zoneDrawBtn.textContent = "Draw zone";
   zoneClearBtn.disabled = false;
-  zoneHint.textContent = "zones re-run the tracker with intrusion alerts";
-  if (lastVideoFile) handleFile(lastVideoFile);
+  zoneHint.textContent = "zones alert on intrusion (videos and live webcam)";
+  // uploaded videos need a server re-track; the live webcam loop just
+  // starts sending the new zones with its next frame
+  if (uploadModeActive() && lastVideoFile) handleFile(lastVideoFile);
 });
 
 function drawZones(serverZones, flashing) {
@@ -300,6 +309,7 @@ async function startWebcam() {
   const video = document.getElementById("webcam-video");
   video.srcObject = webcamStream;
   video.hidden = false;
+  zoneControls.hidden = false;
   document.getElementById("webcam-start").disabled = true;
   document.getElementById("webcam-stop").disabled = false;
   const interval = parseInt(document.getElementById("webcam-interval").value, 10);
@@ -330,7 +340,8 @@ async function captureAndDetect(video) {
       method: "POST",
       headers: { "Content-Type": "application/json" },
       body: JSON.stringify({ image: c.toDataURL("image/jpeg", 0.8),
-                             session_id: sessionId }),
+                             session_id: sessionId,
+                             ...(zones.length ? { zones } : {}) }),
     });
     if (res.ok) drawResults(await res.json());
   } catch (err) {
@@ -388,6 +399,17 @@ function drawResults(data) {
 
   // prefer tracks (persistent ids) when present, like the reference SPA
   const items = (data.tracks && data.tracks.length) ? data.tracks : data.detections;
+  if (data.zones) {
+    const flashing = new Set((data.events || []).map((ev) => ev.zone_name));
+    drawZones(data.zones, flashing);
+    for (const ev of (data.events || []).reverse()) {
+      liveEvents.unshift(ev);
+      showToast(`${ev.event_type}: ${ev.class_name} #${ev.track_id} in ${ev.zone_name}`);
+    }
+    liveEvents = liveEvents.slice(0, 12);
+  } else if (pendingZone) {
+    drawZones([], new Set());              // pending-polygon preview only
+  }
   drawBoxes(items);
 
   document.getElementById("stat-objects").textContent = data.num_objects;
@@ -395,7 +417,7 @@ function drawResults(data) {
     data.inference_ms.toFixed(1);
   document.getElementById("stat-size").textContent = `${iw}×${ih}`;
 
-  detList.innerHTML = items.length
+  let html = items.length
     ? items.map((d) => {
         const key = d.track_id !== undefined ? d.track_id : d.class_id;
         const color = PALETTE[((key % PALETTE.length) + PALETTE.length) % PALETTE.length];
@@ -406,6 +428,13 @@ function drawResults(data) {
         </div>`;
       }).join("")
     : '<p class="muted">No objects detected.</p>';
+  if (data.zones && liveEvents.length) {
+    html += `<p class="muted">recent alerts</p>` + liveEvents.map((ev) =>
+      `<div class="det-row"><span class="dot" style="background:#ff3c3c"></span>
+        <span class="det-name">${ev.event_type} · ${ev.zone_name}</span>
+        <span class="det-conf">#${ev.track_id}</span></div>`).join("");
+  }
+  detList.innerHTML = html;
 }
 
 /* ---------- ui helpers ---------- */
