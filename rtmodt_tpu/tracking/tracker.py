@@ -74,7 +74,9 @@ class MultiObjectTracker:
                 known = {f for f in DeepSortConfig.__dataclass_fields__}
                 self.cfg = DeepSortConfig(**{k: v for k, v in ds.items() if k in known})
             weights = self.cfg.embedder
-            if not weights:
+            if weights in ("random", "none"):
+                weights = ""               # explicit opt-out of the fallback
+            elif not weights:
                 # weights fallback chain (same idea as the detector's): an
                 # in-repo trained checkpoint beats random init when present
                 default_npz = (Path(__file__).resolve().parents[2]
@@ -87,7 +89,7 @@ class MultiObjectTracker:
                 if weights and not self.cfg.embedder:
                     logger.info(f"deepsort: using shipped embedder weights {weights}")
             except ValueError as e:
-                if self.cfg.embedder:
+                if self.cfg.embedder not in ("", "random", "none"):
                     raise          # user asked for these weights explicitly
                 logger.warning(f"shipped embedder weights unusable ({e}); "
                                "falling back to random init")

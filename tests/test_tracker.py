@@ -343,6 +343,11 @@ class TestDeepSort:
         tr32 = MultiObjectTracker("deepsort", deepsort={"embed_dim": 32})
         assert tr32.embedder_params is not None
 
+        # explicit "random" opts out of the shipped-weights fallback
+        trr = MultiObjectTracker("deepsort", deepsort={"embedder": "random"})
+        proj_r = np.asarray(trr.embedder_params["params"]["proj"]["kernel"])
+        assert not np.array_equal(proj_r, loaded["params/proj/kernel"])
+
         with pytest.raises((ValueError, FileNotFoundError)):
             MultiObjectTracker("deepsort",
                                deepsort={"embedder": "/nonexistent/w.npz"})

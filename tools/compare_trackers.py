@@ -145,7 +145,7 @@ def main() -> None:
         ("bytetrack_canonical", dict(algorithm="bytetrack",
          bytetrack=dict(match_metric="iou_distance"))),
         ("deepsort_random_embedder", dict(algorithm="deepsort",
-         deepsort=dict(ds_base))),
+         deepsort=dict(ds_base, embedder="random"))),
     ]
     if os.path.exists(args.embedder):
         configs.append(("deepsort_trained_embedder", dict(
