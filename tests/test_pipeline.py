@@ -532,6 +532,35 @@ class TestProcessChunkEquivalence:
         key = lambda es: sorted((e.frame_id, e.zone_name, e.track_id) for e in es)
         assert key(h_ev) == key(d_ev)
 
+    def test_wall_clock_interpolates_within_chunk(self, tmp_path, monkeypatch):
+        """With clock='wall', a chunk's K frames get timestamps interpolated
+        across the interval since the previous chunk, so dwell can cross its
+        threshold mid-chunk with a ~continuous value - not quantized to
+        chunk-sized steps (one time.time() for all K would report dwell 4.0 s
+        here instead of ~1.0 s)."""
+        import rtmodt_tpu.events.zone_engine as ze
+
+        eng = ze.ZoneEventEngine(
+            [{"name": "z", "polygon": [[0, 0], [200, 0], [200, 200], [0, 200]],
+              "dwell_time_sec": 1.0, "cooldown_sec": 100.0}],
+            log_path=str(tmp_path / "ev.jsonl"), clock="wall")
+        k = 4
+        tids = np.ones((k, 1), np.int32)
+        cids = np.zeros((k, 1), np.int32)
+        boxes = np.tile(np.array([50, 50, 150, 150], np.float32), (k, 1, 1))
+        vis = np.ones((k, 1), bool)
+
+        clock = {"now": 100.0}
+        monkeypatch.setattr(ze.time, "time", lambda: clock["now"])
+        # chunk 1: no previous interval -> all frames stamped at 100.0;
+        # the track enters the zone, dwell 0 < 1 s -> no event
+        assert eng.process_chunk(tids, cids, boxes, vis, [0, 1, 2, 3]) == []
+        # chunk 2 arrives 4 s later: frames interpolate to 101, 102, 103, 104
+        clock["now"] = 104.0
+        evts = eng.process_chunk(tids, cids, boxes, vis, [4, 5, 6, 7])
+        assert len(evts) == 1
+        assert abs(evts[0].dwell_time_sec - 1.0) < 1e-6   # fired at ts=101
+
 
 class TestTrackerQuality:
     def test_idf1_on_synthetic_gt(self, tmp_path):
