@@ -24,6 +24,7 @@ extension: the reference always returns ``tracks: []``.
 from __future__ import annotations
 
 import base64
+import math
 import os
 import threading
 import time
@@ -90,7 +91,7 @@ _singleton = _DetectorSingleton()
 class _Session:
     """One webcam client's server-side state: tracker + optional zone engine."""
 
-    __slots__ = ("tracker", "engine", "zones_sig", "frame_id")
+    __slots__ = ("tracker", "engine", "zones_sig", "frame_id", "lock")
 
     def __init__(self):
         from rtmodt_tpu.tracking.tracker import MultiObjectTracker
@@ -99,11 +100,16 @@ class _Session:
         self.engine = None
         self.zones_sig: str | None = None
         self.frame_id = 0
+        # serializes tracker/engine updates when two requests share an id
+        self.lock = threading.Lock()
 
     def set_zones(self, specs) -> None:
         """(Re)configure zones from decoded JSON; None clears.  Live frames
         use wall-clock dwell (the reference's zone semantics for live
-        streams, ref zone_engine.py:84)."""
+        streams, ref zone_engine.py:84).  Validation happens BEFORE any
+        state changes: a rejected payload leaves the previous engine (and
+        its dwell/cooldown state) untouched, and the same bad payload keeps
+        failing with 400 instead of matching a stored signature."""
         import json as _json
 
         from rtmodt_tpu.events.zone_engine import ZoneEventEngine
@@ -111,12 +117,13 @@ class _Session:
         sig = _json.dumps(specs, sort_keys=True) if specs is not None else None
         if sig == self.zones_sig:
             return
-        self.zones_sig = sig
-        self.engine = None
+        engine = None
         if specs is not None:
-            self.engine = ZoneEventEngine(
-                _parse_zone_specs(specs),
+            engine = ZoneEventEngine(
+                _parse_zone_specs(specs),        # raises HTTPError(400)
                 log_path="logs/web_events.jsonl", clock="wall")
+        self.zones_sig = sig
+        self.engine = engine
 
 
 class _TrackerSessions:
@@ -182,14 +189,15 @@ def _run_detection(img_bgr: np.ndarray, session_id: str | None = None,
     sess = None
     if session_id:
         sess = _sessions.get(session_id)
-        sess.frame_id += 1
-        sess.set_zones(zones)
-        live = sess.tracker.update(det)
-        if sess.engine is not None:
-            events = [_json.loads(ev.to_json())
-                      for ev in sess.engine.process(live, sess.frame_id)]
-            zone_polys = [{"name": z.name, "polygon": z.polygon.tolist()}
-                          for z in sess.engine.zones]
+        with sess.lock:
+            sess.frame_id += 1
+            sess.set_zones(zones)
+            live = sess.tracker.update(det)
+            if sess.engine is not None:
+                events = [_json.loads(ev.to_json())
+                          for ev in sess.engine.process(live, sess.frame_id)]
+                zone_polys = [{"name": z.name, "polygon": z.polygon.tolist()}
+                              for z in sess.engine.zones]
         for t in live:
             tracks.append({
                 "track_id": int(t.track_id),
@@ -242,20 +250,28 @@ def _parse_zone_specs(specs) -> list[dict]:
         poly = z.get("polygon")
         if (not isinstance(poly, list) or not 3 <= len(poly) <= 32
                 or not all(isinstance(p, (list, tuple)) and len(p) == 2
-                           and all(isinstance(v, (int, float)) for v in p)
+                           and all(isinstance(v, (int, float))
+                                   and not isinstance(v, bool)
+                                   and math.isfinite(v) for v in p)
                            for p in poly)):
-            raise HTTPError(400, f"zones[{i}].polygon must be 3-32 [x, y] pairs")
+            raise HTTPError(400, f"zones[{i}].polygon must be 3-32 finite [x, y] pairs")
+
+        def _num(key, default):
+            v = z.get(key, default)
+            if (not isinstance(v, (int, float)) or isinstance(v, bool)
+                    or not math.isfinite(v) or v < 0):
+                raise HTTPError(400, f"zones[{i}].{key} must be a finite number >= 0")
+            return float(v)
+
         spec = {
             "name": str(z.get("name", f"zone-{i + 1}"))[:64],
             "polygon": [[float(x), float(y)] for x, y in poly],
-            "dwell_time_sec": float(z.get("dwell_time_sec", 0.0)),
-            "cooldown_sec": float(z.get("cooldown_sec", 2.0)),
+            "dwell_time_sec": _num("dwell_time_sec", 0.0),
+            "cooldown_sec": _num("cooldown_sec", 2.0),
             "trigger": str(z.get("trigger", "intrusion")),
         }
         if spec["trigger"] not in ("intrusion", "crossing"):
             raise HTTPError(400, f"zones[{i}].trigger must be intrusion|crossing")
-        if spec["dwell_time_sec"] < 0 or spec["cooldown_sec"] < 0:
-            raise HTTPError(400, f"zones[{i}] dwell/cooldown must be >= 0")
         if z.get("direction") is not None:
             spec["direction"] = str(z["direction"])
         if z.get("classes") is not None:
@@ -373,7 +389,7 @@ def create_app() -> App:
         if len(content) > 64 * 1024 * 1024:
             raise HTTPError(413, "video too large (64 MB limit)")
         try:
-            max_frames = min(int(req.query.get("max_frames", 150)), 600)
+            max_frames = min(max(1, int(req.query.get("max_frames", 150))), 600)
             stride = max(1, int(req.query.get("stride", 1)))
         except (TypeError, ValueError):
             raise HTTPError(400, "max_frames/stride must be integers")

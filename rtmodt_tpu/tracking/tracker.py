@@ -88,9 +88,12 @@ class MultiObjectTracker:
                     tuple(self.cfg.crop_hw), self.cfg.embed_dim, weights)
                 if weights and not self.cfg.embedder:
                     logger.info(f"deepsort: using shipped embedder weights {weights}")
-            except ValueError as e:
+            except Exception as e:
+                # corrupt/truncated npz raises OSError/BadZipFile, shape or
+                # key mismatches ValueError - all fall back for the implicit
+                # default path, but an explicitly configured path fails loud
                 if self.cfg.embedder not in ("", "random", "none"):
-                    raise          # user asked for these weights explicitly
+                    raise
                 logger.warning(f"shipped embedder weights unusable ({e}); "
                                "falling back to random init")
                 self.embedder, self.embedder_params = init_embedder(

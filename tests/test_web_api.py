@@ -236,6 +236,39 @@ class TestDetectionAPI:
                         json_body={"image": img, "session_id": "s",
                                    "zones": [{"polygon": [[0, 0]]}]})
         assert r.status_code == 400        # bad polygon
+        poly = [[0, 0], [100, 0], [100, 100], [0, 100]]
+        for bad in ({"polygon": poly, "dwell_time_sec": None},
+                    {"polygon": poly, "dwell_time_sec": "abc"},
+                    {"polygon": poly, "cooldown_sec": float("nan")},
+                    {"polygon": [[float("inf"), 0], [9, 0], [9, 9]]}):
+            r = client.post("/api/detect/frame",
+                            json_body={"image": img, "session_id": "s",
+                                       "zones": [bad]})
+            assert r.status_code == 400, bad   # 400, never a 500 traceback
+
+    def test_invalid_zones_do_not_clobber_live_engine(self, client):
+        """A rejected zones payload must leave the session's previous engine
+        (and its cooldown state) intact, and keep failing on retry rather
+        than matching a stored signature."""
+        import base64
+
+        img = base64.b64encode(_jpeg_bytes(100, 100)).decode()
+        zones = [{"name": "gate", "polygon": [[0, 0], [100, 0], [100, 100], [0, 100]],
+                  "cooldown_sec": 3600}]
+        sid = "clobber-sess"
+        r = client.post("/api/detect/frame",
+                        json_body={"image": img, "session_id": sid, "zones": zones})
+        assert len(r.json()["events"]) == 1          # armed + fired
+        bad = {"image": img, "session_id": sid,
+               "zones": [{"polygon": [[0, 0]]}]}
+        assert client.post("/api/detect/frame", json_body=bad).status_code == 400
+        assert client.post("/api/detect/frame", json_body=bad).status_code == 400
+        # original zones again: the surviving engine is still in cooldown -
+        # a clobbered engine would have been rebuilt and fired a second time
+        r = client.post("/api/detect/frame",
+                        json_body={"image": img, "session_id": sid, "zones": zones})
+        assert r.status_code == 200
+        assert r.json()["events"] == []
 
     def test_no_session_keeps_reference_contract(self, client):
         import base64
@@ -278,6 +311,11 @@ class TestVideoTracking:
         data = r.json()
         assert data["num_frames"] == 3
         assert [f["frame_id"] for f in data["frames"]] == [1, 3, 5]
+        # max_frames clamps below to 1 - never a bogus "could not decode"
+        r = client.post("/api/track/video?max_frames=0",
+                        files={"file": ("clip.mp4", content, "video/mp4")})
+        assert r.status_code == 200
+        assert r.json()["num_frames"] == 1
 
     def test_track_video_bad_payload_400(self, client):
         r = client.post("/api/track/video",

@@ -155,10 +155,22 @@ zoneClearBtn.addEventListener("click", () => {
   if (uploadModeActive() && lastVideoFile) handleFile(lastVideoFile);
 });
 
+/* Zones are stored NORMALIZED (0..1 of the frame) and scaled to the pixel
+   space of whatever source they are sent with - the canvas size at draw
+   time can differ from the next source's resolution (e.g. a zone drawn on
+   a 640x360 video, then used with 1280x720 webcam frames). */
 function canvasPoint(e) {
   const r = canvas.getBoundingClientRect();
-  return [Math.round((e.clientX - r.left) * canvas.width / r.width),
-          Math.round((e.clientY - r.top) * canvas.height / r.height)];
+  const clamp = (v) => Math.min(1, Math.max(0, v));
+  return [clamp((e.clientX - r.left) / r.width),
+          clamp((e.clientY - r.top) / r.height)];
+}
+
+function pixelZones(w, h) {
+  return zones.map((z) => ({
+    ...z,
+    polygon: z.polygon.map(([x, y]) => [Math.round(x * w), Math.round(y * h)]),
+  }));
 }
 
 canvas.addEventListener("click", (e) => {
@@ -201,7 +213,10 @@ function drawZones(serverZones, flashing) {
   }
   if (pendingZone && pendingZone.length) {
     ctx.beginPath();
-    pendingZone.forEach(([x, y], i) => (i ? ctx.lineTo(x, y) : ctx.moveTo(x, y)));
+    pendingZone.forEach(([nx, ny], i) => {
+      const x = nx * canvas.width, y = ny * canvas.height;
+      i ? ctx.lineTo(x, y) : ctx.moveTo(x, y);
+    });
     ctx.strokeStyle = "#ffe85d";
     ctx.lineWidth = 2;
     ctx.setLineDash([6, 4]);
@@ -222,9 +237,24 @@ function stopVideoPlayback() {
 async function trackVideo(file) {
   lastVideoFile = file;
   zoneControls.hidden = false;
+  // load the video FIRST: fails fast on unreadable files and provides the
+  // native resolution that normalized zones scale to
+  const video = document.createElement("video");
+  video.muted = true;
+  video.loop = true;
+  video.playsInline = true;
+  video.src = URL.createObjectURL(file);
+  await new Promise((ok, bad) => {
+    video.addEventListener("loadeddata", ok, { once: true });
+    video.addEventListener("error", () => bad(new Error("cannot read video")),
+                           { once: true });
+  });
   const form = new FormData();
   form.append("file", file, file.name);
-  if (zones.length) form.append("zones", JSON.stringify(zones));
+  if (zones.length) {
+    form.append("zones",
+                JSON.stringify(pixelZones(video.videoWidth, video.videoHeight)));
+  }
   const res = await fetch("/api/track/video?max_frames=300",
                           { method: "POST", body: form });
   if (!res.ok) throw new Error((await res.json()).detail || res.status);
@@ -244,16 +274,6 @@ async function trackVideo(file) {
   const stride = data.frames.length > 1
     ? data.frames[1].frame_id - data.frames[0].frame_id : 1;
 
-  const video = document.createElement("video");
-  video.muted = true;
-  video.loop = true;
-  video.playsInline = true;
-  video.src = URL.createObjectURL(file);
-  await new Promise((ok, bad) => {
-    video.addEventListener("loadeddata", ok, { once: true });
-    video.addEventListener("error", () => bad(new Error("cannot read video")),
-                           { once: true });
-  });
   canvas.width = video.videoWidth;
   canvas.height = video.videoHeight;
   document.getElementById("stat-objects").textContent = data.num_tracks;
@@ -341,7 +361,9 @@ async function captureAndDetect(video) {
       headers: { "Content-Type": "application/json" },
       body: JSON.stringify({ image: c.toDataURL("image/jpeg", 0.8),
                              session_id: sessionId,
-                             ...(zones.length ? { zones } : {}) }),
+                             ...(zones.length
+                                 ? { zones: pixelZones(c.width, c.height) }
+                                 : {}) }),
     });
     if (res.ok) drawResults(await res.json());
   } catch (err) {
@@ -402,10 +424,10 @@ function drawResults(data) {
   if (data.zones) {
     const flashing = new Set((data.events || []).map((ev) => ev.zone_name));
     drawZones(data.zones, flashing);
-    for (const ev of (data.events || []).reverse()) {
-      liveEvents.unshift(ev);
+    for (const ev of data.events || []) {       // in firing order, so the
+      liveEvents.unshift(ev);                   // newest ends up first and
       showToast(`${ev.event_type}: ${ev.class_name} #${ev.track_id} in ${ev.zone_name}`);
-    }
+    }                                           // the toast shows the newest
     liveEvents = liveEvents.slice(0, 12);
   } else if (pendingZone) {
     drawZones([], new Set());              // pending-polygon preview only
