@@ -281,6 +281,7 @@ class MultiStreamPipeline:
         qs: list[queue.Queue] = [queue.Queue(maxsize=3 * t_chunk)
                                  for _ in range(s_streams)]
         stop = threading.Event()
+        fps_by_stream = [30.0] * s_streams   # measured per stream by ingest
 
         def ingest(si: int):
             """Decode + pack one stream; None sentinel marks EOF/stop."""
@@ -290,6 +291,8 @@ class MultiStreamPipeline:
                                 max_reconnects=icfg.max_reconnects,
                                 resolution=(tuple(icfg.resolution)
                                             if icfg.resolution else None)) as rd:
+                    if rd.fps and rd.fps > 0:
+                        fps_by_stream[si] = float(rd.fps)
                     last_id = 0
                     while not stop.is_set():
                         frame, fid, ts = rd.read_new(last_id, timeout=2.0)
@@ -375,9 +378,13 @@ class MultiStreamPipeline:
                 if src_hw is None:
                     src_hw = next(b for b in block if b)[0][1]
                     ch, cw = content_dims(*src_hw, size)
-                    y = np.empty((t_chunk, s_streams, ch, cw), np.uint8)
-                    u = np.empty((t_chunk, s_streams, ch // 2, cw // 2), np.uint8)
-                    v = np.empty((t_chunk, s_streams, ch // 2, cw // 2), np.uint8)
+                # FRESH buffers per block: the previous block's device_put
+                # may still be reading its host arrays (async transfer with
+                # pipeline_depth > 0) - reusing them in place would corrupt
+                # in-flight chunks
+                y = np.empty((t_chunk, s_streams, ch, cw), np.uint8)
+                u = np.empty((t_chunk, s_streams, ch // 2, cw // 2), np.uint8)
+                v = np.empty((t_chunk, s_streams, ch // 2, cw // 2), np.uint8)
                 metas = []
                 for t in range(t_chunk):
                     row = []
@@ -396,7 +403,7 @@ class MultiStreamPipeline:
                             u[t, si] = 128  # zone engine's stream clock
                             v[t, si] = 128  # stays monotonic
                             fid = last_meta[si][0] + 1
-                            ts = last_meta[si][1] + 1.0 / 30.0
+                            ts = last_meta[si][1] + 1.0 / fps_by_stream[si]
                             last_meta[si] = (fid, ts)
                         row.append(last_meta[si])
                     metas.append(row)

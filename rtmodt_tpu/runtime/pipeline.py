@@ -311,6 +311,7 @@ class Pipeline:
                     timestamp: float | None = None):
         """Low-latency per-frame path over packed transport: host packs ONE
         frame to planar I420 (~0.4 MB), device runs the fused step."""
+        self._maybe_trace()
         if self._is_deepsort:
             raise NotImplementedError(
                 "the packed planar path never forms an RGB image, which "
@@ -584,6 +585,14 @@ class Pipeline:
                     self.detector.params, self._get_front_pack(), state,
                     jax.device_put(yuv))
                 jax.block_until_ready(outputs.visible)
+        elif self.tracker._host is not None:
+            # host-tracker (lapjv) mode: step() runs the per-stage device
+            # programs + host association - warm THOSE, not the fused
+            # device-tracker program it never uses
+            pre, fwd, nms = self._stages_for(h, w)
+            for _ in range(iters):
+                res = nms(fwd(self.detector.params, pre(jax.device_put(dummy))))
+                jax.block_until_ready(res)
         else:
             step = self._fused_for(h, w)
             for _ in range(iters):
@@ -708,6 +717,7 @@ class Pipeline:
         the fused step consumes the planes through the space-to-depth front."""
         from rtmodt_tpu.ops.yuv import pack_i420
 
+        self._maybe_trace()
         h, w = frame.shape[:2]
         yuv, _ = pack_i420(frame, self.cfg.detection.input_size)
         step_fn = self._packed_fused_for(h, w)
@@ -769,14 +779,16 @@ class Pipeline:
             import jax as _jax
 
             host = _jax.device_get(outs)
+            n = len(metas)   # < K only for the padded final chunk
             if self.events:
                 # vectorized chunk consume: the dwell/cooldown state machine
                 # runs as array ops over the whole (K, S) output block - no
                 # per-frame Track objects (see ZoneEventEngine.process_chunk)
-                inside = np.asarray(_jax.device_get(masks)) if use_dm else None
+                inside = (np.asarray(_jax.device_get(masks))[:n]
+                          if use_dm else None)
                 self.events.process_chunk(
-                    np.asarray(host.track_id), np.asarray(host.class_id),
-                    np.asarray(host.boxes), np.asarray(host.visible),
+                    np.asarray(host.track_id)[:n], np.asarray(host.class_id)[:n],
+                    np.asarray(host.boxes)[:n], np.asarray(host.visible)[:n],
                     [m[0] for m in metas],
                     np.asarray([m[1] for m in metas], np.float64),
                     inside=inside, class_names=names)
@@ -797,6 +809,7 @@ class Pipeline:
                 buf.append(frame)
                 metas.append((fid, ts))
                 if len(buf) == k:
+                    self._maybe_trace()   # trace_frames counts chunk dispatches here
                     p.tick("inference")
                     if use_bgr:
                         outs, _res = self.submit_chunk(np.stack(buf))
@@ -816,13 +829,30 @@ class Pipeline:
                         consume(inflight.popleft())
                 if max_frames and frames_done + len(inflight) * k + len(buf) >= max_frames:
                     break
+            if buf:
+                # leftover partial chunk: pad with the last frame and reuse
+                # the ALREADY-COMPILED chunk program (consume slices outputs
+                # to the real frames). Running self.step() here would trace
+                # a brand-new single-frame program just for the tail - tens
+                # of seconds of compile for < chunk_size frames. The padded
+                # duplicates only touch post-stream tracker state.
+                frames_arr = np.stack(buf + [buf[-1]] * (k - len(buf)))
+                p.tick("inference")
+                if use_bgr:
+                    outs, _res = self.submit_chunk(frames_arr)
+                else:
+                    planes, _ = pack_chunk(frames_arr,
+                                           self.cfg.detection.input_size)
+                    outs, _res = self.submit_packed_yuv(planes,
+                                                        *buf[0].shape[:2])
+                masks = None
+                if use_dm:
+                    masks = self._mask_fn(outs.boxes)
+                    masks.copy_to_host_async()
+                p.tock("inference")
+                inflight.append((metas, outs, masks))
             while inflight:
                 consume(inflight.popleft())
-            # leftover partial chunk: per-frame steps keep exact semantics
-            for frame, (fid, ts) in zip(buf, metas):
-                self.step(frame, fid, ts)
-                p.end_frame()
-                frames_done += 1
         logger.info(f"chunked run processed {frames_done} frames")
         p.print_summary()
         return p.summary()
@@ -836,9 +866,12 @@ class Pipeline:
 
         if (self.cfg.parallel.chunk_size > 1 and not display
                 and not self.cfg.visualization.save_video
-                and self.renderer is None and self.tracker._host is None):
+                and self.renderer is None and self.tracker._host is None
+                and not self._per_stage):
             # (deepsort included: its chunk program takes appearance crops
-            #  straight from the Y/U/V planes, ops/roi.py::crop_yuv_rgb)
+            #  straight from the Y/U/V planes, ops/roi.py::crop_yuv_rgb;
+            #  per_stage mode needs the per-frame stage programs, so the
+            #  chunked fast path - which only times an aggregate - is skipped)
             return self.run_chunked(source, max_frames)
 
         icfg = self.cfg.ingestion

@@ -12,6 +12,10 @@ from __future__ import annotations
 import numpy as np
 
 from rtmodt_tpu.config.loader import ByteTrackConfig
+from rtmodt_tpu.ops.kalman import STD_WEIGHT_POS
+from rtmodt_tpu.tracking.host_kalman import HostKalman
+
+_CHI2_975_4DOF = 9.4877  # canonical ByteTrack/DeepSORT gating threshold
 
 
 def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -26,11 +30,13 @@ def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return inter / (area_a[:, None] + area_b[None, :] - inter + 1e-7)
 
 
-def _solve_assignment(iou: np.ndarray, thresh: float) -> tuple[list[tuple[int, int]], list[int], list[int]]:
-    """Optimal min-cost assignment on cost = 1 - IoU with accept rule
-    IoU >= thresh. Returns (matches, unmatched_rows, unmatched_cols)."""
+def _solve_assignment(sim: np.ndarray, accept: float) -> tuple[list[tuple[int, int]], list[int], list[int]]:
+    """Optimal min-cost assignment on cost = 1 - similarity with accept rule
+    sim >= accept. Returns (matches, unmatched_rows, unmatched_cols)."""
     from rtmodt_tpu.native import lapjv
 
+    iou = sim
+    thresh = accept
     r, c = iou.shape
     if r == 0 or c == 0:
         return [], list(range(r)), list(range(c))
@@ -72,6 +78,33 @@ class HostByteTrack:
         high_idx = np.where(confidence >= cfg.track_thresh)[0]
         low_idx = np.where((confidence < cfg.track_thresh) & (confidence >= cfg.low_thresh))[0]
 
+        # same acceptance semantics as the device tracker (bytetrack.py):
+        # match_metric "iou" accepts IoU >= match_thresh; the canonical
+        # "iou_distance" accepts 1 - IoU <= match_thresh
+        accept = (cfg.match_thresh if cfg.match_metric == "iou"
+                  else 1.0 - cfg.match_thresh)
+
+        def similarity(tracks: list[dict], det_idx: np.ndarray) -> np.ndarray:
+            pred = np.array([t["pred_xyxy"] for t in tracks],
+                            np.float32).reshape(-1, 4)
+            det = xyxy[det_idx].reshape(-1, 4)
+            sim = _iou_matrix(pred, det)
+            if cfg.fuse_score:
+                sim = sim * confidence[det_idx][None, :].astype(np.float32)
+            if cfg.gate_distance and self._kf is not None and sim.size:
+                # diagonal-innovation Mahalanobis gate, mirroring
+                # ops/kalman.py::gating_distance + bytetrack.py chi2 bound
+                meas = np.stack([HostKalman._to_meas(b) for b in det])
+                for i, t in enumerate(tracks):
+                    h = t["mean"][3]
+                    r_std = np.array([STD_WEIGHT_POS * h, STD_WEIGHT_POS * h,
+                                      1e-1, STD_WEIGHT_POS * h])
+                    s = np.diag(t["cov"])[:4] + r_std**2
+                    d = meas - t["mean"][:4]
+                    dist = np.sum(d * d / s, axis=-1)
+                    sim[i, dist > _CHI2_975_4DOF] = -1.0
+            return sim
+
         def apply_match(t: dict, d: int) -> None:
             if self._kf is not None:
                 t["mean"], t["cov"] = self._kf.update(t["mean"], t["cov"], xyxy[d])
@@ -84,17 +117,15 @@ class HostByteTrack:
             t["time_since_update"] = 0
 
         # 1. high-conf association vs all tracks
-        pred = np.array([t["pred_xyxy"] for t in self._tracks], np.float32).reshape(-1, 4)
-        iou1 = _iou_matrix(pred, xyxy[high_idx].reshape(-1, 4))
-        m1, un_t1, un_d1 = _solve_assignment(iou1, cfg.match_thresh)
+        sim1 = similarity(self._tracks, high_idx)
+        m1, un_t1, un_d1 = _solve_assignment(sim1, accept)
         for ti, dj in m1:
             apply_match(self._tracks[ti], int(high_idx[dj]))
 
         # 2. low-conf association vs leftover tracks
         rem = [self._tracks[i] for i in un_t1]
-        pred2 = np.array([t["pred_xyxy"] for t in rem], np.float32).reshape(-1, 4)
-        iou2 = _iou_matrix(pred2, xyxy[low_idx].reshape(-1, 4))
-        m2, un_t2, _ = _solve_assignment(iou2, cfg.match_thresh)
+        sim2 = similarity(rem, low_idx)
+        m2, un_t2, _ = _solve_assignment(sim2, accept)
         for ti, dj in m2:
             apply_match(rem[ti], int(low_idx[dj]))
         unmatched_tracks = [rem[i] for i in un_t2]

@@ -58,6 +58,10 @@ class MultiObjectTracker:
 
         self._trail_map: dict[int, list[tuple[int, int]]] = defaultdict(list)
         self._trail_maxlen = trail_length
+        # trail garbage collection: ids absent long past any possible
+        # re-match are dropped so 24/7 streams don't accumulate a graveyard
+        self._frame_count = 0
+        self._trail_seen: dict[int, int] = {}
         self._host = None
         self._embed_fns: dict = {}
 
@@ -156,12 +160,15 @@ class MultiObjectTracker:
         if self._host is not None:
             raise NotImplementedError("host-tracker state save not supported")
         host = jax.device_get(self.state)
+        n = len(self._trail_map)
+        trail_data = np.asarray(
+            [t + [(-1, -1)] * (self._trail_maxlen - len(t))
+             for t in self._trail_map.values()], np.int64)
         np.savez(path, **host._asdict(),
                  trail_ids=np.asarray(list(self._trail_map.keys()), np.int64),
-                 trail_data=np.asarray(
-                     [t + [(-1, -1)] * (self._trail_maxlen - len(t))
-                      for t in self._trail_map.values()], np.int64
-                 ).reshape(len(self._trail_map), -1, 2))
+                 # explicit shape: reshape(-1) cannot infer a dim on the
+                 # empty (fresh/reset) tracker
+                 trail_data=trail_data.reshape(n, self._trail_maxlen if n else 0, 2))
 
     def load_state(self, path: str) -> None:
         import numpy as np
@@ -199,10 +206,13 @@ class MultiObjectTracker:
         if self._host is not None:
             raw = self._host.update(detections.xyxy, detections.confidence,
                                     detections.class_id)
+            self._prune_trails()
             return [self._to_track(r, names) for r in raw]
 
         d = len(detections)
-        pad = max(1, d)
+        # pad to power-of-two buckets (min 8): a fresh XLA trace/compile per
+        # DISTINCT detection count would make varying-D video unusably slow
+        pad = max(8, 1 << (d - 1).bit_length()) if d else 8
         boxes = np.zeros((pad, 4), np.float32)
         conf = np.zeros((pad,), np.float32)
         cls = np.full((pad,), -1, np.int32)
@@ -253,6 +263,7 @@ class MultiObjectTracker:
             }, names) for i in idx]
             out.append(frame_tracks)
             indices.append(idx)
+            self._prune_trails()
         return (out, indices) if with_indices else out
 
     def tracks_from_outputs(self, outputs, names: list[str]) -> list[Track]:
@@ -260,6 +271,7 @@ class MultiObjectTracker:
         arrays). Fetches only the compact output leaves, never the full state."""
         host = jax.device_get(outputs)
         visible = np.asarray(host.visible)
+        self._prune_trails()
         idx = np.where(visible)[0]
         out: list[Track] = []
         for i in idx[np.argsort(host.track_id[idx])] if len(idx) else []:
@@ -274,8 +286,24 @@ class MultiObjectTracker:
             out.append(self._to_track(r, names))
         return out
 
+    def _prune_trails(self) -> None:
+        """Drop trails of ids unseen for far longer than any re-match window
+        (ZoneEventEngine does the same for its occupancy maps)."""
+        self._frame_count += 1
+        if self._frame_count % 512:
+            return
+        buffer = getattr(self.cfg, "track_buffer", None) or getattr(
+            self.cfg, "max_age", 30)
+        horizon = max(600, 4 * int(buffer))
+        dead = [tid for tid, seen in self._trail_seen.items()
+                if self._frame_count - seen > horizon]
+        for tid in dead:
+            self._trail_seen.pop(tid, None)
+            self._trail_map.pop(tid, None)
+
     def _to_track(self, r: dict, names: list[str]) -> Track:
         tid = r["track_id"]
+        self._trail_seen[tid] = self._frame_count
         cx = int((r["xyxy"][0] + r["xyxy"][2]) / 2)
         cy = int((r["xyxy"][1] + r["xyxy"][3]) / 2)
         trail = self._trail_map[tid]

@@ -164,6 +164,18 @@ class TestStateSerialization:
         assert len(out_b[0].trail) == len(out_a[0].trail)
 
 
+    def test_save_state_on_fresh_tracker(self, tmp_path):
+        """Empty trail map (fresh/reset tracker) must serialize cleanly -
+        reshape(-1) used to fail on the size-0 array."""
+        tr = MultiObjectTracker("bytetrack", bytetrack=ByteTrackConfig())
+        p = str(tmp_path / "fresh.npz")
+        tr.save_state(p)
+        tr2 = MultiObjectTracker("bytetrack", bytetrack=ByteTrackConfig())
+        tr2.load_state(p)
+        out = tr2.update(dets([[10, 10, 60, 100]], [0.9]))
+        assert out[0].track_id == 1
+
+
 class TestDeviceHostParity:
     """Device greedy tracker vs host LAPJV tracker on well-separated scenes
     (where greedy and optimal assignment agree) must produce identical ids."""
@@ -188,6 +200,35 @@ class TestDeviceHostParity:
             td = {tuple(np.round(x.xyxy, -1)): x.track_id for x in dev.update(d)}
             th = {tuple(np.round(x.xyxy, -1)): x.track_id for x in host.update(d)}
             assert set(td.values()) == set(th.values()), f"frame {t}"
+
+    def test_host_gate_matches_device_semantics(self):
+        """Default ``match_metric: iou_distance`` accepts IoU >= 1 -
+        match_thresh on BOTH backends. A 100 px box shifted 30 px/frame has
+        consecutive IoU ~0.32: accepted at the canonical 0.2 floor, but the
+        host path used to demand IoU >= match_thresh (0.8) and churn a new
+        id every frame."""
+        cfg_h = ByteTrackConfig(assignment="lapjv", motion_model="none",
+                                match_thresh=0.8)
+        host = MultiObjectTracker("bytetrack", bytetrack=cfg_h)
+        box = np.array([100, 100, 200, 200], np.float32)
+        ids = [host.update(dets([box + 30 * t], [0.9]))[0].track_id
+               for t in range(5)]
+        assert ids == [1] * 5
+
+    def test_facade_pads_to_buckets_not_exact_counts(self):
+        """update() pads detections to power-of-two buckets so varying
+        per-frame counts reuse one compiled program instead of re-tracing."""
+        tr = MultiObjectTracker("bytetrack",
+                                bytetrack=ByteTrackConfig(match_thresh=0.3))
+        if not hasattr(tr._step, "_cache_size"):
+            pytest.skip("jit cache introspection unavailable")
+        for d in (1, 3, 5, 8):
+            boxes = [[10 + 60 * i, 10, 50 + 60 * i, 80] for i in range(d)]
+            tr.update(dets(boxes, [0.9] * d))
+        assert tr._step._cache_size() == 1          # one bucket covers d<=8
+        boxes = [[10 + 60 * i, 10, 50 + 60 * i, 80] for i in range(9)]
+        tr.update(dets(boxes, [0.9] * 9))
+        assert tr._step._cache_size() == 2          # next bucket (16)
 
     def test_kalman_none_matches_reference_mode(self):
         """motion_model=none: matched boxes are the raw detections."""
