@@ -361,6 +361,14 @@ def _validate(cfg: PipelineConfig) -> None:
         raise ValueError(f"detection.input_size must be a multiple of 32, got {d.input_size}")
     if d.max_detections > d.nms_candidates:
         raise ValueError("detection.max_detections cannot exceed detection.nms_candidates")
+    if d.classes is not None:
+        bad = [c for c in d.classes
+               if not isinstance(c, int) or not 0 <= c < d.num_classes]
+        if bad:
+            raise ValueError(
+                f"detection.classes entries must be ints in [0, "
+                f"{d.num_classes}), got {bad} (negative ids would silently "
+                f"wrap to the wrong class)")
     if d.quant not in ("none", "int8"):
         raise ValueError(f"detection.quant must be none|int8, got {d.quant}")
     if d.quant == "int8" and not d.fuse_bn:

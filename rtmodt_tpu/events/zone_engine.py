@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import json
 import time
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass, field, replace
 from pathlib import Path
 from typing import Any, Optional, Sequence
 
@@ -98,7 +98,10 @@ class ZoneEventEngine:
         trail_length: int = 30,
     ) -> None:
         self.zones = [self._parse_zone(z) for z in zone_configs]
-        self.alert = alert or AlertConfig()
+        # copy: several engines may share one EventsConfig.alert instance
+        # (multi-camera), and the log_path override below must not leak into
+        # the caller's config object
+        self.alert = replace(alert) if alert is not None else AlertConfig()
         if log_path is not None:
             self.alert.log_path = log_path
         self.clock = clock
@@ -229,6 +232,8 @@ class ZoneEventEngine:
         # purge state of vanished tracks (reference zone_engine.py:127-130)
         for sid in set(self._occupancy) - active_ids:
             del self._occupancy[sid]
+        if now is not None:
+            self._prune_cooldown(float(now))
         return events
 
     # ------------------------------------------------------------------
@@ -310,10 +315,17 @@ class ZoneEventEngine:
 
         vis0 = np.where(visible[0])[0]
         for zi, zone in enumerate(self.zones):
-            m = visible & inside[:, :, zi]
-            if zone.classes is not None:
-                m &= np.isin(class_ids, np.asarray(zone.classes))
-            if not m.any():
+            class_ok = (np.ones(visible.shape, bool) if zone.classes is None
+                        else np.isin(class_ids, np.asarray(zone.classes)))
+            m = visible & inside[:, :, zi] & class_ok
+            had_inside = bool(m.any())
+            if not had_inside:
+                # still sync occupancy below: a track that left this zone
+                # during an all-outside chunk must not keep a stale entry
+                # (its dwell would otherwise resume with inflated time)
+                entry_ts = None
+                self._sync_zone_occupancy(zone, m, class_ok, visible,
+                                          track_ids, entry_ts)
                 continue
             # carried-in runs: tracks already inside this zone before the chunk
             prev = np.zeros_like(m)
@@ -372,21 +384,41 @@ class ZoneEventEngine:
                 self._cooldown[key] = now
                 self._emit(evt)
             # end-of-chunk occupancy sync for this zone (final-frame state)
-            for s in np.where(visible[-1])[0]:
-                tid = int(track_ids[-1, s])
-                if m[-1, s]:
-                    self._occupancy.setdefault(tid, {})[zone.name] = float(
-                        entry_ts[-1, s])
-                elif tid in self._occupancy:
-                    self._occupancy[tid].pop(zone.name, None)
+            self._sync_zone_occupancy(zone, m, class_ok, visible, track_ids,
+                                      entry_ts)
 
         # purge state of tracks not active at the chunk's final frame
         final_ids = {int(t) for t in track_ids[-1][visible[-1]]}
         for sid in set(self._occupancy) - final_ids:
             del self._occupancy[sid]
+        self._prune_cooldown(float(ts[-1]))
         if any(z.trigger == "crossing" and z.direction for z in self.zones):
             self._update_hist(cents, visible, track_ids, active, n_slots)
         return events
+
+    def _sync_zone_occupancy(self, zone, m, class_ok, visible, track_ids,
+                             entry_ts) -> None:
+        """Final-frame occupancy sync for one zone, mirroring per-frame
+        semantics: inside tracks keep/refresh their entry time; outside
+        tracks reset dwell; class-filtered tracks KEEP their entry (the
+        per-frame path skips them before the inside test)."""
+        for s in np.where(visible[-1])[0]:
+            tid = int(track_ids[-1, s])
+            if entry_ts is not None and m[-1, s]:
+                self._occupancy.setdefault(tid, {})[zone.name] = float(
+                    entry_ts[-1, s])
+            elif class_ok[-1, s] and tid in self._occupancy:
+                self._occupancy[tid].pop(zone.name, None)
+
+    def _prune_cooldown(self, now: float) -> None:
+        """Drop cooldown entries already past their zone's window - they can
+        never suppress again (the check passes regardless), but on 24/7
+        streams with ever-fresh track ids they accumulate without bound."""
+        if len(self._cooldown) <= 4096:
+            return
+        window = {z.name: float(z.cooldown_sec) for z in self.zones}
+        self._cooldown = {k: v for k, v in self._cooldown.items()
+                          if now - v < window.get(k[1], 0.0)}
 
     def _direction_ok_arrays(self, zone: Zone, f: int, s: int, tid: int,
                              cents: np.ndarray, visible: np.ndarray,

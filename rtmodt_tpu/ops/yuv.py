@@ -40,6 +40,26 @@ def packed_meta(src_h: int, src_w: int, size: int) -> LetterboxMeta:
     return LetterboxMeta(scale, pad_left, pad_top, cw, ch, src_w, src_h)
 
 
+def unletterbox_boxes_packed(boxes_xyxy: jnp.ndarray,
+                             meta: LetterboxMeta) -> jnp.ndarray:
+    """Exact inverse for the PACKED geometry: even-rounding makes the two
+    axes scale unequally (e.g. new_h 361 -> 360 while new_w stays 640), so
+    this divides each axis by its REALIZED scale (new/src) instead of the
+    nominal isotropic ``meta.scale`` - a single-scale inverse skews the
+    non-min axis by up to a few source pixels on odd-sized inputs.
+    (``ops.letterbox.unletterbox_boxes`` keeps the isotropic division for
+    ultralytics scale_boxes parity on the unpacked path.)"""
+    shift = jnp.array([meta.pad_left, meta.pad_top, meta.pad_left, meta.pad_top],
+                      dtype=boxes_xyxy.dtype)
+    sx = meta.new_w / meta.src_w
+    sy = meta.new_h / meta.src_h
+    scale = jnp.array([sx, sy, sx, sy], dtype=boxes_xyxy.dtype)
+    out = (boxes_xyxy - shift) / scale
+    lim = jnp.array([meta.src_w, meta.src_h, meta.src_w, meta.src_h],
+                    dtype=out.dtype)
+    return jnp.clip(out, 0.0, lim)
+
+
 def pack_i420(frame_bgr: np.ndarray, size: int) -> tuple[np.ndarray, LetterboxMeta]:
     """Resize to letterbox content size and pack as I420 planar uint8.
 

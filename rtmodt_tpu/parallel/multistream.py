@@ -143,7 +143,8 @@ class MultiStreamPipeline:
             return self._jitted[key]
         from rtmodt_tpu.ops.planar_stem import pad_planes
         from rtmodt_tpu.ops.s2d_front import apply_front
-        from rtmodt_tpu.ops.yuv import content_dims, packed_meta
+        from rtmodt_tpu.ops.yuv import (content_dims, packed_meta,
+                                       unletterbox_boxes_packed)
 
         dcfg = self.cfg.detection
         bcfg = self.cfg.tracking.bytetrack
@@ -169,7 +170,7 @@ class MultiStreamPipeline:
                     bdi, cli, size, dcfg.conf_threshold, dcfg.iou_threshold,
                     dcfg.max_detections, dcfg.nms_candidates, class_mask,
                     dcfg.agnostic_nms, impl=dcfg.nms_impl)
-                return res._replace(boxes=unletterbox_boxes(res.boxes, meta))
+                return res._replace(boxes=unletterbox_boxes_packed(res.boxes, meta))
 
             ress = jax.vmap(one_nms)(bd, cl)
             ress = jax.tree.map(

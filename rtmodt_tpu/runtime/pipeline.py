@@ -244,7 +244,8 @@ class Pipeline:
             return self._fused_fns[key]
         from rtmodt_tpu.ops.planar_stem import pad_planes
         from rtmodt_tpu.ops.s2d_front import apply_front, s2d_front_apply_packed
-        from rtmodt_tpu.ops.yuv import content_dims, packed_meta
+        from rtmodt_tpu.ops.yuv import (content_dims, packed_meta,
+                                       unletterbox_boxes_packed)
 
         dcfg = self.cfg.detection
         bcfg = self.cfg.tracking.bytetrack
@@ -281,7 +282,7 @@ class Pipeline:
                 dcfg.conf_threshold, dcfg.iou_threshold,
                 dcfg.max_detections, dcfg.nms_candidates, class_mask,
                 dcfg.agnostic_nms, impl=dcfg.nms_impl)
-            res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
+            res = res._replace(boxes=unletterbox_boxes_packed(res.boxes, meta))
             state, outputs = bytetrack_update(
                 state, res.boxes, res.scores, res.classes, res.valid, bcfg)
             return state, outputs, res
@@ -388,7 +389,8 @@ class Pipeline:
             return self._chunk_fns[key]
         from rtmodt_tpu.ops.planar_stem import pad_planes
         from rtmodt_tpu.ops.s2d_front import apply_front
-        from rtmodt_tpu.ops.yuv import content_dims, packed_meta
+        from rtmodt_tpu.ops.yuv import (content_dims, packed_meta,
+                                       unletterbox_boxes_packed)
 
         dcfg = self.cfg.detection
         bcfg = self.cfg.tracking.bytetrack
@@ -413,7 +415,7 @@ class Pipeline:
                     bd, cl, size, dcfg.conf_threshold, dcfg.iou_threshold,
                     dcfg.max_detections, dcfg.nms_candidates, class_mask,
                     dcfg.agnostic_nms, impl=dcfg.nms_impl)
-                return res._replace(boxes=unletterbox_boxes(res.boxes, meta))
+                return res._replace(boxes=unletterbox_boxes_packed(res.boxes, meta))
 
             ress = jax.vmap(one_nms)(box_dist, cls_logits)   # parallel across frames
 
@@ -459,7 +461,8 @@ class Pipeline:
         from rtmodt_tpu.ops.planar_stem import pad_planes
         from rtmodt_tpu.ops.s2d_front import apply_front
         from rtmodt_tpu.ops.roi import crop_yuv_rgb
-        from rtmodt_tpu.ops.yuv import content_dims, packed_meta
+        from rtmodt_tpu.ops.yuv import (content_dims, packed_meta,
+                                       unletterbox_boxes_packed)
         from rtmodt_tpu.tracking.deepsort import deepsort_update
 
         dcfg = self.cfg.detection
@@ -492,7 +495,7 @@ class Pipeline:
                                      vpi.astype(jnp.float32),
                                      res_lb.boxes, crop_hw)
                 emb = embedder.apply(emb_params, crops)
-                res = res_lb._replace(boxes=unletterbox_boxes(res_lb.boxes, meta))
+                res = res_lb._replace(boxes=unletterbox_boxes_packed(res_lb.boxes, meta))
                 return res, emb
 
             ress, embs = jax.vmap(per_frame)(box_dist, cls_logits, yp, up, vp)

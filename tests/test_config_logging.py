@@ -49,6 +49,19 @@ class TestConfig:
         with pytest.raises(ValueError, match="motion_model"):
             load_config(overrides={"tracking": {"bytetrack": {"motion_model": "magic"}}})
 
+    def test_classes_range_validated(self):
+        """Out-of-range class ids fail at load with the field named -
+        negative ids used to silently wrap (classes: [-1] kept class 79)
+        and ids >= num_classes crashed later with a bare IndexError."""
+        from rtmodt_tpu.config import load_config
+
+        with pytest.raises(ValueError, match="detection.classes"):
+            load_config(overrides={"detection": {"classes": [-1]}})
+        with pytest.raises(ValueError, match="detection.classes"):
+            load_config(overrides={"detection": {"classes": [0, 80]}})
+        cfg = load_config(overrides={"detection": {"classes": [0, 79]}})
+        assert cfg.detection.classes == [0, 79]
+
     def test_reference_key_aliases(self, tmp_path):
         """A config written with the REFERENCE's key names loads unmodified
         (its default.yaml surface: confidence_threshold, model_path,

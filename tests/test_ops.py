@@ -385,6 +385,28 @@ class TestLetterbox:
         back = np.asarray(unletterbox_boxes(jnp.asarray(model_coords), meta))
         np.testing.assert_allclose(back, src, atol=0.5)
 
+    def test_packed_unletterbox_is_per_axis_exact(self):
+        """The packed geometry even-rounds each content dim independently
+        (1100x621 @640: new_h 361 -> 360 while new_w stays 640), so its
+        inverse must divide each axis by its REALIZED scale - the isotropic
+        inverse skews x coordinates by several source pixels."""
+        import jax.numpy as jnp
+        from rtmodt_tpu.ops.yuv import packed_meta, unletterbox_boxes_packed
+
+        meta = packed_meta(621, 1100, 640)
+        assert (meta.new_h, meta.new_w) == (360, 640)
+        # source box -> model coords via the REAL per-axis scales -> back
+        src = np.array([[100.0, 50.0, 1050.0, 600.0]], np.float32)
+        sx, sy = meta.new_w / meta.src_w, meta.new_h / meta.src_h
+        model = src * np.array([sx, sy, sx, sy], np.float32) + np.array(
+            [meta.pad_left, meta.pad_top] * 2, np.float32)
+        back = np.asarray(unletterbox_boxes_packed(jnp.asarray(model), meta))
+        np.testing.assert_allclose(back, src, atol=1e-3)
+        # the isotropic inverse is measurably off on the x axis here
+        from rtmodt_tpu.ops.letterbox import unletterbox_boxes
+        iso = np.asarray(unletterbox_boxes(jnp.asarray(model), meta))
+        assert abs(iso[0, 2] - src[0, 2]) > 2.0
+
     def test_pad_value(self):
         import jax.numpy as jnp
         from rtmodt_tpu.ops.letterbox import letterbox

@@ -532,6 +532,82 @@ class TestProcessChunkEquivalence:
         key = lambda es: sorted((e.frame_id, e.zone_name, e.track_id) for e in es)
         assert key(h_ev) == key(d_ev)
 
+    def test_class_flap_keeps_dwell_like_per_frame_path(self, tmp_path):
+        """Per-frame semantics: a class-filtered track is SKIPPED (keeps its
+        occupancy entry), not treated as outside. The chunk path used to pop
+        the entry when the detector's class flapped for a chunk, restarting
+        dwell and firing late."""
+        from rtmodt_tpu.events.zone_engine import ZoneEventEngine
+
+        def build():
+            return ZoneEventEngine(
+                [{"name": "z", "polygon": [[0, 0], [200, 0], [200, 200], [0, 200]],
+                  "dwell_time_sec": 1.0, "cooldown_sec": 100.0, "classes": [0]}],
+                log_path=str(tmp_path / "ev.jsonl"), clock="stream")
+
+        k = 4
+        tids = np.ones((k, 1), np.int32)
+        vis = np.ones((k, 1), bool)
+        box = np.tile(np.array([50, 50, 150, 150], np.float32), (k, 1, 1))
+
+        def chunk(eng, cls, t0):
+            ts = t0 + np.arange(k) / 10.0
+            cids = np.full((k, 1), cls, np.int32)
+            return eng.process_chunk(tids, cids, box, vis,
+                                     list(range(int(t0 * 10), int(t0 * 10) + k)), ts)
+
+        eng = build()
+        assert chunk(eng, 0, 0.0) == []     # person, dwell building
+        assert chunk(eng, 2, 0.4) == []     # class flaps to car: filtered
+        evts = chunk(eng, 0, 0.8)           # back to person
+        # entry time survived the flap: dwell = 0.8..1.1 - 0.0 crosses 1.0
+        assert len(evts) == 1
+        assert abs(evts[0].dwell_time_sec - 1.0) < 0.11
+
+    def test_alert_config_not_mutated_by_engine(self, tmp_path):
+        """Engines copy the AlertConfig: per-camera log_path overrides must
+        not leak into the caller's shared config object."""
+        from rtmodt_tpu.config.loader import AlertConfig
+        from rtmodt_tpu.events.zone_engine import ZoneEventEngine
+
+        shared = AlertConfig(log_path=str(tmp_path / "orig.jsonl"))
+        zones = [{"name": "z", "polygon": [[0, 0], [9, 0], [9, 9]]}]
+        ZoneEventEngine(zones, log_path=str(tmp_path / "cam0.jsonl"), alert=shared)
+        assert shared.log_path == str(tmp_path / "orig.jsonl")
+
+    def test_all_outside_chunk_resets_dwell(self, tmp_path):
+        """A track that leaves the zone for a whole chunk (zone empty ->
+        the event block is skipped) must still lose its occupancy entry:
+        stale entries used to survive and resume dwell with inflated time,
+        firing a false immediate alert on re-entry."""
+        from rtmodt_tpu.events.zone_engine import ZoneEventEngine
+
+        eng = ZoneEventEngine(
+            [{"name": "z", "polygon": [[0, 0], [200, 0], [200, 200], [0, 200]],
+              "dwell_time_sec": 1.0, "cooldown_sec": 100.0}],
+            log_path=str(tmp_path / "ev.jsonl"), clock="stream")
+        k = 4
+        tids = np.ones((k, 1), np.int32)
+        cids = np.zeros((k, 1), np.int32)
+        vis = np.ones((k, 1), bool)
+        inside_box = np.tile(np.array([50, 50, 150, 150], np.float32), (k, 1, 1))
+        outside_box = np.tile(np.array([300, 300, 400, 400], np.float32), (k, 1, 1))
+
+        def chunk(boxes, t0):
+            ts = t0 + np.arange(k) / 10.0
+            return eng.process_chunk(tids, cids, boxes, vis,
+                                     list(range(int(t0 * 10), int(t0 * 10) + k)), ts)
+
+        assert chunk(inside_box, 0.0) == []      # dwell 0.3 < 1.0 s
+        assert chunk(outside_box, 0.4) == []     # whole chunk outside
+        evts = chunk(inside_box, 0.8)            # re-entry at t=0.8
+        # dwell restarted at 0.8: frames reach only 1.1-0.8=0.3 s -> no event
+        assert evts == []
+        evts = chunk(inside_box, 1.2) + chunk(inside_box, 1.6) \
+            + chunk(inside_box, 2.0)
+        assert len(evts) == 1                    # fires once dwell >= 1.0 s
+        assert abs(evts[0].dwell_time_sec - 1.0) < 0.11
+
     def test_wall_clock_interpolates_within_chunk(self, tmp_path, monkeypatch):
         """With clock='wall', a chunk's K frames get timestamps interpolated
         across the interval since the previous chunk, so dwell can cross its
