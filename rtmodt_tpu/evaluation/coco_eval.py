@@ -175,9 +175,15 @@ class COCODetEval:
         thrs = np.array([iou_thresh]) if iou_thresh is not None else IOU_THRS_COCO
         acc = self.accumulate(thrs)
         valid = acc["precision_curves"][acc["precision_curves"] > -1]
-        return {
+        ap0 = (float(np.nanmean(acc["ap_per_cat"][:, 0]))
+               if len(acc["ap_per_cat"]) else 0.0)
+        out = {
             "mAP": acc["mAP"],
-            "mAP_50": float(np.nanmean(acc["ap_per_cat"][:, 0])) if len(acc["ap_per_cat"]) else 0.0,
+            # column 0 is AP at thrs[0]; only label it mAP_50 when that is
+            # actually the 0.5 threshold (a custom iou_thresh=0.75 run used
+            # to return its AP@0.75 under the mAP_50 key)
+            f"mAP_{int(round(thrs[0] * 100))}": ap0,
             "precision": float(valid.mean()) if valid.size else 0.0,
             "recall": acc["mAR"],
         }
+        return out

@@ -58,7 +58,11 @@ def evaluate_mot(gt_frames: dict[int, dict[int, np.ndarray]],
     fp = fn = idsw = 0
     match_dists: list[float] = []
     last_match: dict[int, int] = {}              # gt_id -> pred_id (most recent)
-    overlap = defaultdict(int)                   # (gt_id, pred_id) -> co-occur frames
+    # (gt_id, pred_id) -> frames where the PAIR's boxes overlap >= gate,
+    # INDEPENDENT of the CLEAR per-frame assignment: Ristani ID measures
+    # count every spatially-compatible frame, so a pair the CLEAR
+    # continuity rule never picked can still win the global matching
+    co_gate = defaultdict(int)
     gt_frames_count = defaultdict(int)           # gt_id -> #frames present
     gt_matched_count = defaultdict(int)          # gt_id -> #frames matched
     pred_frames_count = defaultdict(int)
@@ -82,6 +86,8 @@ def evaluate_mot(gt_frames: dict[int, dict[int, np.ndarray]],
         gt_boxes = np.stack([gts[g] for g in gt_ids])
         pred_boxes = np.stack([preds[p] for p in pred_ids])
         iou = _iou_xywh(gt_boxes, pred_boxes)
+        for gi, pi in np.argwhere(iou >= IOU_GATE):
+            co_gate[(gt_ids[gi], pred_ids[pi])] += 1
 
         matches: dict[int, int] = {}
         # CLEAR continuity: keep last frame's pairing if still above the gate
@@ -110,7 +116,6 @@ def evaluate_mot(gt_frames: dict[int, dict[int, np.ndarray]],
                 idsw += 1
             last_match[g] = p
             gt_matched_count[g] += 1
-            overlap[(g, p)] += 1
             match_dists.append(1.0 - iou[gi, pi])
         fn += len(gt_ids) - len(matches)
         fp += len(pred_ids) - len(matches)
@@ -120,7 +125,7 @@ def evaluate_mot(gt_frames: dict[int, dict[int, np.ndarray]],
     pr_ids_all = sorted(pred_frames_count)
     if gt_ids_all and pr_ids_all:
         cost = np.zeros((len(gt_ids_all), len(pr_ids_all)))
-        for (g, p), n in overlap.items():
+        for (g, p), n in co_gate.items():
             cost[gt_ids_all.index(g), pr_ids_all.index(p)] = -n
         rows, cols = linear_sum_assignment(cost)
         idtp = int(sum(-cost[r, c] for r, c in zip(rows, cols)))

@@ -99,6 +99,10 @@ class RTSPReader:
         with self._lock:
             if self._frame is None:
                 return None, self._frame_id, self._frame_ts
+            # reading the latest frame consumes it, or the lossless file
+            # grabber would wait forever for a read_new() that never comes
+            self._is_consumed = True
+            self._consumed.notify_all()
             return self._frame.copy(), self._frame_id, self._frame_ts
 
     def read_new(self, last_id: int, timeout: float = 1.0) -> tuple[Optional[np.ndarray], int, float]:
@@ -160,7 +164,8 @@ class RTSPReader:
             frame_interval = 1.0 / self.target_fps
         next_t = time.monotonic()
         while self._running:
-            if self._cap is None or not self._cap.isOpened():
+            cap = self._cap   # local ref: stop() may null the attribute
+            if cap is None or not cap.isOpened():
                 if self._is_file:
                     self._eof = True
                     break
@@ -172,29 +177,43 @@ class RTSPReader:
                 delay = self.reconnect_delay_sec * min(reconnects, 5)
                 logger.warning(f"stream lost, reconnect {reconnects}/{self.max_reconnects} "
                                f"in {delay:.1f}s")
-                time.sleep(delay)
+                # interruptible backoff: stop() must not race a multi-second
+                # sleep (it joins with a 2 s timeout, then releases the cap
+                # under our feet / leaks a capture opened after shutdown)
+                deadline = time.monotonic() + delay
+                while self._running and time.monotonic() < deadline:
+                    time.sleep(min(0.1, deadline - time.monotonic()))
+                if not self._running:
+                    break
                 try:
                     self._open()
                 except ConnectionError:
                     continue
-            ok = self._cap.grab()
+            cap = self._cap
+            if cap is None:
+                continue
+            ok = cap.grab()
             if not ok:
                 if self._is_file:
                     self._eof = True
                     with self._new_frame:
                         self._new_frame.notify_all()
                     break
-                self._cap.release()
+                cap.release()
+                if self._cap is cap:
+                    self._cap = None
                 continue
-            ok, frame = self._cap.retrieve()
+            ok, frame = cap.retrieve()
             if not ok or frame is None:
                 continue
             reconnects = 0
             ts = time.time()
             if self._is_file and self.fps > 0:
-                # stream-time for files: frame position / fps
-                pos = self._cap.get(cv2.CAP_PROP_POS_FRAMES)
-                ts = pos / self.fps
+                # stream-time for files: frame index / fps. POS_FRAMES after
+                # retrieve() is the NEXT frame's index, so subtract one
+                # (frame 0 gets ts 0.0, not one frame period late)
+                pos = cap.get(cv2.CAP_PROP_POS_FRAMES)
+                ts = max(0.0, pos - 1.0) / self.fps
             with self._new_frame:
                 if not self.realtime:
                     # lossless mode (video files): wait until the consumer has

@@ -92,6 +92,10 @@ def pack_i420_chunk_native(frames: np.ndarray, ch: int, cw: int,
     frames). Returns None if the native lib is unavailable (callers fall
     back to the cv2 per-frame path).
     """
+    if ch % 2 or cw % 2:
+        # I420 needs even content dims; the scalar path's chroma loop would
+        # read/write one element past the row on odd widths
+        raise ValueError(f"content dims must be even for I420, got {ch}x{cw}")
     lib = _load_framepack()
     if lib is None:
         return None

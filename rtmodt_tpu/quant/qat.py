@@ -149,7 +149,11 @@ def qat_finetune(model_fused: Any, fused_params: dict, batches: Iterable,
         calib.append(img)
     scales = collect_act_scales(model_fused, {"params": fused_params}, calib)
     fq = FakeQuantModel(model_fused, scales, skip=skip)
-    tx = optax.chain(optax.clip_by_global_norm(10.0), optax.adamw(lr))
+    # same masked decay as training/train_step.make_optimizer: default adamw
+    # would weight-decay the BN-folded conv BIASES every step, drifting the
+    # calibrated operating point the frozen activation scales assume
+    from rtmodt_tpu.training.train_step import make_optimizer
+    tx = make_optimizer(optax.constant_schedule(lr))
     # the step donates its state buffers; start from a copy so the caller's
     # params stay alive
     params = jax.tree.map(jnp.array, fused_params)

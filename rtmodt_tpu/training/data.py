@@ -77,6 +77,12 @@ class YoloDataset:
 
         img_path, lbl_path = self.items[idx]
         img = cv2.imread(img_path)
+        if img is None:
+            # one corrupt file must not kill the producer thread (which
+            # would silently hang the training loop on q.get)
+            logger.warning(f"unreadable image {img_path}; substituting blank")
+            return (np.full((64, 64, 3), 114, np.uint8),
+                    np.zeros((0, 4), np.float32), np.zeros((0,), np.int32))
         h, w = img.shape[:2]
         boxes, labels = [], []
         if os.path.exists(lbl_path):
@@ -131,10 +137,17 @@ class YoloDataset:
             canvas[y0:y1, x0:x1] = img[oy:oy + qh, ox:ox + qw]
             if len(boxes):
                 b = boxes * r
+                # clip to the pasted window and drop slivers: a box outside
+                # [ox, oy, ox+qw, oy+qh] would otherwise translate into a
+                # NEIGHBORING quadrant and label another image's pixels
+                b[:, 0::2] = b[:, 0::2].clip(ox, ox + qw)
+                b[:, 1::2] = b[:, 1::2].clip(oy, oy + qh)
+                keep = ((b[:, 2] - b[:, 0]) > 2) & ((b[:, 3] - b[:, 1]) > 2)
+                b = b[keep]
                 b -= np.array([ox, oy, ox, oy], np.float32)
                 b += np.array([x0, y0, x0, y0], np.float32)
                 all_boxes.append(b)
-                all_labels.append(labels)
+                all_labels.append(np.asarray(labels)[keep])
             del qi
         boxes = np.concatenate(all_boxes) if all_boxes else np.zeros((0, 4), np.float32)
         labels = np.concatenate(all_labels) if all_labels else np.zeros((0,), np.int32)
@@ -296,10 +309,17 @@ class YoloDataset:
 
         def producer():
             while not stop.is_set():
-                try:
-                    q.put(self.make_batch(batch_size), timeout=1.0)
-                except queue.Full:
-                    continue
+                # build ONCE, then retry the put: rebuilding a full
+                # mosaic+affine batch on every queue-full timeout burns a
+                # batch of augmentation CPU per second whenever the host
+                # outpaces the device
+                batch = self.make_batch(batch_size)
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -176,6 +176,24 @@ class TestMOTEval:
         r = evaluate_mot(load_mot_txt(g), load_mot_txt(p))
         assert r["num_switches"] == 0
 
+    def test_idf1_counts_gated_overlap_not_clear_matches(self, tmp_path):
+        """Ristani ID measures: IDTP comes from a GLOBAL matching over
+        per-pair spatially-compatible frames, not from CLEAR's per-frame
+        assignment. Here p2 co-gates with gt on all 10 frames but CLEAR
+        gives frames 1-2 to the closer p1: the old CLEAR-derived overlap
+        capped (gt,p2) at 8 frames (idf1 0.8); the correct count is 10
+        (idf1 = 20/22)."""
+        from rtmodt_tpu.evaluation.mot_eval import evaluate_mot, load_mot_txt
+
+        gt = [(fr, 1, 100, 100, 60, 90) for fr in range(1, 11)]
+        pred = [(fr, 5, 100, 100, 60, 90) for fr in (1, 2)]     # exact: wins CLEAR
+        pred += [(fr, 6, 103, 103, 60, 90) for fr in range(1, 11)]  # all 10, gated
+        g, p = str(tmp_path / "gt.txt"), str(tmp_path / "p.txt")
+        write_mot(g, gt)
+        write_mot(p, pred)
+        r = evaluate_mot(load_mot_txt(g), load_mot_txt(p))
+        assert r["idf1"] == pytest.approx(20 / 22)
+
 
 class TestHelpers:
     def test_confusion_matrix(self):
