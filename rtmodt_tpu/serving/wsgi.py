@@ -44,21 +44,32 @@ class Request:
         return dict(parse_qsl(self.environ.get("QUERY_STRING", "")))
 
     def files(self) -> dict[str, tuple[str, bytes]]:
-        """Parse multipart/form-data -> {field_name: (filename, content)}."""
+        """Parse multipart/form-data -> {field_name: (filename, content)}.
+
+        Content is delimited EXACTLY by ``\\r\\n--boundary`` (RFC 2046): a
+        naive ``strip(b"\\r\\n")`` would also remove the payload's own
+        trailing CR/LF bytes, silently truncating binary uploads.
+        """
         m = re.search(r"boundary=([^;]+)", self.content_type)
         if not m:
             return {}
-        boundary = m.group(1).strip('"').encode()
+        marker = b"--" + m.group(1).strip('"').encode()
+        pieces = self.body.split(b"\r\n" + marker)
+        if pieces and pieces[0].startswith(marker):   # no preamble
+            pieces[0] = pieces[0][len(marker):]
         out: dict[str, tuple[str, bytes]] = {}
-        for part in self.body.split(b"--" + boundary):
-            part = part.strip(b"\r\n")
-            if not part or part == b"--":
+        for piece in pieces:
+            if piece.startswith(b"--"):               # closing delimiter
                 continue
-            if b"\r\n\r\n" not in part:
+            if piece.startswith(b"\r\n"):
+                piece = piece[2:]
+            if b"\r\n\r\n" not in piece:
                 continue
-            header_blob, content = part.split(b"\r\n\r\n", 1)
+            header_blob, content = piece.split(b"\r\n\r\n", 1)
             headers = header_blob.decode("utf-8", "replace")
-            name_m = re.search(r'name="([^"]*)"', headers)
+            # (?<![-\w]) so 'filename="..."' cannot satisfy the name lookup
+            # when a client emits filename before name
+            name_m = re.search(r'(?<![-\w])name="([^"]*)"', headers)
             file_m = re.search(r'filename="([^"]*)"', headers)
             if name_m:
                 out[name_m.group(1)] = (file_m.group(1) if file_m else "", content)
@@ -86,8 +97,9 @@ class HTTPError(Exception):
         self.detail = detail
 
 
-_STATUS_TEXT = {200: "OK", 400: "Bad Request", 404: "Not Found",
-                405: "Method Not Allowed", 500: "Internal Server Error"}
+_STATUS_TEXT = {200: "OK", 204: "No Content", 400: "Bad Request",
+                404: "Not Found", 405: "Method Not Allowed",
+                413: "Payload Too Large", 500: "Internal Server Error"}
 
 
 class App:
@@ -130,13 +142,22 @@ class App:
 
     def _dispatch(self, req: Request) -> Response:
         path_matched = False
+        allowed: list[str] = []
         for method, regex, fn in self._routes:
             m = regex.match(req.path)
             if m:
                 path_matched = True
+                allowed.append(method)
                 if method == req.method:
                     req.path_params = m.groupdict()
                     return fn(req)
+        if req.method == "OPTIONS" and path_matched:
+            # CORS preflight: without this, cross-origin JSON POSTs are
+            # blocked by the browser despite Allow-Origin on real responses
+            return Response(b"", 204, headers=[
+                ("Access-Control-Allow-Methods", ", ".join(allowed + ["OPTIONS"])),
+                ("Access-Control-Allow-Headers", "Content-Type"),
+            ])
         raise HTTPError(405 if path_matched else 404,
                         "method not allowed" if path_matched else "not found")
 

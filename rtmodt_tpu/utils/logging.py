@@ -117,7 +117,8 @@ class _Logger:
         if args or kwargs:
             try:
                 message = str(message).format(*args, **kwargs)
-            except (IndexError, KeyError):
+            except (IndexError, KeyError, ValueError):
+                # a malformed format spec must never crash the call site
                 pass
         self._logger.log(level, message)
 

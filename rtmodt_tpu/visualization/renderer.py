@@ -60,16 +60,21 @@ class FrameRenderer:
         """Draw in place and return the frame (reference renderer.py:47-94)."""
         if self.show_zones and zones:
             overlay = frame.copy()
+            pts_all = []
             for name, poly in zones:
                 pts = np.asarray(poly, np.int32).reshape(-1, 1, 2)
                 cv2.fillPoly(overlay, [pts], (60, 160, 255))
+                pts_all.append((name, pts))
+            cv2.addWeighted(overlay, 0.25, frame, 0.75, 0, frame)
+            # outlines + labels AFTER the blend so they stay crisp instead
+            # of being washed out under the semi-transparent fill
+            for name, pts in pts_all:
                 cv2.polylines(frame, [pts], True, (60, 160, 255), 2)
                 m = cv2.moments(pts)
                 if m["m00"] > 0:
                     cx, cy = int(m["m10"] / m["m00"]), int(m["m01"] / m["m00"])
                     cv2.putText(frame, name, (cx - 40, cy), cv2.FONT_HERSHEY_SIMPLEX,
                                 0.6, (255, 255, 255), 2, cv2.LINE_AA)
-            cv2.addWeighted(overlay, 0.25, frame, 0.75, 0, frame)
 
         for t in tracks:
             color = _PALETTE[t.track_id % len(_PALETTE)]

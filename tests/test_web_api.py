@@ -278,6 +278,44 @@ class TestDetectionAPI:
         assert r.json()["tracks"] == []
 
 
+class TestMultipartParser:
+    def test_binary_content_with_trailing_crlf_preserved(self):
+        """Payload bytes ending in CR/LF must survive parsing byte-exact -
+        a naive strip() truncated binary uploads ending in 0x0A/0x0D."""
+        from rtmodt_tpu.serving.wsgi import Request
+
+        payload = b"\x00\x01binary\r\n\r\n\n\r\n"       # hostile tail
+        body = (b"--B\r\n"
+                b'Content-Disposition: form-data; name="file"; filename="x.bin"\r\n'
+                b"Content-Type: application/octet-stream\r\n\r\n"
+                + payload + b"\r\n--B--\r\n")
+        req = Request({"REQUEST_METHOD": "POST", "PATH_INFO": "/x",
+                       "CONTENT_TYPE": "multipart/form-data; boundary=B",
+                       "CONTENT_LENGTH": str(len(body)),
+                       "wsgi.input": io.BytesIO(body)})
+        files = req.files()
+        assert files["file"] == ("x.bin", payload)
+
+    def test_filename_before_name_header_order(self):
+        """Clients may emit filename= before name= - the field key must
+        still be the name parameter, not the filename."""
+        from rtmodt_tpu.serving.wsgi import Request
+
+        body = (b"--B\r\n"
+                b'Content-Disposition: form-data; filename="a.mp4"; name="file"\r\n'
+                b"\r\ncontent\r\n--B--\r\n")
+        req = Request({"REQUEST_METHOD": "POST", "PATH_INFO": "/x",
+                       "CONTENT_TYPE": "multipart/form-data; boundary=B",
+                       "CONTENT_LENGTH": str(len(body)),
+                       "wsgi.input": io.BytesIO(body)})
+        assert req.files() == {"file": ("a.mp4", b"content")}
+
+    def test_cors_preflight_options(self, client):
+        r = client._call("OPTIONS", "/api/detect/frame")
+        assert r.status_code == 204
+        assert "POST" in r.headers.get("Access-Control-Allow-Methods", "")
+
+
 class TestVideoTracking:
     """POST /api/track/video - server-side detect+track over a clip (the
     reference SPA only grabs one frame from uploaded videos)."""

@@ -56,8 +56,15 @@ def main(model, imgsz, height, width, frames, mode, chunk, json_out):
         pipe.submit_packed_yuv(yuv, height, width)  # compile
         t0 = time.perf_counter()
         done = 0
+        it = 0
         while done < frames:
-            outs, _ = pipe.submit_packed_yuv(yuv, height, width)
+            # perturb the payload each dispatch: the remote-TPU tunnel dedups
+            # byte-identical transfers, which would overstate chunked FPS
+            # (same rule as bench_dense.py / bench.py)
+            y = yuv[0].copy()
+            y[:, :2, :4] = it & 0xFF
+            it += 1
+            outs, _ = pipe.submit_packed_yuv((y, yuv[1], yuv[2]), height, width)
             jax.device_get(outs.visible)
             done += chunk
         dt = time.perf_counter() - t0

@@ -30,7 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 @click.option("-f", "--format", "fmt", default="npz",
               type=click.Choice(["npz", "orbax", "stablehlo"]))
 @click.option("--imgsz", default=640, type=int)
-@click.option("--half", is_flag=True, default=True, help="bf16 compute")
+@click.option("--half/--no-half", default=True,
+              help="bf16 compute (--no-half exports fp32)")
 @click.option("--batch", default=1, type=int)
 @click.option("--out", "-o", default=None, help="output path")
 def main(weights, model, fmt, imgsz, half, batch, out):

@@ -58,11 +58,17 @@ def detect(images, gt_json, out, model, weights, num_classes, input_size,
         max_detections=300, nms_candidates=1000, quant=quant,
         quant_scales=quant_scales), warmup=False)
 
+    cat_ids = None
     if gt_json:
         with open(gt_json) as f:
             gt = json.load(f)
         entries = [(img["id"], os.path.join(images, img["file_name"]))
                    for img in gt["images"]]
+        # real COCO category ids have gaps (12, 26, ...): map the model's
+        # contiguous class index through the GT's sorted category list, as
+        # the COCO->YOLO label conversion does in reverse
+        if gt.get("categories"):
+            cat_ids = sorted(c["id"] for c in gt["categories"])
     else:
         files = sorted(f for f in os.listdir(images)
                        if f.lower().endswith((".jpg", ".jpeg", ".png")))
@@ -77,9 +83,11 @@ def detect(images, gt_json, out, model, weights, num_classes, input_size,
         d = det.detect(frame)
         for i in range(len(d)):
             x1, y1, x2, y2 = d.xyxy[i]
+            ci = int(d.class_id[i])
             preds.append({
                 "image_id": img_id,
-                "category_id": int(d.class_id[i]) + 1,  # COCO ids are 1-based
+                "category_id": (cat_ids[ci] if cat_ids and ci < len(cat_ids)
+                                else ci + 1),
                 "bbox": [float(x1), float(y1), float(x2 - x1), float(y2 - y1)],
                 "score": float(d.confidence[i]),
             })
