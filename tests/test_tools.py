@@ -75,6 +75,21 @@ class TestRunInferenceTrack:
             assert len(parts) == 10
             assert int(parts[0]) >= 1
 
+    def test_track_deepsort_algorithm(self, tmp_path):
+        """--algorithm deepsort routes through the appearance tracker."""
+        from tools.run_inference import main
+        from rtmodt_tpu.utils.synthetic import write_synthetic_video
+
+        video = str(tmp_path / "v.mp4")
+        write_synthetic_video(video, frames=4, h=128, w=128, n_objects=1)
+        out = str(tmp_path / "tracks_ds.txt")
+        res = CliRunner().invoke(main, [
+            "track", "--video", video, "--out", out, "--input-size", "128",
+            "--model", "yolov8n", "--conf", "0.01", "--max-frames", "3",
+            "--algorithm", "deepsort", "--track-thresh", "0.01"])
+        assert res.exit_code == 0, res.output
+        assert os.path.exists(out)
+
 
 class TestExport:
     def test_npz_export(self, tmp_path, monkeypatch):

@@ -118,8 +118,11 @@ def detect(images, gt_json, out, model, weights, num_classes, input_size,
                    "match scene statistics - small/crowded objects score "
                    "lower than large clean ones")
 @click.option("--max-frames", default=None, type=int)
+@click.option("--algorithm", default="bytetrack",
+              type=click.Choice(["bytetrack", "deepsort"]),
+              help="deepsort adds the appearance embedder (shipped weights)")
 def track(video, out, model, weights, num_classes, input_size, gt_mot, conf,
-          match_thresh, track_thresh, max_frames):
+          match_thresh, track_thresh, max_frames, algorithm):
     """Detect+track over a video -> MOT15-2D rows (+ optional IDF1/MOTA)."""
     import cv2
 
@@ -131,9 +134,11 @@ def track(video, out, model, weights, num_classes, input_size, gt_mot, conf,
         "detection": {"model": model, "weights": weights, "conf_threshold": conf,
                       "num_classes": num_classes, "input_size": input_size,
                       "classes": None},
-        "tracking": {"bytetrack": {"match_thresh": match_thresh,
+        "tracking": {"algorithm": algorithm,
+                     "bytetrack": {"match_thresh": match_thresh,
                                    "track_thresh": track_thresh,
-                                   "new_track_thresh": track_thresh}},
+                                   "new_track_thresh": track_thresh},
+                     "deepsort": {"min_confidence": track_thresh}},
         "events": {"enabled": False},
         "visualization": {"enabled": False},
         "profiling": {"per_stage": False, "warmup_frames": 0, "log_interval": 0},
