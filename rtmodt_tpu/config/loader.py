@@ -84,12 +84,15 @@ class ByteTrackConfig:
     track_buffer: int = 30
     match_thresh: float = 0.8
     low_thresh: float = 0.1
-    new_track_thresh: float = 0.6
+    # birth gate: an unmatched high det also needs conf >= this to start a
+    # track. Defaults to track_thresh (gate is a no-op); canonical ByteTrack
+    # uses track_thresh + 0.1 to suppress low-confidence ghost births
+    new_track_thresh: float = 0.5
     max_tracks: int = 256               # static track-slot count (device state)
     motion_model: str = "kalman"        # kalman | none (reference-compat)
     assignment: str = "greedy"          # greedy (device) | lapjv (host C++)
     fuse_score: bool = False            # stage-1 similarity = IoU * det conf
-    gate_distance: bool = False         # Mahalanobis chi2(4dof, 0.975) gate
+    gate_distance: bool = False         # Mahalanobis chi2inv95(4dof) gate
     # Acceptance semantics of match_thresh:
     #   iou          - accept when IoU >= match_thresh (REFERENCE-compat:
     #                  reference tracker.py:170 passes cost_limit=1-thresh,

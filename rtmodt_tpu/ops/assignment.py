@@ -41,8 +41,11 @@ def greedy_assign(
     rounds, min(R, C) worst case.
     """
     r, c = similarity.shape
-    sim = similarity.astype(jnp.float32)
     neg = jnp.float32(-1e9)
+    # NaN containment: jnp.max(sim) is NaN if ANY entry is NaN, which would
+    # end the loop with zero matches for the whole frame - one poisoned
+    # box/feature must not disable association for every other pair
+    sim = jnp.nan_to_num(similarity.astype(jnp.float32), nan=-1e9)
     if row_valid is not None:
         sim = jnp.where(row_valid[:, None], sim, neg)
     if col_valid is not None:
@@ -97,8 +100,11 @@ def greedy_assign_rounds(
     counter; the production path does not carry it.
     """
     r, c = similarity.shape
-    sim = similarity.astype(jnp.float32)
     neg = jnp.float32(-1e9)
+    # NaN containment: jnp.max(sim) is NaN if ANY entry is NaN, which would
+    # end the loop with zero matches for the whole frame - one poisoned
+    # box/feature must not disable association for every other pair
+    sim = jnp.nan_to_num(similarity.astype(jnp.float32), nan=-1e9)
     if row_valid is not None:
         sim = jnp.where(row_valid[:, None], sim, neg)
     if col_valid is not None:

@@ -124,7 +124,9 @@ def update(state: KalmanState, measurement: jnp.ndarray) -> KalmanState:
     """
     h_meas = state.mean[..., 3]
     r_std = _meas_stds(h_meas, STD_WEIGHT_POS, None, 1e-1, None)
-    s = state.pp + r_std**2                                   # (..., 4)
+    # floor: a zero-height box (edge-clipped detection) gives s = 0 and
+    # k = 0/0 = NaN, permanently poisoning the track state
+    s = jnp.maximum(state.pp + r_std**2, 1e-9)                # (..., 4)
     k_p = state.pp / s
     k_v = state.pv / s
     innov = measurement - state.mean[..., :4]                 # (..., 4)
@@ -144,6 +146,6 @@ def gating_distance(state: KalmanState, measurements: jnp.ndarray) -> jnp.ndarra
     innovation covariance -> elementwise division, no solve."""
     h = state.mean[..., 3]
     r_std = _meas_stds(h, STD_WEIGHT_POS, None, 1e-1, None)
-    s = state.pp + r_std**2                                   # (..., 4)
+    s = jnp.maximum(state.pp + r_std**2, 1e-9)                # (..., 4)
     d = measurements - state.mean[..., None, :4]              # (..., M, 4)
     return jnp.sum(d * d / s[..., None, :], axis=-1)

@@ -37,7 +37,8 @@ class NMSResult(NamedTuple):
     count: jnp.ndarray    # () int32 number of valid detections
 
 
-def _greedy_suppress(iou: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float) -> jnp.ndarray:
+def _greedy_suppress(iou: jnp.ndarray, scores: jnp.ndarray,
+                     iou_thresh: float) -> tuple[jnp.ndarray, jnp.ndarray]:
     """EXACT greedy NMS via parallel fixpoint iteration (TPU-friendly).
 
     Candidates are sorted by descending score.  Sequential greedy satisfies

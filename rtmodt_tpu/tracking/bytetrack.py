@@ -84,7 +84,25 @@ def init_track_state(max_tracks: int = 256) -> TrackState:
     )
 
 
-_CHI2_975_4DOF = 9.4877  # canonical ByteTrack/DeepSORT gating threshold
+_CHI2_95_4DOF = 9.4877  # chi2.ppf(0.95, 4): canonical ByteTrack/DeepSORT chi2inv95 gate
+
+
+def claim_free_slots(active: jnp.ndarray, is_new: jnp.ndarray,
+                     next_id: jnp.ndarray):
+    """Slot allocation for track births, shared by bytetrack and deepsort:
+    the k-th new det (det order) claims the k-th free slot (slot order);
+    births beyond the free-slot count scatter to the out-of-bounds sink S
+    and are dropped (``mode="drop"``).  Returns
+    (target_slot (D,), can_place (D,), new_ids (D,), newly_born (S,))."""
+    s = active.shape[0]
+    free_order = jnp.argsort(jnp.where(~active, jnp.arange(s), s + jnp.arange(s)))
+    new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1     # (D,) exclusive rank
+    num_free = jnp.sum(~active)
+    can_place = is_new & (new_rank < num_free)
+    target_slot = jnp.where(can_place, free_order[jnp.clip(new_rank, 0, s - 1)], s)
+    new_ids = next_id + new_rank.astype(jnp.int32)
+    newly_born = jnp.zeros((s,), bool).at[target_slot].set(True, mode="drop")
+    return target_slot, can_place, new_ids, newly_born
 
 
 def _associate_and_update(
@@ -99,21 +117,25 @@ def _associate_and_update(
     use_kalman: bool,
     fuse_score: bool = False,
     gate_distance: bool = False,
+    iou: jnp.ndarray | None = None,
 ) -> tuple[TrackState, jnp.ndarray, jnp.ndarray]:
     """One association stage. Returns (state', matched_rows, matched_dets).
 
     Optional fidelity knobs from canonical ByteTrack: ``fuse_score``
     multiplies IoU similarity by detection confidence; ``gate_distance``
     rejects pairs whose squared Mahalanobis distance from the Kalman
-    prediction exceeds the chi-square 97.5% bound.
+    prediction exceeds the chi-square 95% bound.  ``iou`` lets the caller
+    share one (S, D) matrix across both association stages.
     """
-    iou = pairwise_iou(pred_boxes, det_boxes)          # (S, D)
+    if iou is None:
+        iou = pairwise_iou(pred_boxes, det_boxes)      # (S, D)
     sim = iou * det_conf[None, :] if fuse_score else iou
     if gate_distance and use_kalman:
+        # (1, D, 4) broadcasts against state.mean (S, 1, 4) inside
+        # gating_distance - no materialized (S, D, 4) repeat
         dist = kf.gating_distance(kf.KalmanState(state.kf_mean, state.kf_cov),
-                                  xyxy_to_cxcyah(det_boxes)[None].repeat(
-                                      state.kf_mean.shape[0], axis=0))
-        sim = jnp.where(dist <= _CHI2_975_4DOF, sim, -1.0)
+                                  xyxy_to_cxcyah(det_boxes)[None])
+        sim = jnp.where(dist <= _CHI2_95_4DOF, sim, -1.0)
     res = greedy_assign(sim, match_thresh, row_valid=row_eligible, col_valid=det_eligible)
     matched_rows = res.row_to_col >= 0                  # (S,)
     det_of_row = jnp.clip(res.row_to_col, 0)            # safe gather index
@@ -182,12 +204,16 @@ def bytetrack_update(
     high = det_valid & (det_conf >= cfg.track_thresh)
     low = det_valid & ~high & (det_conf >= cfg.low_thresh)
 
+    # one (S, D) IoU matrix shared by both stages: predictions don't move
+    # between them (stage-1-matched rows are ineligible in stage 2)
+    iou = pairwise_iou(pred_boxes, det_boxes)
+
     # -- 2. first association: high dets vs all active tracks -------------
     state, matched1, det_matched1 = _associate_and_update(
         state, pred_boxes, det_boxes, det_conf, det_cls,
         det_eligible=high, row_eligible=state.active,
         match_thresh=accept, use_kalman=use_kalman,
-        fuse_score=cfg.fuse_score, gate_distance=cfg.gate_distance,
+        fuse_score=cfg.fuse_score, gate_distance=cfg.gate_distance, iou=iou,
     )
 
     # -- 3. second association: low dets vs unmatched tracks --------------
@@ -196,23 +222,17 @@ def bytetrack_update(
         state, pred_boxes, det_boxes, det_conf, det_cls,
         det_eligible=low, row_eligible=state.active & ~matched1,
         match_thresh=accept, use_kalman=use_kalman,
-        gate_distance=cfg.gate_distance,
+        gate_distance=cfg.gate_distance, iou=iou,
     )
     matched = matched1 | matched2
 
-    # -- 4. births: unmatched high dets claim free slots ------------------
-    is_new = high & ~det_matched1
-    s = state.active.shape[0]
-    d = det_boxes.shape[0]
-    # k-th free slot (in slot order) for the k-th new det (in det order)
-    free_order = jnp.argsort(jnp.where(~state.active, jnp.arange(s), s + jnp.arange(s)))
-    new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1               # (D,) exclusive rank
-    num_free = jnp.sum(~state.active)
-    can_place = is_new & (new_rank < num_free)
-    # out-of-bounds scatter indices are dropped under jit -> use S as a sink
-    target_slot = jnp.where(can_place, free_order[jnp.clip(new_rank, 0, s - 1)], s)
-
-    new_ids = state.next_id + new_rank.astype(jnp.int32)
+    # -- 4. births: unmatched high dets above the NEW-track gate claim
+    # free slots (canonical ByteTrack activates only score >=
+    # new_track_thresh; an unmatched det in [track_thresh, new_track_thresh)
+    # is discarded, not born)
+    is_new = high & ~det_matched1 & (det_conf >= cfg.new_track_thresh)
+    target_slot, can_place, new_ids, newly_born = claim_free_slots(
+        state.active, is_new, state.next_id)
     meas = xyxy_to_cxcyah(det_boxes)
     born = kf.initiate(meas)                                           # (D,) states
 
@@ -228,10 +248,8 @@ def bytetrack_update(
         tsu=state.tsu.at[target_slot].set(0, mode="drop"),
         next_id=state.next_id + jnp.sum(can_place.astype(jnp.int32)),
     )
-    del d
 
     # -- 5. age unmatched tracks, free the dead (intended semantics) ------
-    newly_born = jnp.zeros((s,), bool).at[target_slot].set(True, mode="drop")
     unmatched = state.active & ~matched & ~newly_born
     tsu = jnp.where(unmatched, state.tsu + 1, state.tsu)
     active = state.active & (tsu <= cfg.track_buffer)

@@ -37,7 +37,8 @@ from rtmodt_tpu.config.loader import DeepSortConfig
 from rtmodt_tpu.ops import kalman as kf
 from rtmodt_tpu.ops.assignment import greedy_assign
 from rtmodt_tpu.ops.iou import pairwise_iou, xyxy_to_cxcyah, cxcyah_to_xyxy
-from rtmodt_tpu.tracking.bytetrack import TrackOutputs, _CHI2_975_4DOF
+from rtmodt_tpu.tracking.bytetrack import (TrackOutputs, _CHI2_95_4DOF,
+                                           claim_free_slots)
 
 
 class DeepSortState(NamedTuple):
@@ -131,8 +132,8 @@ def deepsort_update(
     if cfg.gate_distance:
         dist = kf.gating_distance(
             kf.KalmanState(state.kf_mean, state.kf_cov),
-            xyxy_to_cxcyah(det_boxes)[None].repeat(state.kf_mean.shape[0], axis=0))
-        cos_sim = jnp.where(dist <= _CHI2_975_4DOF, cos_sim, -2.0)
+            xyxy_to_cxcyah(det_boxes)[None])   # broadcasts; no (S, D, 4) copy
+        cos_sim = jnp.where(dist <= _CHI2_95_4DOF, cos_sim, -2.0)
     res1 = greedy_assign(cos_sim, 1.0 - cfg.max_dist,
                          row_valid=confirmed, col_valid=eligible)
     matched1 = res1.row_to_col >= 0
@@ -154,14 +155,8 @@ def deepsort_update(
 
     # -- 3. births: unmatched eligible dets claim free slots --------------
     is_new = eligible & (res1.col_to_row < 0) & (res2.col_to_row < 0)
-    s = state.active.shape[0]
-    free_order = jnp.argsort(jnp.where(~state.active, jnp.arange(s), s + jnp.arange(s)))
-    new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    num_free = jnp.sum(~state.active)
-    can_place = is_new & (new_rank < num_free)
-    target_slot = jnp.where(can_place, free_order[jnp.clip(new_rank, 0, s - 1)], s)
-
-    new_ids = state.next_id + new_rank.astype(jnp.int32)
+    target_slot, can_place, new_ids, newly_born = claim_free_slots(
+        state.active, is_new, state.next_id)
     born = kf.initiate(xyxy_to_cxcyah(det_boxes))
     state = state._replace(
         active=state.active.at[target_slot].set(True, mode="drop"),
@@ -178,7 +173,6 @@ def deepsort_update(
     )
 
     # -- 4. deaths ---------------------------------------------------------
-    newly_born = jnp.zeros((s,), bool).at[target_slot].set(True, mode="drop")
     unmatched = state.active & ~matched & ~newly_born
     # tentative (never confirmed) tracks die on their first miss
     tentative_miss = unmatched & (state.age < cfg.n_init)

@@ -15,7 +15,7 @@ from rtmodt_tpu.config.loader import ByteTrackConfig
 from rtmodt_tpu.ops.kalman import STD_WEIGHT_POS
 from rtmodt_tpu.tracking.host_kalman import HostKalman
 
-_CHI2_975_4DOF = 9.4877  # canonical ByteTrack/DeepSORT gating threshold
+_CHI2_95_4DOF = 9.4877  # chi2.ppf(0.95, 4): canonical ByteTrack/DeepSORT chi2inv95 gate
 
 
 def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -102,7 +102,7 @@ class HostByteTrack:
                     s = np.diag(t["cov"])[:4] + r_std**2
                     d = meas - t["mean"][:4]
                     dist = np.sum(d * d / s, axis=-1)
-                    sim[i, dist > _CHI2_975_4DOF] = -1.0
+                    sim[i, dist > _CHI2_95_4DOF] = -1.0
             return sim
 
         def apply_match(t: dict, d: int) -> None:
@@ -130,9 +130,12 @@ class HostByteTrack:
             apply_match(rem[ti], int(low_idx[dj]))
         unmatched_tracks = [rem[i] for i in un_t2]
 
-        # 3. births from unmatched high dets
+        # 3. births from unmatched high dets above the new-track gate
+        # (canonical ByteTrack: activation needs score >= new_track_thresh)
         for dj in un_d1:
             d = int(high_idx[dj])
+            if confidence[d] < cfg.new_track_thresh:
+                continue
             t = {
                 "track_id": self._next_id,
                 "xyxy": xyxy[d].copy(),

@@ -243,6 +243,16 @@ class TestAssignment:
         assert int(greedy_assign(sim, 0.8).row_to_col[0]) == 0
         assert int(greedy_assign(sim, 0.80001).row_to_col[0]) == -1
 
+    def test_nan_row_does_not_disable_other_matches(self):
+        """jnp.max over a matrix containing NaN is NaN, which would end the
+        match loop with ZERO matches for everyone - one poisoned row must
+        only disqualify itself."""
+        from rtmodt_tpu.ops import greedy_assign
+
+        sim = np.array([[0.9, 0.1], [np.nan, np.nan]], np.float32)
+        res = greedy_assign(sim, 0.2)
+        assert list(np.asarray(res.row_to_col)) == [0, -1]
+
     def test_validity_masks(self):
         from rtmodt_tpu.ops import greedy_assign
         import jax.numpy as jnp
@@ -318,6 +328,23 @@ class TestAssignment:
 
 
 class TestKalman:
+    def test_zero_height_box_does_not_poison_state(self):
+        """An edge-clipped box with h=0 gives innovation covariance s=0;
+        without the epsilon floor the gain is 0/0 = NaN and the track state
+        is permanently poisoned (which then NaNs the similarity matrix and
+        kills association for the whole frame)."""
+        import jax.numpy as jnp
+        from rtmodt_tpu.ops import kalman as kf
+        from rtmodt_tpu.ops.iou import xyxy_to_cxcyah
+
+        degenerate = jnp.asarray([[10.0, 20.0, 50.0, 20.0]])   # h = 0
+        st = kf.initiate(xyxy_to_cxcyah(degenerate))
+        st = kf.predict(st)
+        st = kf.update(st, xyxy_to_cxcyah(degenerate))
+        assert bool(jnp.isfinite(st.mean).all())
+        d = kf.gating_distance(st, xyxy_to_cxcyah(degenerate)[None])
+        assert bool(jnp.isfinite(d).all())
+
     def test_device_matches_host(self, rng):
         import jax.numpy as jnp
         from rtmodt_tpu.ops import kalman as kf

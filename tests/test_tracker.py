@@ -201,6 +201,20 @@ class TestDeviceHostParity:
             th = {tuple(np.round(x.xyxy, -1)): x.track_id for x in host.update(d)}
             assert set(td.values()) == set(th.values()), f"frame {t}"
 
+    def test_new_track_thresh_gates_births_on_both_backends(self):
+        """Canonical ByteTrack activates a track only when its score clears
+        new_track_thresh: an unmatched det in [track_thresh,
+        new_track_thresh) is discarded, not born. The field existed in the
+        config but was never read."""
+        for assignment in ("greedy", "lapjv"):
+            cfg = ByteTrackConfig(assignment=assignment, track_thresh=0.5,
+                                  new_track_thresh=0.7, match_thresh=0.8)
+            tr = MultiObjectTracker("bytetrack", bytetrack=cfg)
+            out = tr.update(dets([[10, 10, 60, 100]], [0.6]))     # below gate
+            assert out == [], assignment
+            out = tr.update(dets([[200, 10, 260, 100]], [0.75]))  # above gate
+            assert [t.track_id for t in out] == [1], assignment
+
     def test_host_gate_matches_device_semantics(self):
         """Default ``match_metric: iou_distance`` accepts IoU >= 1 -
         match_thresh on BOTH backends. A 100 px box shifted 30 px/frame has
