@@ -23,6 +23,7 @@ import jax.numpy as jnp
 class AssignResult(NamedTuple):
     row_to_col: jnp.ndarray  # (R,) int32, -1 if row unmatched
     col_to_row: jnp.ndarray  # (C,) int32, -1 if col unmatched
+    rounds: jnp.ndarray      # () int32 mutual-best rounds taken (diagnostic)
 
 
 def greedy_assign(
@@ -84,8 +85,8 @@ def greedy_assign(
         jnp.full((c,), -1, dtype=jnp.int32),
         jnp.int32(0),
     )
-    _, row_to_col, col_to_row, _ = jax.lax.while_loop(cond, body, init)
-    return AssignResult(row_to_col, col_to_row)
+    _, row_to_col, col_to_row, rounds = jax.lax.while_loop(cond, body, init)
+    return AssignResult(row_to_col, col_to_row, rounds)
 
 
 def greedy_assign_rounds(
@@ -94,37 +95,8 @@ def greedy_assign_rounds(
     row_valid: jnp.ndarray | None = None,
     col_valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Mutual-best rounds until convergence (debug-only scaling diagnostic).
+    """Mutual-best rounds until convergence (scaling diagnostic).
 
-    Re-runs the exact ``greedy_assign`` loop and returns the iteration
-    counter; the production path does not carry it.
-    """
-    r, c = similarity.shape
-    neg = jnp.float32(-1e9)
-    # NaN containment: jnp.max(sim) is NaN if ANY entry is NaN, which would
-    # end the loop with zero matches for the whole frame - one poisoned
-    # box/feature must not disable association for every other pair
-    sim = jnp.nan_to_num(similarity.astype(jnp.float32), nan=-1e9)
-    if row_valid is not None:
-        sim = jnp.where(row_valid[:, None], sim, neg)
-    if col_valid is not None:
-        sim = jnp.where(col_valid[None, :], sim, neg)
-
-    def cond(carry):
-        sim, it = carry
-        return (it < min(r, c)) & (jnp.max(sim) >= threshold)
-
-    def body(carry):
-        sim, it = carry
-        row_best = jnp.argmax(sim, axis=1).astype(jnp.int32)
-        col_best = jnp.argmax(sim, axis=0).astype(jnp.int32)
-        row_val = jnp.max(sim, axis=1)
-        mutual = (col_best[row_best] == jnp.arange(r, dtype=jnp.int32)) & \
-            (row_val >= threshold)
-        col_gone = jnp.zeros((c,), bool).at[jnp.where(mutual, row_best, c)].set(
-            True, mode="drop")
-        sim = jnp.where(mutual[:, None] | col_gone[None, :], neg, sim)
-        return sim, it + 1
-
-    _, rounds = jax.lax.while_loop(cond, body, (sim, jnp.int32(0)))
-    return rounds
+    Thin wrapper over ``greedy_assign`` - one implementation, so the
+    diagnostic can never drift from the production loop."""
+    return greedy_assign(similarity, threshold, row_valid, col_valid).rounds
