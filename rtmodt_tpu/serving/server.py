@@ -28,6 +28,7 @@ import math
 import os
 import threading
 import time
+from dataclasses import asdict
 from pathlib import Path
 
 import click
@@ -91,7 +92,8 @@ _singleton = _DetectorSingleton()
 class _Session:
     """One webcam client's server-side state: tracker + optional zone engine."""
 
-    __slots__ = ("tracker", "engine", "zones_sig", "frame_id", "lock")
+    __slots__ = ("tracker", "engine", "zones_sig", "zone_polys", "frame_id",
+                 "lock")
 
     def __init__(self):
         from rtmodt_tpu.tracking.tracker import MultiObjectTracker
@@ -99,6 +101,7 @@ class _Session:
         self.tracker = MultiObjectTracker("bytetrack")
         self.engine = None
         self.zones_sig: str | None = None
+        self.zone_polys: list | None = None   # cached echo for responses
         self.frame_id = 0
         # serializes tracker/engine updates when two requests share an id
         self.lock = threading.Lock()
@@ -118,12 +121,16 @@ class _Session:
         if sig == self.zones_sig:
             return
         engine = None
+        polys = None
         if specs is not None:
             engine = ZoneEventEngine(
                 _parse_zone_specs(specs),        # raises HTTPError(400)
                 log_path="logs/web_events.jsonl", clock="wall")
+            polys = [{"name": z.name, "polygon": z.polygon.tolist()}
+                     for z in engine.zones]
         self.zones_sig = sig
         self.engine = engine
+        self.zone_polys = polys
 
 
 class _TrackerSessions:
@@ -168,8 +175,6 @@ def _run_detection(img_bgr: np.ndarray, session_id: str | None = None,
     through a per-session ByteTrack and ``tracks`` is populated; with
     ``zones`` too (decoded JSON list), the session runs a wall-clock
     zone-event engine and this frame's alerts are returned."""
-    import json as _json
-
     t0 = time.perf_counter()
     det = _singleton.get().detect(img_bgr)
     inference_ms = (time.perf_counter() - t0) * 1e3
@@ -194,10 +199,9 @@ def _run_detection(img_bgr: np.ndarray, session_id: str | None = None,
             sess.set_zones(zones)
             live = sess.tracker.update(det)
             if sess.engine is not None:
-                events = [_json.loads(ev.to_json())
+                events = [asdict(ev)
                           for ev in sess.engine.process(live, sess.frame_id)]
-                zone_polys = [{"name": z.name, "polygon": z.polygon.tolist()}
-                              for z in sess.engine.zones]
+                zone_polys = sess.zone_polys
         for t in live:
             tracks.append({
                 "track_id": int(t.track_id),
@@ -280,6 +284,11 @@ def _parse_zone_specs(specs) -> list[dict]:
                 raise HTTPError(400, f"zones[{i}].classes must be a list of ints")
             spec["classes"] = cls
         cleaned.append(spec)
+    names = [s["name"] for s in cleaned]
+    if len(set(names)) != len(names):
+        # the engine keys dwell/cooldown by zone name; duplicates would
+        # corrupt each other's state (one zone's exit pops the other's entry)
+        raise HTTPError(400, "zone names must be unique")
     return cleaned
 
 
@@ -377,7 +386,6 @@ def create_app() -> App:
         the tracked clip on stream time and returns the fired events - the
         full events subsystem on the demo surface, not just detect+track.
         """
-        import json as _json
         import tempfile
 
         import cv2
@@ -429,7 +437,7 @@ def create_app() -> App:
                     if zone_engine is not None:
                         ts = n_read / fps_in if fps_in > 0 else float(n_read) / 25.0
                         for ev in zone_engine.process(live, n_read, timestamp=ts):
-                            events_out.append(_json.loads(ev.to_json()))
+                            events_out.append(asdict(ev))
                     tracks = []
                     for t in live:
                         track_ids.add(int(t.track_id))

@@ -414,6 +414,9 @@ class TestVideoTracking:
             json.dumps([{"polygon": [[0, 0], [9, 0], [9, 9]],
                          "trigger": "teleport"}]).encode(),
             json.dumps([{"polygon": [[0, 0], [9, 0], [9, 9]]}] * 9).encode(),
+            json.dumps([{"name": "gate", "polygon": [[0, 0], [9, 0], [9, 9]]},
+                        {"name": "gate",                     # duplicate name
+                         "polygon": [[20, 20], [29, 20], [29, 29]]}]).encode(),
         ]
         for payload in bad:
             r = client.post("/api/track/video",

@@ -28,13 +28,25 @@ document.querySelectorAll(".tab").forEach((tab) => {
   tab.addEventListener("click", () => switchMode(tab.dataset.mode));
 });
 
+let currentMode = "samples";
+
 function switchMode(mode) {
+  if (mode === currentMode) return;   // re-clicking the tab must not kill playback
+  currentMode = mode;
   document.querySelectorAll(".tab").forEach((t) =>
     t.classList.toggle("active", t.dataset.mode === mode));
   document.querySelectorAll(".panel").forEach((p) =>
     p.classList.toggle("active", p.id === `panel-${mode}`));
   if (mode !== "webcam") stopWebcam();
   stopVideoPlayback();
+}
+
+function escHtml(s) {
+  // server-echoed strings (zone names etc.) are client-supplied via the
+  // API - never interpolate them into innerHTML unescaped
+  return String(s).replace(/[&<>"']/g, (c) => ({
+    "&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;", "'": "&#39;",
+  }[c]));
 }
 
 /* ---------- samples ---------- */
@@ -67,6 +79,8 @@ async function detectSample(sample) {
   showLoader(true);
   try {
     stopVideoPlayback();
+    lastVideoFile = null;           // a zone action must not re-track an
+    zoneControls.hidden = true;     // older video over this image
     const img = await loadImage(sample.url);
     currentImage = img;
     const res = await fetch(`/api/detect/sample/${sample.filename}`);
@@ -109,6 +123,8 @@ async function handleFile(file) {
       await trackVideo(file);
       return;
     }
+    lastVideoFile = null;           // image shown: zone clicks must not
+    zoneControls.hidden = true;     // silently re-track an older video
     currentImage = await loadImage(URL.createObjectURL(file));
     const form = new FormData();
     form.append("file", file, file.name);
@@ -234,9 +250,10 @@ function stopVideoPlayback() {
   }
 }
 
+let trackReqGen = 0;   // newest request wins; stale completions discard
+
 async function trackVideo(file) {
-  lastVideoFile = file;
-  zoneControls.hidden = false;
+  const myReq = ++trackReqGen;
   // load the video FIRST: fails fast on unreadable files and provides the
   // native resolution that normalized zones scale to
   const video = document.createElement("video");
@@ -244,22 +261,35 @@ async function trackVideo(file) {
   video.loop = true;
   video.playsInline = true;
   video.src = URL.createObjectURL(file);
-  await new Promise((ok, bad) => {
-    video.addEventListener("loadeddata", ok, { once: true });
-    video.addEventListener("error", () => bad(new Error("cannot read video")),
-                           { once: true });
-  });
-  const form = new FormData();
-  form.append("file", file, file.name);
-  if (zones.length) {
-    form.append("zones",
-                JSON.stringify(pixelZones(video.videoWidth, video.videoHeight)));
+  let data;
+  try {
+    await new Promise((ok, bad) => {
+      video.addEventListener("loadeddata", ok, { once: true });
+      video.addEventListener("error", () => bad(new Error("cannot read video")),
+                             { once: true });
+    });
+    const form = new FormData();
+    form.append("file", file, file.name);
+    if (zones.length) {
+      form.append("zones",
+                  JSON.stringify(pixelZones(video.videoWidth, video.videoHeight)));
+    }
+    const res = await fetch("/api/track/video?max_frames=300",
+                            { method: "POST", body: form });
+    if (!res.ok) throw new Error((await res.json()).detail || res.status);
+    data = await res.json();
+    if (!data.frames.length) throw new Error("no frames tracked");
+  } catch (err) {
+    URL.revokeObjectURL(video.src);   // failed attempts must not leak blobs
+    throw err;
   }
-  const res = await fetch("/api/track/video?max_frames=300",
-                          { method: "POST", body: form });
-  if (!res.ok) throw new Error((await res.json()).detail || res.status);
-  const data = await res.json();
-  if (!data.frames.length) throw new Error("no frames tracked");
+  if (myReq !== trackReqGen) {
+    // a newer upload/re-track superseded this one mid-flight: discard
+    URL.revokeObjectURL(video.src);
+    return;
+  }
+  lastVideoFile = file;
+  zoneControls.hidden = false;
   const serverZones = data.zones || [];
   const events = data.events || [];
   // zone_name -> sorted event frame ids (for the red flash on playback)
@@ -288,8 +318,8 @@ async function trackVideo(file) {
     html += `<p class="muted">${events.length} zone event(s)</p>`;
     for (const ev of events.slice(0, 20)) {
       html += `<div class="det-row"><span class="dot" style="background:#ff3c3c"></span>` +
-              `<span class="det-name">${ev.event_type} · ${ev.zone_name}</span>` +
-              `<span class="det-conf">track ${ev.track_id} @ frame ${ev.frame_id}</span></div>`;
+              `<span class="det-name">${escHtml(ev.event_type)} · ${escHtml(ev.zone_name)}</span>` +
+              `<span class="det-conf">track ${Number(ev.track_id)} @ frame ${Number(ev.frame_id)}</span></div>`;
     }
   }
   detList.innerHTML = html;
@@ -355,11 +385,12 @@ async function captureAndDetect(video) {
     c.width = video.videoWidth;
     c.height = video.videoHeight;
     c.getContext("2d").drawImage(video, 0, 0);
-    currentImage = await loadImage(c.toDataURL("image/jpeg", 0.8));
+    const jpeg = c.toDataURL("image/jpeg", 0.8);   // encode ONCE per tick
+    currentImage = await loadImage(jpeg);
     const res = await fetch("/api/detect/frame", {
       method: "POST",
       headers: { "Content-Type": "application/json" },
-      body: JSON.stringify({ image: c.toDataURL("image/jpeg", 0.8),
+      body: JSON.stringify({ image: jpeg,
                              session_id: sessionId,
                              ...(zones.length
                                  ? { zones: pixelZones(c.width, c.height) }
@@ -453,8 +484,8 @@ function drawResults(data) {
   if (data.zones && liveEvents.length) {
     html += `<p class="muted">recent alerts</p>` + liveEvents.map((ev) =>
       `<div class="det-row"><span class="dot" style="background:#ff3c3c"></span>
-        <span class="det-name">${ev.event_type} · ${ev.zone_name}</span>
-        <span class="det-conf">#${ev.track_id}</span></div>`).join("");
+        <span class="det-name">${escHtml(ev.event_type)} · ${escHtml(ev.zone_name)}</span>
+        <span class="det-conf">#${Number(ev.track_id)}</span></div>`).join("");
   }
   detList.innerHTML = html;
 }
