@@ -133,11 +133,29 @@ class DeepSortConfig:
 
 
 @dataclass
+class OCSortConfig:
+    """Observation-Centric SORT (framework extension; tracking/ocsort.py).
+
+    Defaults follow the canonical OC-SORT repo's MOT configuration."""
+
+    det_thresh: float = 0.6             # high-confidence association gate
+    low_thresh: float = 0.1             # BYTE stage floor (use_byte)
+    iou_threshold: float = 0.3          # raw-IoU acceptance for every stage
+    max_age: int = 30                   # frames a lost track survives
+    min_hits: int = 3                   # consecutive matches before emit
+    delta_t: int = 3                    # OCM momentum horizon (observations)
+    vdc_weight: float = 0.2             # velocity-direction consistency weight
+    use_byte: bool = False              # BYTE-style low-score second stage
+    max_tracks: int = 256               # static track-slot count (device state)
+
+
+@dataclass
 class TrackingConfig:
     algorithm: str = "bytetrack"
     trail_length: int = 30
     bytetrack: ByteTrackConfig = field(default_factory=ByteTrackConfig)
     deepsort: DeepSortConfig = field(default_factory=DeepSortConfig)
+    ocsort: OCSortConfig = field(default_factory=OCSortConfig)
 
 
 @dataclass
@@ -385,9 +403,17 @@ def _validate(cfg: PipelineConfig) -> None:
         raise ValueError(f"tracking.bytetrack.motion_model must be kalman|none, got {bt.motion_model}")
     if bt.assignment not in ("greedy", "lapjv"):
         raise ValueError(f"tracking.bytetrack.assignment must be greedy|lapjv, got {bt.assignment}")
-    if cfg.tracking.algorithm not in ("bytetrack", "deepsort"):
-        raise ValueError(f"tracking.algorithm must be bytetrack|deepsort, "
+    if cfg.tracking.algorithm not in ("bytetrack", "deepsort", "ocsort"):
+        raise ValueError(f"tracking.algorithm must be bytetrack|deepsort|ocsort, "
                          f"got {cfg.tracking.algorithm}")
+    oc = cfg.tracking.ocsort
+    if oc.min_hits < 1:
+        raise ValueError(f"tracking.ocsort.min_hits must be >= 1, got {oc.min_hits}")
+    if oc.delta_t < 1:
+        raise ValueError(f"tracking.ocsort.delta_t must be >= 1, got {oc.delta_t}")
+    if not (0.0 <= oc.iou_threshold < 1.0):
+        raise ValueError(f"tracking.ocsort.iou_threshold must be in [0, 1), "
+                         f"got {oc.iou_threshold}")
     ds = cfg.tracking.deepsort
     if ds.n_init < 1:
         raise ValueError(f"tracking.deepsort.n_init must be >= 1, got {ds.n_init}")

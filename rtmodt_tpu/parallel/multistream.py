@@ -37,9 +37,10 @@ from rtmodt_tpu.tracking.bytetrack import (
 from rtmodt_tpu.utils.logging import logger
 
 
-def init_multistream_state(num_streams: int, max_tracks: int) -> TrackState:
+def init_multistream_state(num_streams: int, max_tracks: int,
+                           init_one=init_track_state, **init_kw):
     """Batched tracker state: every leaf gains a leading stream axis."""
-    one = init_track_state(max_tracks)
+    one = init_one(max_tracks, **init_kw)
     return jax.tree.map(lambda x: jnp.broadcast_to(x, (num_streams,) + x.shape), one)
 
 
@@ -61,8 +62,31 @@ class MultiStreamPipeline:
             raise ValueError(f"num_streams={self.num_streams} must be divisible "
                              f"by mesh size {mesh.devices.size}")
         self.detector = Detector(cfg.detection, warmup=False)
-        self.state = init_multistream_state(self.num_streams,
-                                            cfg.tracking.bytetrack.max_tracks)
+        # motion-tracker dispatch (same policy as runtime/pipeline.py):
+        # bytetrack and ocsort share the step signature and run per-stream
+        # under vmap; deepsort's appearance path has no multi-stream program
+        # yet and falls back to bytetrack with a warning
+        from functools import partial as _partial
+        algo = cfg.tracking.algorithm
+        if algo == "ocsort":
+            from rtmodt_tpu.tracking.ocsort import (init_ocsort_state,
+                                                    ocsort_update)
+
+            occ = cfg.tracking.ocsort
+            self._mot_update = _partial(ocsort_update, cfg=occ)
+            self._mot_repr = repr(occ)
+            self.state = init_multistream_state(
+                self.num_streams, occ.max_tracks,
+                init_one=init_ocsort_state, delta_t=occ.delta_t)
+        else:
+            if algo == "deepsort":
+                logger.warning("multi-stream mode has no deepsort program; "
+                               "falling back to bytetrack association")
+            self._mot_update = _partial(bytetrack_update,
+                                        cfg=cfg.tracking.bytetrack)
+            self._mot_repr = repr(cfg.tracking.bytetrack)
+            self.state = init_multistream_state(
+                self.num_streams, cfg.tracking.bytetrack.max_tracks)
         self._stream_shard = NamedSharding(mesh, P("data"))
         self._repl = NamedSharding(mesh, P())
         self.state = jax.device_put(self.state, self._stream_shard)
@@ -75,7 +99,6 @@ class MultiStreamPipeline:
     def _frame_body(self, params, state, frame_u8):
         """Per-stream fused body (unbatched; vmapped by callers)."""
         dcfg = self.cfg.detection
-        bcfg = self.cfg.tracking.bytetrack
         dtype = jnp.bfloat16 if dcfg.half else jnp.float32
         img, meta = letterbox(frame_u8, dcfg.input_size, dtype=dtype)
         box_dist, cls_logits = self.detector.model.apply(params, img[None], train=False)
@@ -85,8 +108,8 @@ class MultiStreamPipeline:
             dcfg.max_detections, dcfg.nms_candidates,
             self.detector._class_mask, dcfg.agnostic_nms, impl=dcfg.nms_impl)
         res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
-        state, outputs = bytetrack_update(
-            state, res.boxes, res.scores, res.classes, res.valid, bcfg)
+        state, outputs = self._mot_update(
+            state, res.boxes, res.scores, res.classes, res.valid)
         return state, outputs, res
 
     def _step_for(self, h: int, w: int):
@@ -147,7 +170,7 @@ class MultiStreamPipeline:
                                        unletterbox_boxes_packed)
 
         dcfg = self.cfg.detection
-        bcfg = self.cfg.tracking.bytetrack
+        mot_update = self._mot_update
         dtype = jnp.bfloat16 if dcfg.half else jnp.float32
         model = self.detector.model
         class_mask = self.detector._class_mask
@@ -178,8 +201,8 @@ class MultiStreamPipeline:
 
             def body(st, res_s):
                 st, outs = jax.vmap(
-                    lambda ss, rr: bytetrack_update(
-                        ss, rr.boxes, rr.scores, rr.classes, rr.valid, bcfg)
+                    lambda ss, rr: mot_update(
+                        ss, rr.boxes, rr.scores, rr.classes, rr.valid)
                 )(st, res_s)
                 return st, outs
 
@@ -212,7 +235,7 @@ class MultiStreamPipeline:
         param_sig = jax.tree.map(
             lambda x: (tuple(x.shape), str(x.dtype)), self.params)
         self._jitted[key] = aot_cached(
-            ("msp_packed", repr(dcfg), repr(bcfg), s_streams,
+            ("msp_packed", repr(dcfg), self._mot_repr, s_streams,
              tuple(self.mesh.shape.items()), src_h, src_w, t, param_sig),
             build, example_args)
         return self._jitted[key]

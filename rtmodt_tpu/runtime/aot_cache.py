@@ -44,8 +44,11 @@ def _register_serializations() -> None:
 
         from rtmodt_tpu.ops.nms import NMSResult
         from rtmodt_tpu.tracking.bytetrack import TrackOutputs, TrackState
+        from rtmodt_tpu.tracking.deepsort import DeepSortState
+        from rtmodt_tpu.tracking.ocsort import OCSortState
 
-        for cls in (NMSResult, TrackOutputs, TrackState):
+        for cls in (NMSResult, TrackOutputs, TrackState, DeepSortState,
+                    OCSortState):
             try:
                 jexport.register_namedtuple_serialization(
                     cls, serialized_name=f"rtmodt_tpu.{cls.__name__}")

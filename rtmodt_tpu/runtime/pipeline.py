@@ -59,8 +59,21 @@ class Pipeline:
             trail_length=cfg.tracking.trail_length,
             bytetrack=cfg.tracking.bytetrack,
             deepsort=cfg.tracking.deepsort,
+            ocsort=cfg.tracking.ocsort,
         )
         self._is_deepsort = self.tracker.algorithm == "deepsort"
+        # motion-only tracker update shared by the fused/packed/chunked
+        # programs (bytetrack and ocsort have the same step signature;
+        # deepsort needs appearance features and keeps its own builders)
+        if self.tracker.algorithm == "ocsort":
+            from rtmodt_tpu.tracking.ocsort import ocsort_update
+
+            self._mot_update = partial(ocsort_update, cfg=cfg.tracking.ocsort)
+            self._mot_repr = repr(cfg.tracking.ocsort)
+        else:
+            self._mot_update = partial(bytetrack_update,
+                                       cfg=cfg.tracking.bytetrack)
+            self._mot_repr = repr(cfg.tracking.bytetrack)
         self.events: Optional[ZoneEventEngine] = (
             ZoneEventEngine.from_config(cfg.events,
                                         trail_length=cfg.tracking.trail_length)
@@ -106,7 +119,7 @@ class Pipeline:
         self._front_pack: Any = None       # precomputed s2d front kernels
         self._front_pack_key: int | None = None
         self._chunk_fns: dict[tuple[int, int, int], Any] = {}
-        self._track_fn = jax.jit(partial(bytetrack_update, cfg=cfg.tracking.bytetrack))
+        self._track_fn = jax.jit(self._mot_update)
         if warmup_shape:
             self.warmup(warmup_shape)
 
@@ -195,7 +208,7 @@ class Pipeline:
         if key in self._fused_fns:
             return self._fused_fns[key]
         dcfg = self.cfg.detection
-        bcfg = self.cfg.tracking.bytetrack
+        mot_update = self._mot_update
         dtype = jnp.bfloat16 if dcfg.half else jnp.float32
         model = self.detector.model
         class_mask = self.detector._class_mask
@@ -212,8 +225,8 @@ class Pipeline:
                 impl=dcfg.nms_impl,
             )
             res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
-            state, outputs = bytetrack_update(
-                state, res.boxes, res.scores, res.classes, res.valid, bcfg)
+            state, outputs = mot_update(
+                state, res.boxes, res.scores, res.classes, res.valid)
             return state, outputs, res
 
         self._fused_fns[key] = step_fn
@@ -248,7 +261,7 @@ class Pipeline:
                                        unletterbox_boxes_packed)
 
         dcfg = self.cfg.detection
-        bcfg = self.cfg.tracking.bytetrack
+        mot_update = self._mot_update
         dtype = jnp.bfloat16 if dcfg.half else jnp.float32
         model = self.detector.model
         class_mask = self.detector._class_mask
@@ -283,8 +296,8 @@ class Pipeline:
                 dcfg.max_detections, dcfg.nms_candidates, class_mask,
                 dcfg.agnostic_nms, impl=dcfg.nms_impl)
             res = res._replace(boxes=unletterbox_boxes_packed(res.boxes, meta))
-            state, outputs = bytetrack_update(
-                state, res.boxes, res.scores, res.classes, res.valid, bcfg)
+            state, outputs = mot_update(
+                state, res.boxes, res.scores, res.classes, res.valid)
             return state, outputs, res
 
         def build():
@@ -303,7 +316,7 @@ class Pipeline:
         sig = jax.tree.map(lambda x: (tuple(x.shape), str(x.dtype)),
                            (self.detector.params, self._get_front_pack()))
         self._fused_fns[key] = aot_cached(
-            ("pipe_fused_packed", repr(dcfg), repr(bcfg), src_h, src_w,
+            ("pipe_fused_packed", repr(dcfg), self._mot_repr, src_h, src_w,
              donate, sig),
             build, example_args)
         return self._fused_fns[key]
@@ -346,7 +359,7 @@ class Pipeline:
         if key in self._chunk_fns:
             return self._chunk_fns[key]
         dcfg = self.cfg.detection
-        bcfg = self.cfg.tracking.bytetrack
+        mot_update = self._mot_update
         dtype = jnp.bfloat16 if dcfg.half else jnp.float32
         model = self.detector.model
         class_mask = self.detector._class_mask
@@ -364,8 +377,8 @@ class Pipeline:
                     dcfg.agnostic_nms, impl=dcfg.nms_impl,
                 )
                 res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
-                st, outputs = bytetrack_update(
-                    st, res.boxes, res.scores, res.classes, res.valid, bcfg)
+                st, outputs = mot_update(
+                    st, res.boxes, res.scores, res.classes, res.valid)
                 return st, (outputs, res)
 
             state, (outs, ress) = jax.lax.scan(body, state, frames_u8)
@@ -393,7 +406,7 @@ class Pipeline:
                                        unletterbox_boxes_packed)
 
         dcfg = self.cfg.detection
-        bcfg = self.cfg.tracking.bytetrack
+        mot_update = self._mot_update
         dtype = jnp.bfloat16 if dcfg.half else jnp.float32
         model = self.detector.model
         class_mask = self.detector._class_mask
@@ -420,8 +433,8 @@ class Pipeline:
             ress = jax.vmap(one_nms)(box_dist, cls_logits)   # parallel across frames
 
             def body(st, res):
-                st, outputs = bytetrack_update(
-                    st, res.boxes, res.scores, res.classes, res.valid, bcfg)
+                st, outputs = mot_update(
+                    st, res.boxes, res.scores, res.classes, res.valid)
                 return st, outputs
 
             state, outs = jax.lax.scan(body, state, ress)
@@ -444,7 +457,7 @@ class Pipeline:
         param_sig = jax.tree.map(
             lambda x: (tuple(x.shape), str(x.dtype)), self.detector.params)
         self._chunk_fns[key] = aot_cached(
-            ("pipe_packed", repr(dcfg), repr(bcfg), src_h, src_w, k,
+            ("pipe_packed", repr(dcfg), self._mot_repr, src_h, src_w, k,
              donate, param_sig),
             build, example_args)
         return self._chunk_fns[key]

@@ -2,10 +2,12 @@
 
 API-parity with reference ``src/tracking/tracker.py:200-259``: same
 constructor dispatch, same ``update(detections) -> list[Track]`` call, same
-per-ID centroid trails capped at ``trail_length``.  Capability extension:
+per-ID centroid trails capped at ``trail_length``.  Capability extensions:
 ``deepsort`` actually works here (the reference raises NotImplementedError,
 tracker.py:212-214) - an appearance-embedding tracker whose ROI crop, embed
-and association all run on device (``deepsort.py``).
+and association all run on device (``deepsort.py``) - and ``ocsort`` adds
+an observation-centric tracker for occlusion-heavy scenes (``ocsort.py``),
+both in the same fixed-slot jittable formulation.
 
 ByteTrack execution backends:
   * ``assignment: greedy`` (default) - the jittable device state machine in
@@ -53,7 +55,7 @@ class MultiObjectTracker:
 
     def __init__(self, algorithm: str = "bytetrack", trail_length: int = 30, **kwargs):
         self.algorithm = algorithm.lower()
-        if self.algorithm not in ("bytetrack", "deepsort"):
+        if self.algorithm not in ("bytetrack", "deepsort", "ocsort"):
             raise ValueError(f"Unknown tracker: {self.algorithm}")
 
         self._trail_map: dict[int, list[tuple[int, int]]] = defaultdict(list)
@@ -106,6 +108,24 @@ class MultiObjectTracker:
             self._step = jax.jit(partial(deepsort_update, cfg=self.cfg))
             logger.info(f"Tracker initialised: deepsort (embed_dim="
                         f"{self.cfg.embed_dim}, n_init={self.cfg.n_init})")
+            return
+
+        if self.algorithm == "ocsort":
+            from rtmodt_tpu.config.loader import OCSortConfig
+            from rtmodt_tpu.tracking.ocsort import (init_ocsort_state,
+                                                    ocsort_update)
+
+            oc = kwargs.get("ocsort", kwargs)
+            if isinstance(oc, OCSortConfig):
+                self.cfg = oc
+            else:
+                known = {f for f in OCSortConfig.__dataclass_fields__}
+                self.cfg = OCSortConfig(**{k: v for k, v in oc.items() if k in known})
+            self.state = init_ocsort_state(self.cfg.max_tracks, self.cfg.delta_t)
+            self._step = jax.jit(partial(ocsort_update, cfg=self.cfg))
+            logger.info(f"Tracker initialised: ocsort (min_hits="
+                        f"{self.cfg.min_hits}, delta_t={self.cfg.delta_t}, "
+                        f"use_byte={self.cfg.use_byte})")
             return
 
         bt = kwargs.get("bytetrack", kwargs)
@@ -175,8 +195,10 @@ class MultiObjectTracker:
 
         from rtmodt_tpu.tracking.bytetrack import TrackState
         from rtmodt_tpu.tracking.deepsort import DeepSortState
+        from rtmodt_tpu.tracking.ocsort import OCSortState
 
-        cls = DeepSortState if self.algorithm == "deepsort" else TrackState
+        cls = {"deepsort": DeepSortState,
+               "ocsort": OCSortState}.get(self.algorithm, TrackState)
         with np.load(path) as z:
             fields = {k: jnp.asarray(z[k]) for k in cls._fields}
             self.state = cls(**fields)
@@ -193,6 +215,9 @@ class MultiObjectTracker:
         elif self.algorithm == "deepsort":
             from rtmodt_tpu.tracking.deepsort import init_deepsort_state
             self.state = init_deepsort_state(self.cfg.max_tracks, self.cfg.embed_dim)
+        elif self.algorithm == "ocsort":
+            from rtmodt_tpu.tracking.ocsort import init_ocsort_state
+            self.state = init_ocsort_state(self.cfg.max_tracks, self.cfg.delta_t)
         else:
             self.state = init_track_state(self.cfg.max_tracks)
 

@@ -9,11 +9,12 @@ continues through the meeting point, so after the gap it latches onto the
 OTHER object (which is where the velocity points); the appearance embedder
 (tools/train_embedder.py) re-identifies the right one.
 
-Runs four trackers over oracle detections (GT boxes of unoccluded objects,
+Runs five trackers over oracle detections (GT boxes of unoccluded objects,
 so tracker quality is isolated from detector quality):
 
   bytetrack (reference-compat iou gate)      - tracking/bytetrack.py
   bytetrack (canonical iou_distance gate)
+  ocsort    (observation-centric recovery)   - tracking/ocsort.py
   deepsort  (random-init embedder)           - tracking/deepsort.py
   deepsort  (trained embedder .npz)
 
@@ -146,6 +147,8 @@ def main() -> None:
          bytetrack=dict(match_metric="iou_distance"))),
         ("deepsort_random_embedder", dict(algorithm="deepsort",
          deepsort=dict(ds_base, embedder="random"))),
+        ("ocsort", dict(algorithm="ocsort",
+         ocsort=dict(det_thresh=0.5, min_hits=1, max_age=30))),
     ]
     if os.path.exists(args.embedder):
         configs.append(("deepsort_trained_embedder", dict(

@@ -119,8 +119,9 @@ def detect(images, gt_json, out, model, weights, num_classes, input_size,
                    "lower than large clean ones")
 @click.option("--max-frames", default=None, type=int)
 @click.option("--algorithm", default="bytetrack",
-              type=click.Choice(["bytetrack", "deepsort"]),
-              help="deepsort adds the appearance embedder (shipped weights)")
+              type=click.Choice(["bytetrack", "deepsort", "ocsort"]),
+              help="deepsort adds the appearance embedder (shipped weights); "
+                   "ocsort is observation-centric for occlusion-heavy scenes")
 def track(video, out, model, weights, num_classes, input_size, gt_mot, conf,
           match_thresh, track_thresh, max_frames, algorithm):
     """Detect+track over a video -> MOT15-2D rows (+ optional IDF1/MOTA)."""
@@ -138,7 +139,8 @@ def track(video, out, model, weights, num_classes, input_size, gt_mot, conf,
                      "bytetrack": {"match_thresh": match_thresh,
                                    "track_thresh": track_thresh,
                                    "new_track_thresh": track_thresh},
-                     "deepsort": {"min_confidence": track_thresh}},
+                     "deepsort": {"min_confidence": track_thresh},
+                     "ocsort": {"det_thresh": track_thresh}},
         "events": {"enabled": False},
         "visualization": {"enabled": False},
         "profiling": {"per_stage": False, "warmup_frames": 0, "log_interval": 0},
