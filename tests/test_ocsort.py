@@ -170,6 +170,26 @@ class TestObservationCentric:
         assert abs(got[1] - cand_a[1]) < abs(got[1] - cand_b[1])
 
 
+class TestStopGoScenario:
+    def test_ocsort_beats_motion_trackers_on_stopgo(self):
+        """The documented headline (docs/RESULTS.md): on re-appearance at
+        the last observed position, OC-SORT keeps ids where the Kalman-IoU
+        tracker churns them."""
+        from tools.compare_trackers import build_stopgo, run_tracker
+
+        frames_bgr, gt = build_stopgo(frames=24, objects=2, gap=5)
+        oc = run_tracker("ocsort", dict(
+            algorithm="ocsort",
+            ocsort=dict(det_thresh=0.5, min_hits=1, max_age=30)),
+            frames_bgr, gt)
+        bt = run_tracker("bytetrack", dict(
+            algorithm="bytetrack",
+            bytetrack=dict(match_metric="iou_distance")), frames_bgr, gt)
+        assert oc["idf1"] > bt["idf1"]
+        assert oc["switches"] <= bt["switches"]
+        assert oc["idf1"] > 0.9
+
+
 class TestFacadeIntegration:
     def test_config_roundtrip(self):
         cfg = load_config(overrides={"tracking": {"algorithm": "ocsort",

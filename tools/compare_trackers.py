@@ -98,6 +98,47 @@ def build_scenario(frames: int, pairs: int, h: int = 480, w: int = 840,
     return frames_bgr, gt
 
 
+def build_stopgo(frames: int, objects: int, h: int = 480, w: int = 840,
+                 gap: int = 8, seed: int = 0):
+    """Stop-and-go occlusion: fast movers vanish mid-sequence for ``gap``
+    frames and RE-APPEAR WHERE THEY WERE LAST SEEN (stationary from then
+    on) - e.g. a pedestrian stepping behind a pillar and stopping.  A
+    Kalman-only tracker's prediction sails ~gap*v past the pillar, so the
+    IoU gate fails on re-appearance and the id churns; OC-SORT's OCR stage
+    associates against last observations and keeps it."""
+    import cv2  # noqa: F401  (frame buffers only; kept for parity w/ bounce)
+
+    from rtmodt_tpu.utils.synthetic import reid_patch
+
+    rng = np.random.default_rng(seed)
+    bw, bh = 64, 96
+    t_hide = frames // 3
+    objs = []
+    for i in range(objects):
+        y = 40 + int(rng.uniform(0, h - bh - 80))
+        x0 = 30.0 + rng.uniform(0, 60)
+        v = 18.0 + rng.uniform(0, 8)             # fast: > box width over gap
+        objs.append((i + 1, x0, y, v, i))
+
+    frames_bgr, gt = [], {}
+    for t in range(frames):
+        frame = np.full((h, w, 3), 28, np.uint8)
+        frame += rng.integers(0, 14, (h, w, 3), np.uint8)
+        vis = {}
+        for oid, x0, y, v, ident in objs:
+            if t_hide <= t < t_hide + gap:
+                continue                          # occluded: no detection
+            # advance until the hide point, then frozen there
+            x = x0 + v * min(t, t_hide - 1)
+            xi = int(round(max(0, min(w - bw, x))))
+            frame[y:y + bh, xi:xi + bw] = reid_patch(ident, t, (bh, bw),
+                                                     seed=seed + 77)
+            vis[oid] = np.array([xi, y, xi + bw, y + bh], np.float32)
+        frames_bgr.append(frame)
+        gt[t + 1] = vis
+    return frames_bgr, gt
+
+
 def run_tracker(name: str, kwargs: dict, frames_bgr, gt):
     from rtmodt_tpu.detection.detector import Detections
     from rtmodt_tpu.evaluation.mot_eval import evaluate_mot
@@ -129,6 +170,13 @@ def main() -> None:
     ap.add_argument("--embedder", default="checkpoints/embedder.npz")
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--pairs", type=int, default=3)
+    ap.add_argument("--scenario", choices=["bounce", "stopgo"],
+                    default="bounce",
+                    help="bounce: head-on crossing pairs (appearance wins); "
+                         "stopgo: re-appearance at last observation "
+                         "(observation-centric recovery wins)")
+    ap.add_argument("--gap", type=int, default=8,
+                    help="stopgo occlusion length (frames)")
     ap.add_argument("--json", default=None)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -138,7 +186,11 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
 
-    frames_bgr, gt = build_scenario(args.frames, args.pairs)
+    if args.scenario == "stopgo":
+        frames_bgr, gt = build_stopgo(args.frames, args.pairs * 2,
+                                      gap=args.gap)
+    else:
+        frames_bgr, gt = build_scenario(args.frames, args.pairs)
     ds_base = dict(n_init=1, max_age=30, min_confidence=0.3, max_dist=0.4)
     configs = [
         ("bytetrack_reference_iou", dict(algorithm="bytetrack",
