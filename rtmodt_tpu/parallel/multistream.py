@@ -62,12 +62,15 @@ class MultiStreamPipeline:
             raise ValueError(f"num_streams={self.num_streams} must be divisible "
                              f"by mesh size {mesh.devices.size}")
         self.detector = Detector(cfg.detection, warmup=False)
-        # motion-tracker dispatch (same policy as runtime/pipeline.py):
-        # bytetrack and ocsort share the step signature and run per-stream
-        # under vmap; deepsort's appearance path has no multi-stream program
-        # yet and falls back to bytetrack with a warning
+        # tracker dispatch (same policy as runtime/pipeline.py): bytetrack
+        # and ocsort share the motion-only step signature and run per-stream
+        # under vmap; deepsort carries its appearance embedder into the SPMD
+        # program (per-stream ROI crops + embed inside the same XLA program)
         from functools import partial as _partial
         algo = cfg.tracking.algorithm
+        self._is_deepsort = algo == "deepsort"
+        self._embedder = None
+        self._ds_cfg = None
         if algo == "ocsort":
             from rtmodt_tpu.tracking.ocsort import (init_ocsort_state,
                                                     ocsort_update)
@@ -78,10 +81,25 @@ class MultiStreamPipeline:
             self.state = init_multistream_state(
                 self.num_streams, occ.max_tracks,
                 init_one=init_ocsort_state, delta_t=occ.delta_t)
+        elif algo == "deepsort":
+            from rtmodt_tpu.tracking.deepsort import init_deepsort_state
+            from rtmodt_tpu.tracking.tracker import MultiObjectTracker
+
+            # the facade resolves the embedder weights chain (shipped
+            # checkpoint by default, `embedder: random` opts out)
+            facade = MultiObjectTracker(
+                "deepsort", trail_length=cfg.tracking.trail_length,
+                deepsort=cfg.tracking.deepsort)
+            self._embedder = facade.embedder
+            self._emb_params_host = facade.embedder_params
+            self._ds_cfg = facade.cfg
+            self._mot_update = None
+            self._mot_repr = repr(self._ds_cfg)
+            self.state = init_multistream_state(
+                self.num_streams, self._ds_cfg.max_tracks,
+                init_one=init_deepsort_state,
+                embed_dim=self._ds_cfg.embed_dim)
         else:
-            if algo == "deepsort":
-                logger.warning("multi-stream mode has no deepsort program; "
-                               "falling back to bytetrack association")
             self._mot_update = _partial(bytetrack_update,
                                         cfg=cfg.tracking.bytetrack)
             self._mot_repr = repr(cfg.tracking.bytetrack)
@@ -91,6 +109,8 @@ class MultiStreamPipeline:
         self._repl = NamedSharding(mesh, P())
         self.state = jax.device_put(self.state, self._stream_shard)
         self.params = jax.device_put(self.detector.params, self._repl)
+        self.emb_params = (jax.device_put(self._emb_params_host, self._repl)
+                           if self._is_deepsort else None)
         self._jitted: dict[Any, Any] = {}
         logger.info(f"multi-stream pipeline: {self.num_streams} streams over "
                     f"{mesh.devices.size} device(s)")
@@ -107,9 +127,23 @@ class MultiStreamPipeline:
             dcfg.conf_threshold, dcfg.iou_threshold,
             dcfg.max_detections, dcfg.nms_candidates,
             self.detector._class_mask, dcfg.agnostic_nms, impl=dcfg.nms_impl)
-        res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
-        state, outputs = self._mot_update(
-            state, res.boxes, res.scores, res.classes, res.valid)
+        if self._is_deepsort:
+            from rtmodt_tpu.ops.roi import crop_and_resize
+            from rtmodt_tpu.tracking.deepsort import deepsort_update
+
+            # crop while boxes are still in letterbox coordinates
+            # (same convention as pipeline.py::_fused_deepsort_for)
+            crops = crop_and_resize(img.astype(jnp.float32), res.boxes,
+                                    tuple(self._ds_cfg.crop_hw)) * 255.0
+            feats = self._embedder.apply(self.emb_params, crops)
+            res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
+            state, outputs = deepsort_update(
+                state, res.boxes, res.scores, res.classes, res.valid,
+                feats, self._ds_cfg)
+        else:
+            res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
+            state, outputs = self._mot_update(
+                state, res.boxes, res.scores, res.classes, res.valid)
         return state, outputs, res
 
     def _step_for(self, h: int, w: int):
@@ -240,15 +274,117 @@ class MultiStreamPipeline:
             build, example_args)
         return self._jitted[key]
 
+    def _packed_chunk_deepsort_for(self, src_h: int, src_w: int, t: int):
+        """DeepSORT twin of ``_packed_chunk_for``: the per-frame NMS is
+        followed by ROI crops taken directly from the padded Y/U/V planes
+        (``ops.roi.crop_yuv_rgb`` - the RGB frame never exists) feeding the
+        appearance embedder, all inside the same sharded program; only the
+        per-stream DeepSORT update scans over T.  Embedder params ride as a
+        replicated argument next to the detector params."""
+        key = ("packed_ds", src_h, src_w, t)
+        if key in self._jitted:
+            return self._jitted[key]
+        from rtmodt_tpu.ops.planar_stem import pad_planes
+        from rtmodt_tpu.ops.roi import crop_yuv_rgb
+        from rtmodt_tpu.ops.s2d_front import apply_front
+        from rtmodt_tpu.ops.yuv import (content_dims, packed_meta,
+                                       unletterbox_boxes_packed)
+        from rtmodt_tpu.tracking.deepsort import deepsort_update
+
+        dcfg = self.cfg.detection
+        dscfg = self._ds_cfg
+        embedder = self._embedder
+        crop_hw = tuple(dscfg.crop_hw)
+        dtype = jnp.bfloat16 if dcfg.half else jnp.float32
+        model = self.detector.model
+        class_mask = self.detector._class_mask
+        size = dcfg.input_size
+        s_streams = self.num_streams
+        ch, cw = content_dims(src_h, src_w, size)
+        meta = packed_meta(src_h, src_w, size)
+        pad_left, pad_top = meta.pad_left, meta.pad_top
+
+        def chunk(params, emb_params, state, y, u, v):
+            n = t * s_streams
+            yf = y.reshape(n, *y.shape[2:])
+            uf = u.reshape(n, *u.shape[2:])
+            vf = v.reshape(n, *v.shape[2:])
+            yp, up, vp = pad_planes(yf, uf, vf, size, pad_left, pad_top)
+            bd, cl = apply_front(params, model, yp, up, vp, dcfg.quant, dtype)
+
+            def per_frame(bdi, cli, ypi, upi, vpi):
+                res_lb = batched_nms_from_logits(
+                    bdi, cli, size, dcfg.conf_threshold, dcfg.iou_threshold,
+                    dcfg.max_detections, dcfg.nms_candidates, class_mask,
+                    dcfg.agnostic_nms, impl=dcfg.nms_impl)
+                crops = crop_yuv_rgb(ypi.astype(jnp.float32),
+                                     upi.astype(jnp.float32),
+                                     vpi.astype(jnp.float32),
+                                     res_lb.boxes, crop_hw)
+                emb = embedder.apply(emb_params, crops)
+                res = res_lb._replace(
+                    boxes=unletterbox_boxes_packed(res_lb.boxes, meta))
+                return res, emb
+
+            ress, embs = jax.vmap(per_frame)(bd, cl, yp, up, vp)
+            ress = jax.tree.map(
+                lambda a: a.reshape(t, s_streams, *a.shape[1:]), ress)
+            embs = embs.reshape(t, s_streams, *embs.shape[1:])
+
+            def body(st, xs):
+                res_s, emb_s = xs
+                st, outs = jax.vmap(
+                    lambda ss, rr, ee: deepsort_update(
+                        ss, rr.boxes, rr.scores, rr.classes, rr.valid,
+                        ee, dscfg)
+                )(st, res_s, emb_s)
+                return st, outs
+
+            state, outs = jax.lax.scan(body, state, (ress, embs))
+            return state, outs, ress
+
+        ts_shard = NamedSharding(self.mesh, P(None, "data"))
+
+        def build():
+            return jax.jit(
+                chunk,
+                in_shardings=(self._repl, self._repl, self._stream_shard,
+                              ts_shard, ts_shard, ts_shard),
+                out_shardings=(self._stream_shard, ts_shard, ts_shard),
+                donate_argnums=(2,),
+            )
+
+        from rtmodt_tpu.runtime.aot_cache import aot_cached
+
+        def example_args():
+            y0 = np.zeros((t, s_streams, ch, cw), np.uint8)
+            u0 = np.zeros((t, s_streams, ch // 2, cw // 2), np.uint8)
+            return (self.params, self.emb_params, self.state,
+                    y0, u0, u0.copy())
+
+        param_sig = jax.tree.map(
+            lambda x: (tuple(x.shape), str(x.dtype)),
+            (self.params, self.emb_params))
+        self._jitted[key] = aot_cached(
+            ("msp_packed_ds", repr(dcfg), self._mot_repr, s_streams,
+             tuple(self.mesh.shape.items()), src_h, src_w, t, param_sig),
+            build, example_args)
+        return self._jitted[key]
+
     def submit_chunk_packed(self, planes, src_h: int, src_w: int):
         """Async-submit planar I420 chunks: (y (T,S,ch,cw), u, v) uint8."""
         y, u, v = planes
         t = y.shape[0]
-        fn = self._packed_chunk_for(src_h, src_w, t)
         sh = NamedSharding(self.mesh, P(None, "data"))
-        self.state, outs, ress = fn(
-            self.params, self.state,
-            jax.device_put(y, sh), jax.device_put(u, sh), jax.device_put(v, sh))
+        dev = (jax.device_put(y, sh), jax.device_put(u, sh),
+               jax.device_put(v, sh))
+        if self._is_deepsort:
+            fn = self._packed_chunk_deepsort_for(src_h, src_w, t)
+            self.state, outs, ress = fn(self.params, self.emb_params,
+                                        self.state, *dev)
+        else:
+            fn = self._packed_chunk_for(src_h, src_w, t)
+            self.state, outs, ress = fn(self.params, self.state, *dev)
         return outs, ress
 
     # ------------------------------------------------------------------

@@ -78,6 +78,64 @@ class TestMultiStream:
         assert bool(np.isfinite(jax.device_get(ress.scores)).all())
 
 
+class TestMultiStreamDeepSort:
+    """DeepSORT's appearance path inside the SPMD program: per-stream ROI
+    crops + embedder + association, state sharded over the mesh."""
+
+    @pytest.fixture(scope="class")
+    def ds_pipe(self):
+        from rtmodt_tpu.config import load_config
+        from rtmodt_tpu.parallel.mesh import create_mesh
+        from rtmodt_tpu.parallel.multistream import MultiStreamPipeline
+
+        cfg = load_config(overrides={
+            "detection": {"model": "yolov8n", "input_size": 128,
+                          "conf_threshold": 0.01, "nms_candidates": 32,
+                          "max_detections": 8, "classes": None},
+            "tracking": {"algorithm": "deepsort",
+                         "deepsort": {"max_tracks": 16, "n_init": 1,
+                                      "embedder": "random"}},
+            "profiling": {"per_stage": False},
+            "visualization": {"enabled": False},
+            "events": {"enabled": False},
+        })
+        return MultiStreamPipeline(cfg, num_streams=8, mesh=create_mesh(8))
+
+    def test_step_runs_appearance_path(self, ds_pipe):
+        from rtmodt_tpu.tracking.deepsort import DeepSortState
+
+        assert ds_pipe._is_deepsort and ds_pipe.emb_params is not None
+        frames = np.random.default_rng(0).integers(
+            0, 255, (8, 160, 160, 3), np.uint8)
+        outs, ress = ds_pipe.step(frames)
+        assert outs.boxes.shape == (8, 16, 4)
+        # the carried state is the batched DeepSORT pytree (features field)
+        assert isinstance(ds_pipe.state, DeepSortState)
+        assert ds_pipe.state.feat.shape == (8, 16, 128)
+        shard_counts = {len(x.sharding.device_set) for x in
+                        jax.tree.leaves(ds_pipe.state)}
+        assert shard_counts == {8}
+        assert np.isfinite(jax.device_get(outs).boxes).all()
+
+    def test_packed_chunk_deepsort(self, ds_pipe):
+        from rtmodt_tpu.ops.yuv import pack_chunk
+
+        t, s = 3, 8
+        raw = np.random.default_rng(3).integers(
+            0, 255, (t * s, 160, 160, 3), np.uint8)
+        (y, u, v), _meta = pack_chunk(raw, 128)
+        planes = (y.reshape(t, s, *y.shape[1:]),
+                  u.reshape(t, s, *u.shape[1:]),
+                  v.reshape(t, s, *v.shape[1:]))
+        outs, ress = ds_pipe.submit_chunk_packed(planes, 160, 160)
+        assert outs.boxes.shape == (t, s, 16, 4)
+        host = jax.device_get(outs)
+        assert np.isfinite(host.boxes).all()
+        # matched tracks must carry non-zero appearance features
+        feats = jax.device_get(ds_pipe.state.feat)
+        assert feats.shape == (s, 16, 128)
+
+
 class TestMultiStreamRun:
     def test_run_end_to_end_with_events(self, tmp_path):
         """Full multi-camera loop: 8 file streams -> time-aligned packed

@@ -20,7 +20,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(out_dir: str, chunk: int, iters: int) -> None:
+def capture(out_dir: str, chunk: int, iters: int,
+            algorithm: str = "bytetrack") -> None:
     import numpy as np
 
     from rtmodt_tpu.utils.jax_setup import setup_jax
@@ -35,6 +36,7 @@ def capture(out_dir: str, chunk: int, iters: int) -> None:
 
     cfg = load_config(overrides={
         "detection": {"model": "yolov8s", "input_size": 640},
+        "tracking": {"algorithm": algorithm},
         "profiling": {"per_stage": False, "warmup_frames": 0, "log_interval": 0},
         "visualization": {"enabled": False},
         "events": {"enabled": False},
@@ -92,10 +94,12 @@ def main() -> None:
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--out", default="/tmp/rtmodt_trace")
+    ap.add_argument("--algorithm", default="bytetrack",
+                    choices=["bytetrack", "deepsort", "ocsort"])
     ap.add_argument("--summarize-only", action="store_true")
     args = ap.parse_args()
     if not args.summarize_only:
-        capture(args.out, args.chunk, args.iters)
+        capture(args.out, args.chunk, args.iters, args.algorithm)
     summarize(args.out, args.iters, args.chunk)
 
 
