@@ -139,6 +139,24 @@ def build_stopgo(frames: int, objects: int, h: int = 480, w: int = 840,
     return frames_bgr, gt
 
 
+def build_dense(frames: int, objects: int, h: int = 480, w: int = 840,
+                seed: int = 0):
+    """Dense persistent-id crowd (utils/synthetic.py::dense_moving_scene):
+    oracle detections at density, isolating association cost/quality from
+    the detector (the quality companion to the full-detect density table
+    in docs/RESULTS.md)."""
+    from rtmodt_tpu.utils.synthetic import dense_moving_scene
+
+    frames_bgr, gt = [], {}
+    for t in range(frames):
+        frame, boxes, _labels, ids = dense_moving_scene(
+            t, h, w, n_objects=objects, seed=seed)
+        frames_bgr.append(frame)
+        gt[t + 1] = {int(i): np.asarray(b, np.float32)
+                     for i, b in zip(ids, boxes)}
+    return frames_bgr, gt
+
+
 def run_tracker(name: str, kwargs: dict, frames_bgr, gt):
     from rtmodt_tpu.detection.detector import Detections
     from rtmodt_tpu.evaluation.mot_eval import evaluate_mot
@@ -170,13 +188,16 @@ def main() -> None:
     ap.add_argument("--embedder", default="checkpoints/embedder.npz")
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--pairs", type=int, default=3)
-    ap.add_argument("--scenario", choices=["bounce", "stopgo"],
+    ap.add_argument("--scenario", choices=["bounce", "stopgo", "dense"],
                     default="bounce",
                     help="bounce: head-on crossing pairs (appearance wins); "
                          "stopgo: re-appearance at last observation "
-                         "(observation-centric recovery wins)")
+                         "(observation-centric recovery wins); "
+                         "dense: persistent-id crowd at --objects density")
     ap.add_argument("--gap", type=int, default=8,
                     help="stopgo occlusion length (frames)")
+    ap.add_argument("--objects", type=int, default=64,
+                    help="dense scenario object count")
     ap.add_argument("--json", default=None)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -189,6 +210,8 @@ def main() -> None:
     if args.scenario == "stopgo":
         frames_bgr, gt = build_stopgo(args.frames, args.pairs * 2,
                                       gap=args.gap)
+    elif args.scenario == "dense":
+        frames_bgr, gt = build_dense(args.frames, args.objects)
     else:
         frames_bgr, gt = build_scenario(args.frames, args.pairs)
     ds_base = dict(n_init=1, max_age=30, min_confidence=0.3, max_dist=0.4)
