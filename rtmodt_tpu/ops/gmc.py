@@ -1,0 +1,150 @@
+"""Global (camera) motion estimation on device: FFT phase correlation.
+
+Kalman trackers assume a static camera: a pan/tilt makes every track's
+prediction miss sideways at once, the IoU gate fails fleet-wide, and ids
+churn (BoT-SORT, Aharon et al. 2022, measured this as the dominant failure
+on moving-camera MOT).  BoT-SORT's fix is a host-side OpenCV sparse-flow
+affine per frame.  The TPU-native formulation estimates the dominant
+TRANSLATION by phase correlation of consecutive downsampled luma grids -
+two tiny FFTs and an argmax that ride the SAME XLA program as detection
+(the luma plane is already on device in the packed I420 paths), so
+compensation costs no host round trip and no extra dispatch.
+
+Scope: translation covers pan/tilt - the dominant component of PTZ and
+vehicle-mounted motion.  Rotation/zoom would need a log-polar second stage;
+out of scope (BoT-SORT's own affine is near-identity rotation in practice).
+
+The reference (gabbarX RTMODT) has no camera-motion handling at all
+(src/tracking/tracker.py runs raw IoU on Kalman predictions); this is a
+framework extension, off by default (``tracking.gmc.method: none``).
+
+Sign convention: ``phase_shift`` returns the CONTENT displacement d such
+that cur(x) ~= prev(x - d), i.e. how far scene content moved in image
+coordinates.  Track state stored in previous-frame coordinates is brought
+into current-frame coordinates by adding d (``compensate``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def luma_grid(img: jnp.ndarray, grid: int = 128) -> jnp.ndarray:
+    """Downsample a frame to a fixed (grid, grid) f32 luma raster.
+
+    ``img``: (H, W) luma plane (uint8/float) or (H, W, 3) BGR/RGB uint8 -
+    channel mean is luma enough for correlation (the exact BT.601 weights
+    don't change where the peak is).  Resize is bilinear (jax.image), so
+    the op stays a pair of small matmuls on device.
+    """
+    import jax
+
+    img = img.astype(jnp.float32)
+    if img.ndim == 3:
+        img = img.mean(axis=-1)
+    return jax.image.resize(img, (grid, grid), method="linear")
+
+
+def _hann2d(n: int) -> jnp.ndarray:
+    w = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(n) / n)
+    return w[:, None] * w[None, :]
+
+
+def phase_shift(
+    prev: jnp.ndarray,
+    cur: jnp.ndarray,
+    min_ratio: float = 1.5,
+    max_shift_frac: float = 0.25,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Translation between two (G, G) luma grids by phase correlation.
+
+    Returns ``(shift_xy (2,) f32, conf () f32)``: the content displacement
+    in GRID units (dx, dy) and the peak-to-second-peak ratio used to gate
+    it.  Absolute peak height varies ~5x with scene bandwidth, so the
+    confidence is the RATIO of the main peak to the highest peak outside
+    its 15x15 neighborhood (classic PSR idea): >= ~3 on real pans, ~1.1 on
+    uncorrelated frames (scene cuts), 0 on flat frames.  The shift is
+    zeroed when ``conf < min_ratio`` or the wrap-unambiguous range is
+    exceeded (``|shift| > G * max_shift_frac``) - a wrong confident shift
+    is worse for the tracker than none.
+
+    Textbook Kuglin-Hines: with cur(x) = prev(x - d), the normalized cross
+    power spectrum F(cur) * conj(F(prev)) / |.| equals exp(-i 2 pi k d / G),
+    whose inverse FFT is a delta at d (circularly).  Hann windowing kills
+    the wrap-around edge correlation; a 3-point parabolic fit around the
+    peak recovers the sub-pixel fraction.
+    """
+    g = prev.shape[-1]
+    w = _hann2d(g)
+    a = (prev - prev.mean()) * w
+    b = (cur - cur.mean()) * w
+    fa = jnp.fft.rfft2(a)
+    fb = jnp.fft.rfft2(b)
+    r = fb * jnp.conj(fa)
+    r = r / (jnp.abs(r) + 1e-9)
+    corr = jnp.fft.irfft2(r, s=(g, g))                        # (G, G)
+
+    flat = jnp.argmax(corr)
+    py, px = flat // g, flat % g
+    peak = corr.reshape(-1)[flat]
+
+    # second peak outside the (2*excl+1)^2 circular neighborhood of the
+    # main one; excl=7 clears the broad main lobe of smooth scenes
+    excl = 7
+    iy = (jnp.arange(g)[:, None] - py + g // 2) % g - g // 2
+    ix = (jnp.arange(g)[None, :] - px + g // 2) % g - g // 2
+    near = (jnp.abs(iy) <= excl) & (jnp.abs(ix) <= excl)
+    second = jnp.max(jnp.where(near, -jnp.inf, corr))
+    conf = peak / jnp.maximum(second, 1e-9)
+
+    def _axis(p, left, right):
+        """Wrap to signed + parabolic sub-pixel along one axis."""
+        denom = left - 2.0 * peak + right
+        frac = jnp.where(jnp.abs(denom) > 1e-9,
+                         0.5 * (left - right) / denom, 0.0)
+        frac = jnp.clip(frac, -0.5, 0.5)
+        signed = ((p + g // 2) % g) - g // 2
+        return signed.astype(jnp.float32) + frac
+
+    dy = _axis(py, corr[(py - 1) % g, px], corr[(py + 1) % g, px])
+    dx = _axis(px, corr[py, (px - 1) % g], corr[py, (px + 1) % g])
+
+    limit = g * max_shift_frac
+    ok = (conf >= min_ratio) & (peak > 1e-6) \
+        & (jnp.abs(dx) <= limit) & (jnp.abs(dy) <= limit)
+    shift = jnp.where(ok, jnp.stack([dx, dy]), jnp.zeros((2,), jnp.float32))
+    return shift, conf
+
+
+# Track-state fields holding xyxy boxes (any leading batch axes): shifted by
+# (dx, dy, dx, dy).  kf_mean holds (cx, cy, a, h, velocities): positions
+# shift, aspect/height/velocities don't; the covariance is INVARIANT under
+# pure translation (BoT-SORT rotates it only because its affine may rotate).
+_BOX_FIELDS = frozenset({"boxes", "last_obs", "obs_ring"})
+
+
+def compensate(state, shift_xy: jnp.ndarray):
+    """Bring a fixed-slot tracker state (TrackState / DeepSortState /
+    OCSortState - any NamedTuple with the shared field layout) from
+    previous-frame into current-frame coordinates.
+
+    ``shift_xy``: (2,) f32 content displacement in SOURCE pixels.  Works
+    batched: leading stream axes on the state broadcast against the
+    trailing-dim update.  Inactive slots shift too - harmless, their
+    contents are dead until a birth overwrites them.
+
+    OC-SORT note: ``velocity`` (unit inter-observation direction) is left
+    as stored; with per-frame compensation consecutive observations live in
+    almost-identical compensated frames, so the error is bounded by one
+    frame of residual motion (same approximation BoT-SORT ships).
+    """
+    shift_xy = shift_xy.astype(jnp.float32)
+    d4 = jnp.concatenate([shift_xy, shift_xy])                 # (4,)
+    upd = {}
+    for name in state._fields:
+        if name in _BOX_FIELDS:
+            upd[name] = getattr(state, name) + d4
+        elif name == "kf_mean":
+            km = getattr(state, name)
+            upd[name] = km.at[..., 0:2].add(shift_xy)
+    return state._replace(**upd)

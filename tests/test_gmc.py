@@ -1,0 +1,180 @@
+"""Oracle tests for ops/gmc.py: phase-correlation shift recovery and
+tracker-state compensation (the TPU-native BoT-SORT-style GMC extension;
+the reference has no camera-motion handling at all).
+
+Textures are BROADBAND (band-limited Fourier noise): phase correlation
+whitens the spectrum, so sparse-spectrum scenes (a few sinusoids) are the
+one place it degenerates - and also the one place real cameras never
+produce.  Circular Fourier shifts give exact sub-pixel oracles; canvas
+crops model a real pan (new content enters at the edges).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rtmodt_tpu.ops.gmc import compensate, luma_grid, phase_shift
+
+
+def _noise_field(g: int, seed: int = 0, smooth: float = 8.0) -> np.ndarray:
+    """Smooth broadband scene: low-pass-filtered complex Fourier noise."""
+    rng = np.random.default_rng(seed)
+    spec = rng.normal(size=(g, g)) + 1j * rng.normal(size=(g, g))
+    fy = np.fft.fftfreq(g)[:, None]
+    fx = np.fft.fftfreq(g)[None, :]
+    spec *= np.exp(-(np.sqrt(fy * fy + fx * fx) * g / smooth) ** 2)
+    img = np.real(np.fft.ifft2(spec))
+    return 80.0 + 40.0 * img / np.abs(img).max()
+
+
+def _circular_shift(img: np.ndarray, dx: float, dy: float) -> np.ndarray:
+    """Exact (sub-pixel) circular translation via a Fourier phase ramp."""
+    g = img.shape[0]
+    fy = np.fft.fftfreq(g)[:, None]
+    fx = np.fft.fftfreq(g)[None, :]
+    return np.real(np.fft.ifft2(np.fft.fft2(img)
+                                * np.exp(-2j * np.pi * (fy * dy + fx * dx))))
+
+
+class TestPhaseShift:
+    def test_integer_shift_recovered(self):
+        prev = _noise_field(128)
+        for dx, dy in [(5, 0), (0, -7), (12, 9), (-15, -3)]:
+            cur = _circular_shift(prev, dx, dy)
+            shift, conf = phase_shift(jnp.asarray(prev), jnp.asarray(cur))
+            assert float(conf) > 1.5
+            np.testing.assert_allclose(np.asarray(shift), [dx, dy], atol=0.3)
+
+    def test_subpixel_shift(self):
+        prev = _noise_field(128, seed=3)
+        for dx, dy in [(2.5, 0.0), (-3.25, 1.75), (0.4, -0.4)]:
+            cur = _circular_shift(prev, dx, dy)
+            shift, _ = phase_shift(jnp.asarray(prev), jnp.asarray(cur))
+            np.testing.assert_allclose(np.asarray(shift), [dx, dy], atol=0.35)
+
+    def test_noncircular_pan_via_canvas_crop(self):
+        """A real pan: crops of one big scene - content leaves/enters at
+        the edges, the Hann window absorbs it.  Content displacement is
+        MINUS the camera motion."""
+        g = 128
+        big = _noise_field(2 * g, seed=7)
+        o = 32
+        prev = big[o:o + g, o:o + g]
+        for cam_dx, cam_dy in [(8, 0), (-10, 5), (15, 15)]:
+            cur = big[o + cam_dy:o + cam_dy + g, o + cam_dx:o + cam_dx + g]
+            shift, conf = phase_shift(jnp.asarray(prev), jnp.asarray(cur))
+            assert float(conf) > 1.5
+            np.testing.assert_allclose(
+                np.asarray(shift), [-cam_dx, -cam_dy],
+                atol=0.2 + 0.1 * max(abs(cam_dx), abs(cam_dy)))
+
+    def test_identical_frames_zero(self):
+        img = jnp.asarray(_noise_field(64, seed=1))
+        shift, conf = phase_shift(img, img)
+        np.testing.assert_allclose(np.asarray(shift), [0.0, 0.0], atol=1e-3)
+        assert float(conf) > 1.5
+
+    def test_flat_frames_gated_to_zero(self):
+        a = jnp.full((64, 64), 37.0)
+        shift, conf = phase_shift(a, a)
+        # no texture -> no usable peak -> the gate must refuse to guess
+        assert float(conf) < 1.5
+        np.testing.assert_array_equal(np.asarray(shift), [0.0, 0.0])
+
+    def test_uncorrelated_frames_gated(self):
+        # a scene cut: two INDEPENDENT scenes must not produce a shift
+        g = 128
+        big = _noise_field(2 * g, seed=9)
+        shift, conf = phase_shift(jnp.asarray(big[:g, :g]),
+                                  jnp.asarray(big[g:, g:]))
+        assert float(conf) < 1.5
+        np.testing.assert_array_equal(np.asarray(shift), [0.0, 0.0])
+
+    def test_excessive_shift_gated(self):
+        g = 64
+        prev = _noise_field(g, seed=2)
+        cur = _circular_shift(prev, 30.0, 0.0)    # 30 px > 64 * 0.25
+        shift, _ = phase_shift(jnp.asarray(prev), jnp.asarray(cur),
+                               max_shift_frac=0.25)
+        np.testing.assert_array_equal(np.asarray(shift), [0.0, 0.0])
+
+
+class TestLumaGrid:
+    def test_shapes_and_channel_mean(self):
+        bgr = np.zeros((240, 320, 3), np.uint8)
+        bgr[:, :, 0] = 30
+        bgr[:, :, 2] = 90
+        out = luma_grid(jnp.asarray(bgr), grid=64)
+        assert out.shape == (64, 64)
+        np.testing.assert_allclose(np.asarray(out), 40.0, atol=1e-3)
+
+    def test_roundtrip_through_resize_still_correlates(self):
+        # full pipeline: 480p frames -> 128 grid -> shift in grid units
+        h, w, g = 480, 640, 128
+        big = _noise_field(1024, seed=5, smooth=24.0)
+        dx_src = 24                           # pure horizontal camera pan
+        prev = big[100:100 + h, 100:100 + w]
+        cur = big[100:100 + h, 100 + dx_src:100 + dx_src + w]
+        shift, conf = phase_shift(luma_grid(jnp.asarray(prev), g),
+                                  luma_grid(jnp.asarray(cur), g))
+        assert float(conf) > 1.5
+        dx_grid = -dx_src * g / w             # content moves opposite
+        np.testing.assert_allclose(float(shift[0]), dx_grid, atol=0.4)
+        np.testing.assert_allclose(float(shift[1]), 0.0, atol=0.4)
+
+
+class TestCompensate:
+    def test_bytetrack_state_fields(self):
+        from rtmodt_tpu.tracking.bytetrack import init_track_state
+
+        st = init_track_state(8)
+        st = st._replace(
+            boxes=jnp.arange(32, dtype=jnp.float32).reshape(8, 4),
+            kf_mean=jnp.ones((8, 8), jnp.float32),
+            kf_cov=jnp.full(st.kf_cov.shape, 2.0),
+        )
+        out = compensate(st, jnp.asarray([3.0, -2.0]))
+        np.testing.assert_allclose(
+            np.asarray(out.boxes - st.boxes),
+            np.tile([3.0, -2.0, 3.0, -2.0], (8, 1)))
+        np.testing.assert_allclose(np.asarray(out.kf_mean[:, 0]), 4.0)
+        np.testing.assert_allclose(np.asarray(out.kf_mean[:, 1]), -1.0)
+        # aspect/height/velocities and the covariance are translation-invariant
+        np.testing.assert_allclose(np.asarray(out.kf_mean[:, 2:]), 1.0)
+        np.testing.assert_array_equal(np.asarray(out.kf_cov),
+                                      np.asarray(st.kf_cov))
+        assert out.track_id.dtype == st.track_id.dtype
+
+    def test_ocsort_observation_fields(self):
+        from rtmodt_tpu.tracking.ocsort import init_ocsort_state
+
+        st = init_ocsort_state(4, delta_t=2)
+        st = st._replace(
+            last_obs=jnp.ones((4, 4), jnp.float32),
+            obs_ring=jnp.ones((4, 3, 4), jnp.float32),
+        )
+        out = compensate(st, jnp.asarray([1.0, 2.0]))
+        np.testing.assert_allclose(np.asarray(out.last_obs),
+                                   np.tile([2.0, 3.0, 2.0, 3.0], (4, 1)))
+        np.testing.assert_allclose(np.asarray(out.obs_ring[:, 1]),
+                                   np.tile([2.0, 3.0, 2.0, 3.0], (4, 1)))
+        # unit observation velocity is direction-only: untouched
+        np.testing.assert_array_equal(np.asarray(out.velocity),
+                                      np.asarray(st.velocity))
+
+    def test_batched_stream_axis(self):
+        import jax
+
+        from rtmodt_tpu.tracking.bytetrack import init_track_state
+
+        st = jax.tree.map(lambda x: jnp.stack([x, x]), init_track_state(4))
+        out = compensate(st, jnp.asarray([5.0, 0.0]))
+        assert out.boxes.shape == (2, 4, 4)
+        np.testing.assert_allclose(np.asarray(out.boxes[..., 0]), 5.0)
+
+    def test_zero_shift_is_identity(self):
+        from rtmodt_tpu.tracking.deepsort import init_deepsort_state
+
+        st = init_deepsort_state(4, 16)
+        out = compensate(st, jnp.zeros((2,)))
+        for a, b in zip(out, st):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
