@@ -150,9 +150,25 @@ class OCSortConfig:
 
 
 @dataclass
+class GMCConfig:
+    """Camera (global) motion compensation - framework extension
+    (ops/gmc.py; the reference has none).  With ``method: phase`` the
+    dominant scene translation between consecutive frames is estimated by
+    FFT phase correlation of downsampled luma grids ON DEVICE and applied
+    to every tracker's state before association, so pans/tilts don't churn
+    track ids.  Applies to all three trackers."""
+
+    method: str = "none"                # none | phase (FFT phase correlation)
+    grid: int = 128                     # luma correlation raster (G x G)
+    min_ratio: float = 1.5              # peak/second-peak confidence gate
+    max_shift_frac: float = 0.25        # reject |shift| > grid * frac
+
+
+@dataclass
 class TrackingConfig:
     algorithm: str = "bytetrack"
     trail_length: int = 30
+    gmc: GMCConfig = field(default_factory=GMCConfig)
     bytetrack: ByteTrackConfig = field(default_factory=ByteTrackConfig)
     deepsort: DeepSortConfig = field(default_factory=DeepSortConfig)
     ocsort: OCSortConfig = field(default_factory=OCSortConfig)
@@ -406,6 +422,17 @@ def _validate(cfg: PipelineConfig) -> None:
     if cfg.tracking.algorithm not in ("bytetrack", "deepsort", "ocsort"):
         raise ValueError(f"tracking.algorithm must be bytetrack|deepsort|ocsort, "
                          f"got {cfg.tracking.algorithm}")
+    g = cfg.tracking.gmc
+    if g.method not in ("none", "phase"):
+        raise ValueError(f"tracking.gmc.method must be none|phase, got {g.method}")
+    if g.grid < 32:
+        raise ValueError(f"tracking.gmc.grid must be >= 32, got {g.grid}")
+    if g.min_ratio < 1.0:
+        raise ValueError(f"tracking.gmc.min_ratio must be >= 1.0, got {g.min_ratio}")
+    if g.method == "phase" and cfg.tracking.bytetrack.assignment == "lapjv" \
+            and cfg.tracking.algorithm == "bytetrack":
+        raise ValueError("tracking.gmc is device-side and not supported with "
+                         "the host lapjv backend (assignment: lapjv)")
     oc = cfg.tracking.ocsort
     if oc.min_hits < 1:
         raise ValueError(f"tracking.ocsort.min_hits must be >= 1, got {oc.min_hits}")

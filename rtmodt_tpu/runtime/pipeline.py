@@ -60,6 +60,7 @@ class Pipeline:
             bytetrack=cfg.tracking.bytetrack,
             deepsort=cfg.tracking.deepsort,
             ocsort=cfg.tracking.ocsort,
+            gmc=cfg.tracking.gmc,
         )
         self._is_deepsort = self.tracker.algorithm == "deepsort"
         # motion-only tracker update shared by the fused/packed/chunked
@@ -112,6 +113,10 @@ class Pipeline:
             show_hud=v.show_hud, trail_length=v.trail_length,
         ) if v.enabled else None
 
+        if cfg.tracking.gmc.method != "none":
+            logger.warning("tracking.gmc is applied on the facade "
+                           "update() path only for now; the fused/packed "
+                           "pipeline programs run uncompensated")
         self._per_stage = cfg.profiling.per_stage
         self._trace_state = {"frames_left": 0, "active": False}
         self._stage_fns: dict[tuple[int, int], Any] = {}

@@ -66,6 +66,7 @@ class MultiObjectTracker:
         self._trail_seen: dict[int, int] = {}
         self._host = None
         self._embed_fns: dict = {}
+        self._setup_gmc(kwargs.get("gmc"))
 
         if self.algorithm == "deepsort":
             from rtmodt_tpu.config.loader import DeepSortConfig
@@ -146,6 +147,58 @@ class MultiObjectTracker:
                     f"({self.cfg.assignment}/{self.cfg.motion_model})")
 
     # ------------------------------------------------------------------
+    def _setup_gmc(self, gmc) -> None:
+        """Camera-motion compensation state (``tracking.gmc``, ops/gmc.py).
+
+        When enabled, ``update(detections, frame)`` estimates the dominant
+        scene translation between consecutive frames by phase correlation
+        and shifts the whole track state into current-frame coordinates
+        before association - the BoT-SORT insight, done with two tiny FFTs
+        on device instead of a host OpenCV sparse-flow pass."""
+        from rtmodt_tpu.config.loader import GMCConfig
+
+        if gmc is None or isinstance(gmc, GMCConfig):
+            self.gmc_cfg = gmc or GMCConfig()
+        else:
+            known = GMCConfig.__dataclass_fields__
+            self.gmc_cfg = GMCConfig(**{k: v for k, v in gmc.items()
+                                        if k in known})
+        self._gmc_prev = None
+        if self.gmc_cfg.method == "none":
+            return
+        from rtmodt_tpu.ops.gmc import compensate, luma_grid, phase_shift
+
+        cfg = self.gmc_cfg
+
+        @jax.jit
+        def grid_fn(frame):
+            return luma_grid(frame, cfg.grid)
+
+        @jax.jit
+        def shift_fn(prev, cur, scale_xy):
+            s, conf = phase_shift(prev, cur, cfg.min_ratio,
+                                  cfg.max_shift_frac)
+            return s * scale_xy, conf
+
+        self._gmc_grid_fn = grid_fn
+        self._gmc_shift_fn = shift_fn
+        self._gmc_comp = jax.jit(compensate)
+        logger.info(f"Tracker GMC enabled: phase correlation on a "
+                    f"{cfg.grid}x{cfg.grid} luma grid")
+
+    def _gmc_apply(self, frame: np.ndarray) -> None:
+        """Estimate camera motion vs the previous frame and compensate the
+        track state (no-op on the first frame / after reset)."""
+        cur = self._gmc_grid_fn(jax.device_put(frame))
+        if self._gmc_prev is not None:
+            h, w = frame.shape[:2]
+            scale = np.asarray([w / self.gmc_cfg.grid,
+                                h / self.gmc_cfg.grid], np.float32)
+            shift, _ = self._gmc_shift_fn(self._gmc_prev, cur, scale)
+            self.state = self._gmc_comp(self.state, shift)
+        self._gmc_prev = cur
+
+    # ------------------------------------------------------------------
     def embed_fn(self, normalized: bool = False):
         """Jitted (image, boxes) -> (D, E) embedding helper for deepsort.
 
@@ -209,6 +262,7 @@ class MultiObjectTracker:
 
     def reset(self) -> None:
         self._trail_map.clear()
+        self._gmc_prev = None
         if self._host is not None:
             self._host._tracks.clear()
             self._host._next_id = 1
@@ -233,6 +287,9 @@ class MultiObjectTracker:
                                     detections.class_id)
             self._prune_trails()
             return [self._to_track(r, names) for r in raw]
+
+        if self.gmc_cfg.method != "none" and frame is not None:
+            self._gmc_apply(frame)
 
         d = len(detections)
         # pad to power-of-two buckets (min 8): a fresh XLA trace/compile per

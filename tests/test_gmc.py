@@ -122,6 +122,106 @@ class TestLumaGrid:
         np.testing.assert_allclose(float(shift[1]), 0.0, atol=0.4)
 
 
+def _shake_scene(frames: int = 14, h: int = 160, w: int = 240,
+                 amp: float = 20.0, seed: int = 0):
+    """Miniature camera-shake scene (tools/compare_trackers.py --scenario
+    shake): multi-scale textured world, white-noise camera jumps, two
+    slowly-drifting objects.  Returns (frames_bgr, gt_by_frame)."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    m = int(amp) + 20
+    ch, cw = h + 2 * m, w + 2 * m
+    acc = np.zeros((ch, cw, 3), np.float32)
+    for sigma, wgt in ((2, 1.0), (8, 2.0), (24, 4.0)):
+        n = rng.integers(0, 255, (ch, cw, 3)).astype(np.float32)
+        acc += wgt * (cv2.GaussianBlur(n, (0, 0), sigma) - 127.5)
+    acc = (acc - acc.min()) / (acc.max() - acc.min() + 1e-9)
+    canvas = (20 + 200 * acc).astype(np.uint8)
+
+    bw, bh = 26, 34
+    objs = [(1, m + 50.0, m + 40.0, 0.8, 0.4, (0, 0, 255)),
+            (2, m + 150.0, m + 90.0, -0.8, -0.4, (255, 255, 0))]
+    frames_bgr, gt = [], {}
+    for t in range(frames):
+        ox = float(m) if t == 0 else float(m + rng.uniform(-amp, amp))
+        oy = float(m) if t == 0 else float(m + rng.uniform(-amp, amp))
+        oxi, oyi = int(round(ox)), int(round(oy))
+        frame = canvas[oyi:oyi + h, oxi:oxi + w].copy()
+        vis = {}
+        for oid, wx, wy, vx, vy, color in objs:
+            xi = int(round(max(0, min(w - bw, wx + vx * t - oxi))))
+            yi = int(round(max(0, min(h - bh, wy + vy * t - oyi))))
+            frame[yi:yi + bh, xi:xi + bw] = color
+            vis[oid] = np.array([xi, yi, xi + bw, yi + bh], np.float32)
+        frames_bgr.append(frame)
+        gt[t + 1] = vis
+    return frames_bgr, gt
+
+
+def _run_facade(frames_bgr, gt, **tracker_kwargs):
+    from rtmodt_tpu.detection.detector import Detections
+    from rtmodt_tpu.evaluation.mot_eval import evaluate_mot
+    from rtmodt_tpu.tracking.tracker import MultiObjectTracker
+
+    tr = MultiObjectTracker(**tracker_kwargs)
+    pred = {}
+    for t, frame in enumerate(frames_bgr):
+        vis = gt[t + 1]
+        dets = Detections(
+            np.stack(list(vis.values())), np.full(len(vis), 0.9, np.float32),
+            np.zeros(len(vis), np.int32), ["obj"])
+        tracks = tr.update(dets, frame)
+        pred[t + 1] = {tk.track_id: np.asarray(tk.xyxy, np.float64)
+                       for tk in tracks}
+    to_xywh = lambda d: {f: {i: np.array([b[0], b[1], b[2] - b[0],
+                                          b[3] - b[1]]) for i, b in v.items()}
+                         for f, v in d.items()}
+    return evaluate_mot(to_xywh(gt), to_xywh(pred))
+
+
+class TestFacadeGMC:
+    """End-to-end: the façade estimates camera motion from the frames it is
+    already given and compensates the track state before association."""
+
+    def test_shake_scene_gmc_restores_identity(self):
+        frames_bgr, gt = _shake_scene()
+        base = _run_facade(frames_bgr, gt, algorithm="bytetrack",
+                           bytetrack=dict(match_metric="iou_distance"))
+        comp = _run_facade(frames_bgr, gt, algorithm="bytetrack",
+                           bytetrack=dict(match_metric="iou_distance"),
+                           gmc=dict(method="phase", grid=64))
+        # without compensation the white-noise jumps break the IoU gate
+        assert base["idf1"] < 0.7
+        assert comp["idf1"] > 0.95
+        assert comp["num_switches"] == 0
+
+    def test_static_camera_is_unharmed(self):
+        # same scene WITHOUT camera motion: GMC must be a no-op
+        frames_bgr, gt = _shake_scene(amp=0.0)
+        base = _run_facade(frames_bgr, gt, algorithm="bytetrack")
+        comp = _run_facade(frames_bgr, gt, algorithm="bytetrack",
+                           gmc=dict(method="phase", grid=64))
+        assert comp["idf1"] >= base["idf1"] - 1e-9
+        assert comp["idf1"] > 0.95
+
+    def test_reset_clears_gmc_history(self):
+        from rtmodt_tpu.detection.detector import Detections
+        from rtmodt_tpu.tracking.tracker import MultiObjectTracker
+
+        frames_bgr, gt = _shake_scene(frames=3)
+        tr = MultiObjectTracker(algorithm="bytetrack",
+                                gmc=dict(method="phase", grid=64))
+        vis = gt[1]
+        dets = Detections(np.stack(list(vis.values())),
+                          np.full(len(vis), 0.9, np.float32),
+                          np.zeros(len(vis), np.int32), ["obj"])
+        tr.update(dets, frames_bgr[0])
+        assert tr._gmc_prev is not None
+        tr.reset()
+        assert tr._gmc_prev is None
+
+
 class TestCompensate:
     def test_bytetrack_state_fields(self):
         from rtmodt_tpu.tracking.bytetrack import init_track_state

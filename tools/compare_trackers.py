@@ -157,6 +157,61 @@ def build_dense(frames: int, objects: int, h: int = 480, w: int = 840,
     return frames_bgr, gt
 
 
+def build_shake(frames: int, objects: int, h: int = 480, w: int = 840,
+                amp: float = 35.0, seed: int = 0):
+    """Camera-shake scenario (the GMC case, ops/gmc.py): a textured world
+    canvas viewed through a camera window that JUMPS uniform(-amp, amp)
+    each frame - white-noise jerk no Kalman velocity can predict - while
+    the objects drift slowly in world coordinates.  At amp=35 and 48 px
+    boxes, consecutive frames routinely have ZERO box overlap, so every
+    uncompensated IoU gate fails fleet-wide; phase correlation reads the
+    jump off the background and restores association."""
+    import cv2
+
+    from rtmodt_tpu.utils.synthetic import reid_patch
+
+    rng = np.random.default_rng(seed)
+    m = int(np.ceil(amp)) + 40                    # canvas margin
+    # multi-scale texture: natural scenes have structure at ALL scales;
+    # single-scale fine noise washes out under the GMC luma downsample
+    ch, cw = h + 2 * m, w + 2 * m
+    acc = np.zeros((ch, cw, 3), np.float32)
+    for sigma, wgt in ((3, 1.0), (12, 2.0), (48, 4.0)):
+        n = rng.integers(0, 255, (ch, cw, 3)).astype(np.float32)
+        acc += wgt * (cv2.GaussianBlur(n, (0, 0), sigma) - 127.5)
+    acc = (acc - acc.min()) / (acc.max() - acc.min() + 1e-9)
+    canvas = (20 + 200 * acc).astype(np.uint8)
+
+    bw, bh = 48, 64
+    objs = []                                     # world-coord positions
+    for i in range(objects):
+        wx = m + 60.0 + rng.uniform(0, w - 200)
+        wy = m + 60.0 + rng.uniform(0, h - 200)
+        vx, vy = rng.uniform(-2, 2, 2)            # slow world drift
+        objs.append((i + 1, wx, wy, vx, vy, i))
+
+    frames_bgr, gt = [], {}
+    ox, oy = float(m), float(m)
+    for t in range(frames):
+        if t:
+            ox = float(np.clip(m + rng.uniform(-amp, amp), 0, 2 * m))
+            oy = float(np.clip(m + rng.uniform(-amp, amp), 0, 2 * m))
+        oxi, oyi = int(round(ox)), int(round(oy))
+        frame = canvas[oyi:oyi + h, oxi:oxi + w].copy()
+        vis = {}
+        for oid, wx, wy, vx, vy, ident in objs:
+            x = wx + vx * t - oxi                 # image coords
+            y = wy + vy * t - oyi
+            xi = int(round(max(0, min(w - bw, x))))
+            yi = int(round(max(0, min(h - bh, y))))
+            frame[yi:yi + bh, xi:xi + bw] = reid_patch(ident, t, (bh, bw),
+                                                       seed=seed + 77)
+            vis[oid] = np.array([xi, yi, xi + bw, yi + bh], np.float32)
+        frames_bgr.append(frame)
+        gt[t + 1] = vis
+    return frames_bgr, gt
+
+
 def run_tracker(name: str, kwargs: dict, frames_bgr, gt):
     from rtmodt_tpu.detection.detector import Detections
     from rtmodt_tpu.evaluation.mot_eval import evaluate_mot
@@ -188,12 +243,14 @@ def main() -> None:
     ap.add_argument("--embedder", default="checkpoints/embedder.npz")
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--pairs", type=int, default=3)
-    ap.add_argument("--scenario", choices=["bounce", "stopgo", "dense"],
+    ap.add_argument("--scenario", choices=["bounce", "stopgo", "dense",
+                                           "shake"],
                     default="bounce",
                     help="bounce: head-on crossing pairs (appearance wins); "
                          "stopgo: re-appearance at last observation "
                          "(observation-centric recovery wins); "
-                         "dense: persistent-id crowd at --objects density")
+                         "dense: persistent-id crowd at --objects density; "
+                         "shake: white-noise camera jumps (GMC wins)")
     ap.add_argument("--gap", type=int, default=8,
                     help="stopgo occlusion length (frames)")
     ap.add_argument("--objects", type=int, default=64,
@@ -212,26 +269,48 @@ def main() -> None:
                                       gap=args.gap)
     elif args.scenario == "dense":
         frames_bgr, gt = build_dense(args.frames, args.objects)
+    elif args.scenario == "shake":
+        frames_bgr, gt = build_shake(args.frames, args.pairs * 2)
     else:
         frames_bgr, gt = build_scenario(args.frames, args.pairs)
     ds_base = dict(n_init=1, max_age=30, min_confidence=0.3, max_dist=0.4)
-    configs = [
-        ("bytetrack_reference_iou", dict(algorithm="bytetrack",
-         bytetrack=dict(match_metric="iou"))),
-        ("bytetrack_canonical", dict(algorithm="bytetrack",
-         bytetrack=dict(match_metric="iou_distance"))),
-        ("deepsort_random_embedder", dict(algorithm="deepsort",
-         deepsort=dict(ds_base, embedder="random"))),
-        ("ocsort", dict(algorithm="ocsort",
-         ocsort=dict(det_thresh=0.5, min_hits=1, max_age=30))),
-    ]
-    if os.path.exists(args.embedder):
-        configs.append(("deepsort_trained_embedder", dict(
-            algorithm="deepsort",
-            deepsort=dict(ds_base, embedder=args.embedder))))
+    gmc_on = dict(method="phase")
+    if args.scenario == "shake":
+        # the GMC A/B: same trackers with and without compensation
+        configs = [
+            ("bytetrack_canonical", dict(algorithm="bytetrack",
+             bytetrack=dict(match_metric="iou_distance"))),
+            ("bytetrack_gmc", dict(algorithm="bytetrack",
+             bytetrack=dict(match_metric="iou_distance"), gmc=gmc_on)),
+            ("ocsort", dict(algorithm="ocsort",
+             ocsort=dict(det_thresh=0.5, min_hits=1, max_age=30))),
+            ("ocsort_gmc", dict(algorithm="ocsort",
+             ocsort=dict(det_thresh=0.5, min_hits=1, max_age=30),
+             gmc=gmc_on)),
+            ("deepsort_gmc", dict(algorithm="deepsort",
+             deepsort=dict(ds_base, embedder=args.embedder if
+                           os.path.exists(args.embedder) else "random"),
+             gmc=gmc_on)),
+        ]
     else:
-        print(f"note: {args.embedder} not found - run tools/train_embedder.py "
-              "for the trained-embedder row", file=sys.stderr)
+        configs = [
+            ("bytetrack_reference_iou", dict(algorithm="bytetrack",
+             bytetrack=dict(match_metric="iou"))),
+            ("bytetrack_canonical", dict(algorithm="bytetrack",
+             bytetrack=dict(match_metric="iou_distance"))),
+            ("deepsort_random_embedder", dict(algorithm="deepsort",
+             deepsort=dict(ds_base, embedder="random"))),
+            ("ocsort", dict(algorithm="ocsort",
+             ocsort=dict(det_thresh=0.5, min_hits=1, max_age=30))),
+        ]
+        if os.path.exists(args.embedder):
+            configs.append(("deepsort_trained_embedder", dict(
+                algorithm="deepsort",
+                deepsort=dict(ds_base, embedder=args.embedder))))
+        else:
+            print(f"note: {args.embedder} not found - run "
+                  "tools/train_embedder.py for the trained-embedder row",
+                  file=sys.stderr)
 
     results = {}
     for name, kwargs in configs:
