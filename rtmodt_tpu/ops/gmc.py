@@ -42,6 +42,8 @@ def luma_grid(img: jnp.ndarray, grid: int = 128) -> jnp.ndarray:
     img = img.astype(jnp.float32)
     if img.ndim == 3:
         img = img.mean(axis=-1)
+    if img.shape == (grid, grid):       # already a grid: exact passthrough
+        return img
     return jax.image.resize(img, (grid, grid), method="linear")
 
 

@@ -44,6 +44,22 @@ from rtmodt_tpu.utils.logging import logger
 from rtmodt_tpu.visualization.renderer import FrameRenderer
 
 
+def _gmc_step(state, luma_src, carry, gcfg, scale_xy):
+    """Shared GMC body for the jitted programs: downsample this frame's
+    luma, phase-correlate against the carried previous grid, shift the
+    track state into current-frame coordinates (ops/gmc.py).  ``carry`` is
+    ``(prev_grid (G,G) f32, valid () f32)``; valid=0 silences the first
+    frame.  Returns (state', new_carry)."""
+    from rtmodt_tpu.ops.gmc import compensate, luma_grid, phase_shift
+
+    prev, valid = carry
+    cur = luma_grid(luma_src, gcfg.grid)
+    shift, _ = phase_shift(prev, cur, gcfg.min_ratio, gcfg.max_shift_frac)
+    state = compensate(
+        state, shift * valid * jnp.asarray(scale_xy, jnp.float32))
+    return state, (cur, jnp.float32(1.0))
+
+
 class Pipeline:
     """Orchestrates one stream end-to-end. Use ``run()`` for the CLI loop or
     ``step(frame, frame_id, ts)`` to drive it frame-by-frame."""
@@ -113,10 +129,16 @@ class Pipeline:
             show_hud=v.show_hud, trail_length=v.trail_length,
         ) if v.enabled else None
 
-        if cfg.tracking.gmc.method != "none":
-            logger.warning("tracking.gmc is applied on the facade "
-                           "update() path only for now; the fused/packed "
-                           "pipeline programs run uncompensated")
+        # camera-motion compensation (tracking.gmc, ops/gmc.py): every
+        # jitted detect+track program estimates the scene translation vs
+        # the previous frame from the SAME luma it already has on device
+        # and shifts the track state before association.  The carry is the
+        # previous frame's (G, G) luma grid + a validity scalar (0.0 until
+        # the first frame has been seen).
+        self._gmc_on = cfg.tracking.gmc.method == "phase"
+        self._gmc_repr = repr(cfg.tracking.gmc)
+        self._gmc_carry = None
+        self._gmc_reset()
         self._per_stage = cfg.profiling.per_stage
         self._trace_state = {"frames_left": 0, "active": False}
         self._stage_fns: dict[tuple[int, int], Any] = {}
@@ -183,9 +205,14 @@ class Pipeline:
         emb_params = self.tracker.embedder_params
         crop_hw = tuple(dscfg.crop_hw)
         donate = (1,) if self.cfg.parallel.donate_state else ()
+        gmc_on, gcfg = self._gmc_on, self.cfg.tracking.gmc
+        scale_xy = (w / gcfg.grid, h / gcfg.grid)
 
         @partial(jax.jit, donate_argnums=donate)
-        def step_fn(params, state, frame_u8):
+        def step_fn(params, state, frame_u8, gmc_grid=None, gmc_valid=None):
+            if gmc_on:          # static at trace time
+                state, carry = _gmc_step(state, frame_u8,
+                                         (gmc_grid, gmc_valid), gcfg, scale_xy)
             img, meta = letterbox(frame_u8, dcfg.input_size, dtype=dtype)
             box_dist, cls_logits = model.apply(params, img[None], train=False)
             res = batched_nms_from_logits(
@@ -201,6 +228,8 @@ class Pipeline:
             res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
             state, outputs = deepsort_update(
                 state, res.boxes, res.scores, res.classes, res.valid, feats, dscfg)
+            if gmc_on:
+                return state, outputs, res, carry
             return state, outputs, res
 
         self._fused_fns[key] = step_fn
@@ -218,9 +247,14 @@ class Pipeline:
         model = self.detector.model
         class_mask = self.detector._class_mask
         donate = (1,) if self.cfg.parallel.donate_state else ()
+        gmc_on, gcfg = self._gmc_on, self.cfg.tracking.gmc
+        scale_xy = (w / gcfg.grid, h / gcfg.grid)
 
         @partial(jax.jit, donate_argnums=donate)
-        def step_fn(params, state, frame_u8):
+        def step_fn(params, state, frame_u8, gmc_grid=None, gmc_valid=None):
+            if gmc_on:          # static at trace time
+                state, carry = _gmc_step(state, frame_u8,
+                                         (gmc_grid, gmc_valid), gcfg, scale_xy)
             img, meta = letterbox(frame_u8, dcfg.input_size, dtype=dtype)
             box_dist, cls_logits = model.apply(params, img[None], train=False)
             res = batched_nms_from_logits(
@@ -232,10 +266,42 @@ class Pipeline:
             res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
             state, outputs = mot_update(
                 state, res.boxes, res.scores, res.classes, res.valid)
+            if gmc_on:
+                return state, outputs, res, carry
             return state, outputs, res
 
         self._fused_fns[key] = step_fn
         return step_fn
+
+    def _gmc_reset(self) -> None:
+        """(Re)initialize the camera-motion carry: zero grid + valid=0, so
+        the first frame after init/warmup/reset never compensates."""
+        if self._gmc_on:
+            g = self.cfg.tracking.gmc.grid
+            self._gmc_carry = (jnp.zeros((g, g), jnp.float32),
+                               jnp.float32(0.0))
+
+    def _run_prog(self, fn, *args):
+        """Invoke a jitted detect+track program, threading the GMC carry
+        as trailing (grid, valid) args / trailing carry output when on."""
+        if self._gmc_on:
+            *rest, carry = fn(*args, *self._gmc_carry)
+            self._gmc_carry = carry
+            return rest
+        return fn(*args)
+
+    def _gmc_stage_fn(self):
+        """Standalone jitted GMC step for per-stage mode (the fused paths
+        inline _gmc_step into their programs instead)."""
+        if getattr(self, "_gmc_stage", None) is None:
+            gcfg = self.cfg.tracking.gmc
+
+            @jax.jit
+            def fn(state, frame, grid, valid, scale_xy):
+                return _gmc_step(state, frame, (grid, valid), gcfg, scale_xy)
+
+            self._gmc_stage = fn
+        return self._gmc_stage
 
     def _get_front_pack(self):
         """Precomputed packed s2d-front kernels, cached per weight set
@@ -275,16 +341,23 @@ class Pipeline:
         ch, cw = content_dims(src_h, src_w, size)
         meta = packed_meta(src_h, src_w, size)
         pad_left, pad_top = meta.pad_left, meta.pad_top
+        gmc_on, gcfg = self._gmc_on, self.cfg.tracking.gmc
+        # grid units -> content px (cw/G) -> source px (src_w/cw) = src_w/G
+        scale_xy = (src_w / gcfg.grid, src_h / gcfg.grid)
 
         n_chroma = (ch // 2) * (cw // 2)
 
-        def step_fn(params, front_pack, state, yuv):
+        def step_fn(params, front_pack, state, yuv, gmc_grid=None,
+                    gmc_valid=None):
             # front_pack: precomputed packed front kernels (None in int8
             # mode) - per-frame steps must not repack weights every frame
             y = yuv[:ch]
             chroma = yuv[ch:].reshape(-1)
             u = chroma[:n_chroma].reshape(ch // 2, cw // 2)
             v = chroma[n_chroma:2 * n_chroma].reshape(ch // 2, cw // 2)
+            if gmc_on:          # static at trace time; luma is the content Y
+                state, carry = _gmc_step(state, y, (gmc_grid, gmc_valid),
+                                         gcfg, scale_xy)
             yp, up, vp = pad_planes(y[None], u[None], v[None], size,
                                     pad_left, pad_top)
             if front_pack is not None:
@@ -303,6 +376,8 @@ class Pipeline:
             res = res._replace(boxes=unletterbox_boxes_packed(res.boxes, meta))
             state, outputs = mot_update(
                 state, res.boxes, res.scores, res.classes, res.valid)
+            if gmc_on:
+                return state, outputs, res, carry
             return state, outputs, res
 
         def build():
@@ -315,13 +390,18 @@ class Pipeline:
 
         def example_args():
             yuv0 = np.zeros((ch + ch // 2, cw), np.uint8)
-            return (self.detector.params, self._get_front_pack(),
+            base = (self.detector.params, self._get_front_pack(),
                     self.tracker.state, yuv0)
+            if gmc_on:
+                return base + (np.zeros((gcfg.grid, gcfg.grid), np.float32),
+                               np.float32(0.0))
+            return base
 
         sig = jax.tree.map(lambda x: (tuple(x.shape), str(x.dtype)),
                            (self.detector.params, self._get_front_pack()))
         self._fused_fns[key] = aot_cached(
-            ("pipe_fused_packed", repr(dcfg), self._mot_repr, src_h, src_w,
+            ("pipe_fused_packed", repr(dcfg), self._mot_repr, self._gmc_repr,
+             src_h, src_w,
              donate, sig),
             build, example_args)
         return self._fused_fns[key]
@@ -342,8 +422,8 @@ class Pipeline:
         fn = self._packed_fused_for(h, w)
         p = self.profiler
         p.tick("inference")
-        self.tracker.state, outputs, res = fn(
-            self.detector.params, self._get_front_pack(),
+        self.tracker.state, outputs, res = self._run_prog(
+            fn, self.detector.params, self._get_front_pack(),
             self.tracker.state, jax.device_put(yuv))
         tracks = self.tracker.tracks_from_outputs(outputs, self.detector.class_names)
         p.tock("inference")
@@ -369,10 +449,17 @@ class Pipeline:
         model = self.detector.model
         class_mask = self.detector._class_mask
         donate = (1,) if self.cfg.parallel.donate_state else ()
+        gmc_on, gcfg = self._gmc_on, self.cfg.tracking.gmc
+        scale_xy = (w / gcfg.grid, h / gcfg.grid)
 
         @partial(jax.jit, donate_argnums=donate)
-        def chunk_fn(params, state, frames_u8):
-            def body(st, frame_u8):
+        def chunk_fn(params, state, frames_u8, gmc_grid=None, gmc_valid=None):
+            def body(st_carry, frame_u8):
+                if gmc_on:      # static at trace time
+                    st, gc = st_carry
+                    st, gc = _gmc_step(st, frame_u8, gc, gcfg, scale_xy)
+                else:
+                    st = st_carry
                 img, meta = letterbox(frame_u8, dcfg.input_size, dtype=dtype)
                 box_dist, cls_logits = model.apply(params, img[None], train=False)
                 res = batched_nms_from_logits(
@@ -384,10 +471,14 @@ class Pipeline:
                 res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
                 st, outputs = mot_update(
                     st, res.boxes, res.scores, res.classes, res.valid)
-                return st, (outputs, res)
+                return ((st, gc) if gmc_on else st), (outputs, res)
 
-            state, (outs, ress) = jax.lax.scan(body, state, frames_u8)
-            return state, outs, ress
+            init = (state, (gmc_grid, gmc_valid)) if gmc_on else state
+            fin, (outs, ress) = jax.lax.scan(body, init, frames_u8)
+            if gmc_on:
+                state, carry = fin
+                return state, outs, ress, carry
+            return fin, outs, ress
 
         self._chunk_fns[key] = chunk_fn
         return chunk_fn
@@ -420,8 +511,10 @@ class Pipeline:
         ch, cw = content_dims(src_h, src_w, size)
         meta = packed_meta(src_h, src_w, size)
         pad_left, pad_top = meta.pad_left, meta.pad_top
+        gmc_on, gcfg = self._gmc_on, self.cfg.tracking.gmc
+        scale_xy = (src_w / gcfg.grid, src_h / gcfg.grid)
 
-        def chunk(params, state, y, u, v):
+        def chunk(params, state, y, u, v, gmc_grid=None, gmc_valid=None):
             # planar front: the (S, S, 3) image tensor never exists; the
             # first four blocks run in space-to-depth layout (ops/s2d_front)
             yp, up, vp = pad_planes(y, u, v, size, pad_left, pad_top)
@@ -436,6 +529,24 @@ class Pipeline:
                 return res._replace(boxes=unletterbox_boxes_packed(res.boxes, meta))
 
             ress = jax.vmap(one_nms)(box_dist, cls_logits)   # parallel across frames
+
+            if gmc_on:          # static at trace time
+                from rtmodt_tpu.ops.gmc import luma_grid
+
+                # luma grids for all K frames batched (content Y planes)
+                grids = jax.vmap(lambda yy: luma_grid(yy, gcfg.grid))(y)
+
+                def body(st_carry, xs):
+                    res, grid_t = xs
+                    st, gc = st_carry
+                    st, gc = _gmc_step(st, grid_t, gc, gcfg, scale_xy)
+                    st, outputs = mot_update(
+                        st, res.boxes, res.scores, res.classes, res.valid)
+                    return (st, gc), outputs
+
+                (state, carry), outs = jax.lax.scan(
+                    body, (state, (gmc_grid, gmc_valid)), (ress, grids))
+                return state, outs, ress, carry
 
             def body(st, res):
                 st, outputs = mot_update(
@@ -456,14 +567,18 @@ class Pipeline:
         def example_args():
             y0 = np.zeros((k, ch, cw), np.uint8)
             u0 = np.zeros((k, ch // 2, cw // 2), np.uint8)
-            return (self.detector.params, self.tracker.state, y0, u0,
+            base = (self.detector.params, self.tracker.state, y0, u0,
                     u0.copy())
+            if gmc_on:
+                return base + (np.zeros((gcfg.grid, gcfg.grid), np.float32),
+                               np.float32(0.0))
+            return base
 
         param_sig = jax.tree.map(
             lambda x: (tuple(x.shape), str(x.dtype)), self.detector.params)
         self._chunk_fns[key] = aot_cached(
-            ("pipe_packed", repr(dcfg), self._mot_repr, src_h, src_w, k,
-             donate, param_sig),
+            ("pipe_packed", repr(dcfg), self._mot_repr, self._gmc_repr,
+             src_h, src_w, k, donate, param_sig),
             build, example_args)
         return self._chunk_fns[key]
 
@@ -497,8 +612,11 @@ class Pipeline:
         meta = packed_meta(src_h, src_w, size)
         pad_left, pad_top = meta.pad_left, meta.pad_top
 
+        gmc_on, gcfg = self._gmc_on, self.cfg.tracking.gmc
+        scale_xy = (src_w / gcfg.grid, src_h / gcfg.grid)
+
         @partial(jax.jit, donate_argnums=donate)
-        def chunk_fn(params, state, y, u, v):
+        def chunk_fn(params, state, y, u, v, gmc_grid=None, gmc_valid=None):
             yp, up, vp = pad_planes(y, u, v, size, pad_left, pad_top)
             box_dist, cls_logits = apply_front(params, model, yp, up, vp,
                                                dcfg.quant, dtype)
@@ -517,6 +635,24 @@ class Pipeline:
                 return res, emb
 
             ress, embs = jax.vmap(per_frame)(box_dist, cls_logits, yp, up, vp)
+
+            if gmc_on:          # static at trace time
+                from rtmodt_tpu.ops.gmc import luma_grid
+
+                grids = jax.vmap(lambda yy: luma_grid(yy, gcfg.grid))(y)
+
+                def body(st_carry, xs):
+                    res, emb, grid_t = xs
+                    st, gc = st_carry
+                    st, gc = _gmc_step(st, grid_t, gc, gcfg, scale_xy)
+                    st, outputs = deepsort_update(
+                        st, res.boxes, res.scores, res.classes, res.valid,
+                        emb, dscfg)
+                    return (st, gc), outputs
+
+                (state, carry), outs = jax.lax.scan(
+                    body, (state, (gmc_grid, gmc_valid)), (ress, embs, grids))
+                return state, outs, ress, carry
 
             def body(st, xs):
                 res, emb = xs
@@ -550,8 +686,8 @@ class Pipeline:
         chunk_fn = (self._packed_chunk_deepsort_for(src_h, src_w, k)
                     if self._is_deepsort
                     else self._packed_chunk_for(src_h, src_w, k))
-        self.tracker.state, outs, ress = chunk_fn(
-            self.detector.params, self.tracker.state,
+        self.tracker.state, outs, ress = self._run_prog(
+            chunk_fn, self.detector.params, self.tracker.state,
             jax.device_put(y), jax.device_put(u), jax.device_put(v))
         # prefetch only the track outputs; raw detections (ress) stay on
         # device unless the caller actually fetches them
@@ -565,8 +701,9 @@ class Pipeline:
         futures (outputs, res) with a leading K axis. No host sync."""
         k, h, w = frames.shape[:3]
         chunk_fn = self._chunk_for(h, w, k)
-        self.tracker.state, outs, ress = chunk_fn(
-            self.detector.params, self.tracker.state, jax.device_put(frames))
+        self.tracker.state, outs, ress = self._run_prog(
+            chunk_fn, self.detector.params, self.tracker.state,
+            jax.device_put(frames))
         for leaf in jax.tree.leaves((outs, ress)):
             if hasattr(leaf, "copy_to_host_async"):
                 leaf.copy_to_host_async()
@@ -602,9 +739,9 @@ class Pipeline:
             yuv, _ = pack_i420(dummy, self.cfg.detection.input_size)
             step = self._packed_fused_for(h, w)
             for _ in range(iters):
-                state, outputs, res = step(
-                    self.detector.params, self._get_front_pack(), state,
-                    jax.device_put(yuv))
+                state, outputs, res = self._run_prog(
+                    step, self.detector.params, self._get_front_pack(),
+                    state, jax.device_put(yuv))
                 jax.block_until_ready(outputs.visible)
         elif self.tracker._host is not None:
             # host-tracker (lapjv) mode: step() runs the per-stage device
@@ -617,8 +754,8 @@ class Pipeline:
         else:
             step = self._fused_for(h, w)
             for _ in range(iters):
-                state, outputs, res = step(self.detector.params, state,
-                                           jax.device_put(dummy))
+                state, outputs, res = self._run_prog(
+                    step, self.detector.params, state, jax.device_put(dummy))
                 jax.block_until_ready(outputs.visible)
         if self.tracker._host is None:
             # warmup exists to COMPILE, not to track: discard any phantom
@@ -626,6 +763,7 @@ class Pipeline:
             # pre-confirmed at stream start and pollute early ids/events),
             # and rebuild state because donated buffers are now invalid
             self.tracker.reset()
+            self._gmc_reset()      # dummy-frame grids must not compensate
         logger.info(f"pipeline warmup {w}x{h} done in {time.perf_counter() - t0:.1f}s")
 
     # ------------------------------------------------------------------
@@ -662,7 +800,8 @@ class Pipeline:
         if self._per_stage and self.tracker._host is None:
             pre, fwd, nms = self._stages_for(h, w)
             p.tick("preprocess")
-            img = pre(jax.device_put(frame))
+            fdev = jax.device_put(frame)
+            img = pre(fdev)
             p.tock("preprocess", sync_on=img)
             p.tick("inference")
             raw = fwd(self.detector.params, img)
@@ -671,6 +810,13 @@ class Pipeline:
             res = nms(raw)
             p.tock("nms", sync_on=res)
             p.tick("tracking")
+            if self._gmc_on:
+                # per-stage mode keeps GMC as its own small dispatch on the
+                # already-transferred source frame (diagnostic path)
+                g = self.cfg.tracking.gmc.grid
+                self.tracker.state, self._gmc_carry = self._gmc_stage_fn()(
+                    self.tracker.state, fdev, *self._gmc_carry,
+                    np.asarray([w / g, h / g], np.float32))
             if self._is_deepsort:
                 feats = self.tracker.embed_fn()(jax.device_put(frame), res.boxes)
                 self.tracker.state, outputs = self.tracker._step(
@@ -706,8 +852,9 @@ class Pipeline:
         else:
             step_fn = self._fused_for(h, w)
             p.tick("inference")
-            self.tracker.state, outputs, res = step_fn(
-                self.detector.params, self.tracker.state, jax.device_put(frame))
+            self.tracker.state, outputs, res = self._run_prog(
+                step_fn, self.detector.params, self.tracker.state,
+                jax.device_put(frame))
             tracks = self.tracker.tracks_from_outputs(outputs, names)
             p.tock("inference")
 
@@ -724,8 +871,9 @@ class Pipeline:
         This is what hides host<->device latency behind device compute."""
         h, w = frame.shape[:2]
         step_fn = self._fused_for(h, w)
-        self.tracker.state, outputs, res = step_fn(
-            self.detector.params, self.tracker.state, jax.device_put(frame))
+        self.tracker.state, outputs, res = self._run_prog(
+            step_fn, self.detector.params, self.tracker.state,
+            jax.device_put(frame))
         # start the device->host copies in the background
         for leaf in jax.tree.leaves((outputs, res)):
             if hasattr(leaf, "copy_to_host_async"):
@@ -742,8 +890,8 @@ class Pipeline:
         h, w = frame.shape[:2]
         yuv, _ = pack_i420(frame, self.cfg.detection.input_size)
         step_fn = self._packed_fused_for(h, w)
-        self.tracker.state, outputs, res = step_fn(
-            self.detector.params, self._get_front_pack(),
+        self.tracker.state, outputs, res = self._run_prog(
+            step_fn, self.detector.params, self._get_front_pack(),
             self.tracker.state, jax.device_put(yuv))
         for leaf in jax.tree.leaves((outputs, res)):
             if hasattr(leaf, "copy_to_host_async"):

@@ -11,6 +11,7 @@ crops model a real pan (new content enters at the edges).
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rtmodt_tpu.ops.gmc import compensate, luma_grid, phase_shift
 
@@ -220,6 +221,115 @@ class TestFacadeGMC:
         assert tr._gmc_prev is not None
         tr.reset()
         assert tr._gmc_prev is None
+
+
+class TestPipelineGMC:
+    """The fused/packed/chunked pipeline programs thread the GMC carry
+    (prev luma grid + validity) and compensate INSIDE the jitted step."""
+
+    @pytest.fixture(scope="class")
+    def gmc_cfg(self, tmp_path_factory):
+        from rtmodt_tpu.config import load_config
+
+        tmp = tmp_path_factory.mktemp("gmc_pipe")
+        return load_config(overrides={
+            "detection": {"model": "yolov8n", "input_size": 128,
+                          "conf_threshold": 0.01, "nms_candidates": 64,
+                          "max_detections": 20, "classes": None},
+            "tracking": {"bytetrack": {"max_tracks": 32},
+                         "gmc": {"method": "phase", "grid": 64}},
+            "events": {"alert": {"log_path": str(tmp / "events.jsonl")}},
+            "profiling": {"warmup_frames": 0, "log_interval": 0},
+            "visualization": {"enabled": False},
+        })
+
+    def test_fused_step_updates_carry(self, gmc_cfg):
+        import dataclasses
+
+        from rtmodt_tpu.runtime.pipeline import Pipeline
+
+        cfg = dataclasses.replace(
+            gmc_cfg, profiling=dataclasses.replace(gmc_cfg.profiling,
+                                                   per_stage=False),
+            parallel=dataclasses.replace(gmc_cfg.parallel, transport="bgr"))
+        pipe = Pipeline(cfg)
+        assert float(pipe._gmc_carry[1]) == 0.0
+        frame = np.random.default_rng(0).integers(0, 255, (160, 160, 3),
+                                                  np.uint8)
+        pipe.step(frame, 0)
+        grid, valid = pipe._gmc_carry
+        assert float(valid) == 1.0
+        assert grid.shape == (64, 64)
+        assert float(jnp.abs(grid).max()) > 0.0
+
+    def test_per_stage_mode_applies_gmc(self, gmc_cfg):
+        from rtmodt_tpu.runtime.pipeline import Pipeline
+
+        pipe = Pipeline(gmc_cfg)     # profiling.per_stage default (true)
+        if not pipe._per_stage:
+            pytest.skip("default config no longer per-stage")
+        rng = np.random.default_rng(1)
+        for fid in range(2):
+            pipe.step(rng.integers(0, 255, (160, 160, 3), np.uint8), fid)
+        assert float(pipe._gmc_carry[1]) == 1.0
+
+    def test_packed_step_and_chunked_run(self, gmc_cfg, tmp_path):
+        import dataclasses
+
+        from rtmodt_tpu.runtime.pipeline import Pipeline
+        from rtmodt_tpu.utils.synthetic import write_synthetic_video
+
+        video = str(tmp_path / "synth.mp4")
+        write_synthetic_video(video, frames=10, h=160, w=160, n_objects=2)
+        cfg = dataclasses.replace(
+            gmc_cfg,
+            profiling=dataclasses.replace(gmc_cfg.profiling, per_stage=False),
+            parallel=dataclasses.replace(gmc_cfg.parallel, chunk_size=4,
+                                         pipeline_depth=1))
+        pipe = Pipeline(cfg)
+        pipe.run(source=video)
+        assert pipe.profiler._frame_count == 10
+        assert float(pipe._gmc_carry[1]) == 1.0
+
+    def test_static_camera_gmc_output_parity(self, gmc_cfg):
+        """Static camera over a TEXTURED background: the dominant scene
+        translation is zero, so the chunked program's outputs must match
+        gmc: none.  (A textureless background with coherently-moving
+        objects is different: there the objects ARE the dominant content
+        and a nonzero estimate is correct behavior.)"""
+        import dataclasses
+
+        import jax
+
+        from rtmodt_tpu.runtime.pipeline import Pipeline
+
+        rng = np.random.default_rng(0)
+        bg = rng.integers(0, 255, (160, 160, 3), np.uint8)
+        frames = []
+        for t in range(8):
+            f = bg.copy()
+            x = 20 + 6 * t
+            f[40:70, x:x + 24] = (0, 0, 255)
+            frames.append(f)
+        frames = np.stack(frames)
+
+        def collect(cfg):
+            pipe = Pipeline(cfg)
+            outs, _ = pipe.submit_chunk_packed(frames)
+            return jax.device_get(outs)
+
+        base_cfg = dataclasses.replace(
+            gmc_cfg,
+            tracking=dataclasses.replace(
+                gmc_cfg.tracking,
+                gmc=dataclasses.replace(gmc_cfg.tracking.gmc, method="none")),
+            profiling=dataclasses.replace(gmc_cfg.profiling, per_stage=False))
+        on_cfg = dataclasses.replace(
+            gmc_cfg,
+            profiling=dataclasses.replace(gmc_cfg.profiling, per_stage=False))
+        base, comp = collect(base_cfg), collect(on_cfg)
+        np.testing.assert_array_equal(base.track_id, comp.track_id)
+        np.testing.assert_allclose(base.boxes, comp.boxes, atol=0.5)
 
 
 class TestCompensate:
