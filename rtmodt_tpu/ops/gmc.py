@@ -118,6 +118,25 @@ def phase_shift(
     return shift, conf
 
 
+def gmc_step(state, luma_src, carry, cfg, scale_xy):
+    """One camera-motion-compensation step for a jitted detect+track program.
+
+    Downsample this frame's luma, phase-correlate against the carried
+    previous grid, and shift the track state into current-frame
+    coordinates.  ``carry`` is ``(prev_grid (G, G) f32, valid () f32)``;
+    ``valid=0`` silences the first frame after init/reset.  ``scale_xy``
+    is the static (grid->source-px) factor pair.  Returns
+    ``(state', (cur_grid, 1.0))``.  Works per-stream under ``jax.vmap``
+    (the constant validity broadcasts across the batch).
+    """
+    prev, valid = carry
+    cur = luma_grid(luma_src, cfg.grid)
+    shift, _ = phase_shift(prev, cur, cfg.min_ratio, cfg.max_shift_frac)
+    state = compensate(
+        state, shift * valid * jnp.asarray(scale_xy, jnp.float32))
+    return state, (cur, jnp.float32(1.0))
+
+
 # Track-state fields holding xyxy boxes (any leading batch axes): shifted by
 # (dx, dy, dx, dy).  kf_mean holds (cx, cy, a, h, velocities): positions
 # shift, aspect/height/velocities don't; the covariance is INVARIANT under

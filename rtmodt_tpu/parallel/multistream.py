@@ -111,9 +111,38 @@ class MultiStreamPipeline:
         self.params = jax.device_put(self.detector.params, self._repl)
         self.emb_params = (jax.device_put(self._emb_params_host, self._repl)
                            if self._is_deepsort else None)
+        # per-stream camera-motion compensation (tracking.gmc, ops/gmc.py):
+        # each stream carries its own previous luma grid + validity scalar,
+        # sharded along the stream axis with the tracker state, and the
+        # phase-correlation step rides the same SPMD program
+        self._gmc_on = cfg.tracking.gmc.method == "phase"
+        self._gmc_repr = repr(cfg.tracking.gmc)
+        self._gmc_carry = None
+        self._gmc_reset()
         self._jitted: dict[Any, Any] = {}
         logger.info(f"multi-stream pipeline: {self.num_streams} streams over "
                     f"{mesh.devices.size} device(s)")
+
+    # ------------------------------------------------------------------
+    def _gmc_reset(self) -> None:
+        """(Re)initialize the per-stream GMC carry: zero grids + valid=0,
+        so the first frame of every stream never compensates."""
+        if self._gmc_on:
+            g = self.cfg.tracking.gmc.grid
+            self._gmc_carry = (
+                jax.device_put(jnp.zeros((self.num_streams, g, g),
+                                         jnp.float32), self._stream_shard),
+                jax.device_put(jnp.zeros((self.num_streams,), jnp.float32),
+                               self._stream_shard))
+
+    def _run_prog(self, fn, *args):
+        """Invoke a jitted multi-stream program, threading the GMC carry
+        as trailing (grids, valid) args / trailing carry output when on."""
+        if self._gmc_on:
+            *rest, carry = fn(*args, *self._gmc_carry)
+            self._gmc_carry = carry
+            return rest
+        return fn(*args)
 
     # ------------------------------------------------------------------
     def _frame_body(self, params, state, frame_u8):
@@ -149,15 +178,37 @@ class MultiStreamPipeline:
     def _step_for(self, h: int, w: int):
         key = ("step", h, w)
         if key not in self._jitted:
-            def step(params, state, frames):
-                return jax.vmap(
-                    lambda st, fr: self._frame_body(params, st, fr)
-                )(state, frames)
+            gmc_on, gcfg = self._gmc_on, self.cfg.tracking.gmc
+            scale_xy = (w / gcfg.grid, h / gcfg.grid)
+
+            if gmc_on:
+                from rtmodt_tpu.ops.gmc import gmc_step
+
+                def step(params, state, frames, gmc_grids, gmc_valid):
+                    def one(st, fr, pg, pv):
+                        st, (cg, cv) = gmc_step(st, fr, (pg, pv), gcfg,
+                                                scale_xy)
+                        st, outs, ress = self._frame_body(params, st, fr)
+                        return st, outs, ress, cg, cv
+
+                    state, outs, ress, cg, cv = jax.vmap(one)(
+                        state, frames, gmc_grids, gmc_valid)
+                    return state, outs, ress, (cg, cv)
+
+                in_sh = (self._repl,) + (self._stream_shard,) * 4
+                out_sh = (self._stream_shard,) * 3 + (
+                    (self._stream_shard, self._stream_shard),)
+            else:
+                def step(params, state, frames):
+                    return jax.vmap(
+                        lambda st, fr: self._frame_body(params, st, fr)
+                    )(state, frames)
+
+                in_sh = (self._repl, self._stream_shard, self._stream_shard)
+                out_sh = (self._stream_shard,) * 3
 
             self._jitted[key] = jax.jit(
-                step,
-                in_shardings=(self._repl, self._stream_shard, self._stream_shard),
-                out_shardings=(self._stream_shard,) * 3,
+                step, in_shardings=in_sh, out_shardings=out_sh,
                 donate_argnums=(1,),
             )
         return self._jitted[key]
@@ -165,23 +216,51 @@ class MultiStreamPipeline:
     def _chunk_for(self, h: int, w: int, t: int):
         key = ("chunk", h, w, t)
         if key not in self._jitted:
-            def chunk(params, state, frames_tshw):
-                def body(st, frames_s):
-                    st, outs, ress = jax.vmap(
-                        lambda s, f: self._frame_body(params, s, f)
-                    )(st, frames_s)
-                    return st, (outs, ress)
+            ts_shard = NamedSharding(self.mesh, P(None, "data"))
+            gmc_on, gcfg = self._gmc_on, self.cfg.tracking.gmc
+            scale_xy = (w / gcfg.grid, h / gcfg.grid)
 
-                state, (outs, ress) = jax.lax.scan(body, state, frames_tshw)
-                return state, outs, ress
+            if gmc_on:
+                from rtmodt_tpu.ops.gmc import gmc_step
+
+                def chunk(params, state, frames_tshw, gmc_grids, gmc_valid):
+                    def body(st_carry, frames_s):
+                        st, (pg, pv) = st_carry
+
+                        def one(ss, fr, gp, gv):
+                            ss, (cg, cv) = gmc_step(ss, fr, (gp, gv), gcfg,
+                                                    scale_xy)
+                            ss, outs, ress = self._frame_body(params, ss, fr)
+                            return ss, outs, ress, cg, cv
+
+                        st, outs, ress, cg, cv = jax.vmap(one)(
+                            st, frames_s, pg, pv)
+                        return (st, (cg, cv)), (outs, ress)
+
+                    (state, carry), (outs, ress) = jax.lax.scan(
+                        body, (state, (gmc_grids, gmc_valid)), frames_tshw)
+                    return state, outs, ress, carry
+
+                in_sh = (self._repl, self._stream_shard, ts_shard,
+                         self._stream_shard, self._stream_shard)
+                out_sh = (self._stream_shard, ts_shard, ts_shard,
+                          (self._stream_shard, self._stream_shard))
+            else:
+                def chunk(params, state, frames_tshw):
+                    def body(st, frames_s):
+                        st, outs, ress = jax.vmap(
+                            lambda s, f: self._frame_body(params, s, f)
+                        )(st, frames_s)
+                        return st, (outs, ress)
+
+                    state, (outs, ress) = jax.lax.scan(body, state, frames_tshw)
+                    return state, outs, ress
+
+                in_sh = (self._repl, self._stream_shard, ts_shard)
+                out_sh = (self._stream_shard, ts_shard, ts_shard)
 
             self._jitted[key] = jax.jit(
-                chunk,
-                in_shardings=(self._repl, self._stream_shard,
-                              NamedSharding(self.mesh, P(None, "data"))),
-                out_shardings=(self._stream_shard,
-                               NamedSharding(self.mesh, P(None, "data")),
-                               NamedSharding(self.mesh, P(None, "data"))),
+                chunk, in_shardings=in_sh, out_shardings=out_sh,
                 donate_argnums=(1,),
             )
         return self._jitted[key]
@@ -213,8 +292,10 @@ class MultiStreamPipeline:
         ch, cw = content_dims(src_h, src_w, size)
         meta = packed_meta(src_h, src_w, size)
         pad_left, pad_top = meta.pad_left, meta.pad_top
+        gmc_on, gcfg = self._gmc_on, self.cfg.tracking.gmc
+        scale_xy = (src_w / gcfg.grid, src_h / gcfg.grid)
 
-        def chunk(params, state, y, u, v):
+        def chunk(params, state, y, u, v, gmc_grids=None, gmc_valid=None):
             n = t * s_streams
             yf = y.reshape(n, *y.shape[2:])
             uf = u.reshape(n, *u.shape[2:])
@@ -233,6 +314,32 @@ class MultiStreamPipeline:
             ress = jax.tree.map(
                 lambda a: a.reshape(t, s_streams, *a.shape[1:]), ress)
 
+            if gmc_on:          # static at trace time
+                from rtmodt_tpu.ops.gmc import gmc_step, luma_grid
+
+                # luma grids for all T*S content-Y planes, batched with the
+                # rest of the per-frame work
+                grids = jax.vmap(lambda yy: luma_grid(yy, gcfg.grid))(yf)
+                grids = grids.reshape(t, s_streams, gcfg.grid, gcfg.grid)
+
+                def body(st_carry, xs):
+                    st, (pg, pv) = st_carry
+                    res_s, grid_s = xs
+
+                    def one(ss, rr, gp, gv, gc):
+                        ss, (cg, cv) = gmc_step(ss, gc, (gp, gv), gcfg,
+                                                scale_xy)
+                        ss, outs = mot_update(
+                            ss, rr.boxes, rr.scores, rr.classes, rr.valid)
+                        return ss, outs, cg, cv
+
+                    st, outs, cg, cv = jax.vmap(one)(st, res_s, pg, pv, grid_s)
+                    return (st, (cg, cv)), outs
+
+                (state, carry), outs = jax.lax.scan(
+                    body, (state, (gmc_grids, gmc_valid)), (ress, grids))
+                return state, outs, ress, carry
+
             def body(st, res_s):
                 st, outs = jax.vmap(
                     lambda ss, rr: mot_update(
@@ -244,13 +351,15 @@ class MultiStreamPipeline:
             return state, outs, ress
 
         ts_shard = NamedSharding(self.mesh, P(None, "data"))
+        in_sh = (self._repl, self._stream_shard, ts_shard, ts_shard, ts_shard)
+        out_sh = (self._stream_shard, ts_shard, ts_shard)
+        if gmc_on:
+            in_sh += (self._stream_shard, self._stream_shard)
+            out_sh += ((self._stream_shard, self._stream_shard),)
 
         def build():
             return jax.jit(
-                chunk,
-                in_shardings=(self._repl, self._stream_shard,
-                              ts_shard, ts_shard, ts_shard),
-                out_shardings=(self._stream_shard, ts_shard, ts_shard),
+                chunk, in_shardings=in_sh, out_shardings=out_sh,
                 donate_argnums=(1,),
             )
 
@@ -262,15 +371,21 @@ class MultiStreamPipeline:
         def example_args():
             y0 = np.zeros((t, s_streams, ch, cw), np.uint8)
             u0 = np.zeros((t, s_streams, ch // 2, cw // 2), np.uint8)
-            return (self.params, self.state, y0, u0, u0.copy())
+            base = (self.params, self.state, y0, u0, u0.copy())
+            if gmc_on:
+                return base + (
+                    np.zeros((s_streams, gcfg.grid, gcfg.grid), np.float32),
+                    np.zeros((s_streams,), np.float32))
+            return base
 
         # the key must pin the full traced signature - including the params
         # tree's avals (e.g. f32 vs bf16 deploy storage changes the program)
         param_sig = jax.tree.map(
             lambda x: (tuple(x.shape), str(x.dtype)), self.params)
         self._jitted[key] = aot_cached(
-            ("msp_packed", repr(dcfg), self._mot_repr, s_streams,
-             tuple(self.mesh.shape.items()), src_h, src_w, t, param_sig),
+            ("msp_packed", repr(dcfg), self._mot_repr, self._gmc_repr,
+             s_streams, tuple(self.mesh.shape.items()), src_h, src_w, t,
+             param_sig),
             build, example_args)
         return self._jitted[key]
 
@@ -303,8 +418,11 @@ class MultiStreamPipeline:
         ch, cw = content_dims(src_h, src_w, size)
         meta = packed_meta(src_h, src_w, size)
         pad_left, pad_top = meta.pad_left, meta.pad_top
+        gmc_on, gcfg = self._gmc_on, self.cfg.tracking.gmc
+        scale_xy = (src_w / gcfg.grid, src_h / gcfg.grid)
 
-        def chunk(params, emb_params, state, y, u, v):
+        def chunk(params, emb_params, state, y, u, v,
+                  gmc_grids=None, gmc_valid=None):
             n = t * s_streams
             yf = y.reshape(n, *y.shape[2:])
             uf = u.reshape(n, *u.shape[2:])
@@ -331,6 +449,33 @@ class MultiStreamPipeline:
                 lambda a: a.reshape(t, s_streams, *a.shape[1:]), ress)
             embs = embs.reshape(t, s_streams, *embs.shape[1:])
 
+            if gmc_on:          # static at trace time
+                from rtmodt_tpu.ops.gmc import gmc_step, luma_grid
+
+                grids = jax.vmap(lambda yy: luma_grid(yy, gcfg.grid))(yf)
+                grids = grids.reshape(t, s_streams, gcfg.grid, gcfg.grid)
+
+                def body(st_carry, xs):
+                    st, (pg, pv) = st_carry
+                    res_s, emb_s, grid_s = xs
+
+                    def one(ss, rr, ee, gp, gv, gc):
+                        ss, (cg, cv) = gmc_step(ss, gc, (gp, gv), gcfg,
+                                                scale_xy)
+                        ss, outs = deepsort_update(
+                            ss, rr.boxes, rr.scores, rr.classes, rr.valid,
+                            ee, dscfg)
+                        return ss, outs, cg, cv
+
+                    st, outs, cg, cv = jax.vmap(one)(
+                        st, res_s, emb_s, pg, pv, grid_s)
+                    return (st, (cg, cv)), outs
+
+                (state, carry), outs = jax.lax.scan(
+                    body, (state, (gmc_grids, gmc_valid)),
+                    (ress, embs, grids))
+                return state, outs, ress, carry
+
             def body(st, xs):
                 res_s, emb_s = xs
                 st, outs = jax.vmap(
@@ -344,13 +489,16 @@ class MultiStreamPipeline:
             return state, outs, ress
 
         ts_shard = NamedSharding(self.mesh, P(None, "data"))
+        in_sh = (self._repl, self._repl, self._stream_shard,
+                 ts_shard, ts_shard, ts_shard)
+        out_sh = (self._stream_shard, ts_shard, ts_shard)
+        if gmc_on:
+            in_sh += (self._stream_shard, self._stream_shard)
+            out_sh += ((self._stream_shard, self._stream_shard),)
 
         def build():
             return jax.jit(
-                chunk,
-                in_shardings=(self._repl, self._repl, self._stream_shard,
-                              ts_shard, ts_shard, ts_shard),
-                out_shardings=(self._stream_shard, ts_shard, ts_shard),
+                chunk, in_shardings=in_sh, out_shardings=out_sh,
                 donate_argnums=(2,),
             )
 
@@ -359,15 +507,21 @@ class MultiStreamPipeline:
         def example_args():
             y0 = np.zeros((t, s_streams, ch, cw), np.uint8)
             u0 = np.zeros((t, s_streams, ch // 2, cw // 2), np.uint8)
-            return (self.params, self.emb_params, self.state,
+            base = (self.params, self.emb_params, self.state,
                     y0, u0, u0.copy())
+            if gmc_on:
+                return base + (
+                    np.zeros((s_streams, gcfg.grid, gcfg.grid), np.float32),
+                    np.zeros((s_streams,), np.float32))
+            return base
 
         param_sig = jax.tree.map(
             lambda x: (tuple(x.shape), str(x.dtype)),
             (self.params, self.emb_params))
         self._jitted[key] = aot_cached(
-            ("msp_packed_ds", repr(dcfg), self._mot_repr, s_streams,
-             tuple(self.mesh.shape.items()), src_h, src_w, t, param_sig),
+            ("msp_packed_ds", repr(dcfg), self._mot_repr, self._gmc_repr,
+             s_streams, tuple(self.mesh.shape.items()), src_h, src_w, t,
+             param_sig),
             build, example_args)
         return self._jitted[key]
 
@@ -380,11 +534,12 @@ class MultiStreamPipeline:
                jax.device_put(v, sh))
         if self._is_deepsort:
             fn = self._packed_chunk_deepsort_for(src_h, src_w, t)
-            self.state, outs, ress = fn(self.params, self.emb_params,
-                                        self.state, *dev)
+            self.state, outs, ress = self._run_prog(
+                fn, self.params, self.emb_params, self.state, *dev)
         else:
             fn = self._packed_chunk_for(src_h, src_w, t)
-            self.state, outs, ress = fn(self.params, self.state, *dev)
+            self.state, outs, ress = self._run_prog(
+                fn, self.params, self.state, *dev)
         return outs, ress
 
     # ------------------------------------------------------------------
@@ -607,8 +762,9 @@ class MultiStreamPipeline:
         s, h, w = frames.shape[:3]
         assert s == self.num_streams
         fn = self._step_for(h, w)
-        self.state, outs, ress = fn(
-            self.params, self.state, jax.device_put(frames, self._stream_shard))
+        self.state, outs, ress = self._run_prog(
+            fn, self.params, self.state,
+            jax.device_put(frames, self._stream_shard))
         return outs, ress
 
     def step_chunk(self, frames: np.ndarray):
@@ -617,5 +773,6 @@ class MultiStreamPipeline:
         assert s == self.num_streams
         fn = self._chunk_for(h, w, t)
         sharded = jax.device_put(frames, NamedSharding(self.mesh, P(None, "data")))
-        self.state, outs, ress = fn(self.params, self.state, sharded)
+        self.state, outs, ress = self._run_prog(
+            fn, self.params, self.state, sharded)
         return outs, ress

@@ -44,20 +44,7 @@ from rtmodt_tpu.utils.logging import logger
 from rtmodt_tpu.visualization.renderer import FrameRenderer
 
 
-def _gmc_step(state, luma_src, carry, gcfg, scale_xy):
-    """Shared GMC body for the jitted programs: downsample this frame's
-    luma, phase-correlate against the carried previous grid, shift the
-    track state into current-frame coordinates (ops/gmc.py).  ``carry`` is
-    ``(prev_grid (G,G) f32, valid () f32)``; valid=0 silences the first
-    frame.  Returns (state', new_carry)."""
-    from rtmodt_tpu.ops.gmc import compensate, luma_grid, phase_shift
-
-    prev, valid = carry
-    cur = luma_grid(luma_src, gcfg.grid)
-    shift, _ = phase_shift(prev, cur, gcfg.min_ratio, gcfg.max_shift_frac)
-    state = compensate(
-        state, shift * valid * jnp.asarray(scale_xy, jnp.float32))
-    return state, (cur, jnp.float32(1.0))
+from rtmodt_tpu.ops.gmc import gmc_step as _gmc_step
 
 
 class Pipeline:

@@ -136,6 +136,96 @@ class TestMultiStreamDeepSort:
         assert feats.shape == (s, 16, 128)
 
 
+class TestMultiStreamGMC:
+    """Per-stream camera-motion compensation inside the SPMD program: each
+    stream carries its own (prev luma grid, validity), sharded along the
+    stream axis, and compensates independently (ops/gmc.py::gmc_step)."""
+
+    def _make_pipe(self, gmc_method="phase"):
+        from rtmodt_tpu.config import load_config
+        from rtmodt_tpu.parallel.mesh import create_mesh
+        from rtmodt_tpu.parallel.multistream import MultiStreamPipeline
+
+        cfg = load_config(overrides={
+            "detection": {"model": "yolov8n", "input_size": 128,
+                          "conf_threshold": 0.01, "nms_candidates": 32,
+                          "max_detections": 8, "classes": None},
+            "tracking": {"bytetrack": {"max_tracks": 16},
+                         "gmc": {"method": gmc_method, "grid": 64}},
+            "profiling": {"per_stage": False},
+            "visualization": {"enabled": False},
+            "events": {"enabled": False},
+        })
+        return MultiStreamPipeline(cfg, num_streams=8, mesh=create_mesh(8))
+
+    @staticmethod
+    def _scene_frames(t, s, rng):
+        """Static textured background per stream + one moving box."""
+        bgs = rng.integers(0, 255, (s, 160, 160, 3), np.uint8)
+        frames = np.empty((t, s, 160, 160, 3), np.uint8)
+        for ti in range(t):
+            for si in range(s):
+                f = bgs[si].copy()
+                x = 10 + 6 * ti + 4 * si
+                f[40:70, x:x + 24] = (0, 0, 255)
+                frames[ti, si] = f
+        return frames
+
+    def test_packed_chunk_updates_sharded_carry(self):
+        from rtmodt_tpu.ops.yuv import pack_chunk
+
+        pipe = self._make_pipe()
+        grids, valid = pipe._gmc_carry
+        assert grids.shape == (8, 64, 64)
+        np.testing.assert_array_equal(np.asarray(valid), np.zeros(8))
+        t, s = 3, 8
+        raw = np.random.default_rng(3).integers(
+            0, 255, (t * s, 160, 160, 3), np.uint8)
+        (y, u, v), _ = pack_chunk(raw, 128)
+        planes = (y.reshape(t, s, *y.shape[1:]),
+                  u.reshape(t, s, *u.shape[1:]),
+                  v.reshape(t, s, *v.shape[1:]))
+        outs, _ = pipe.submit_chunk_packed(planes, 160, 160)
+        assert outs.boxes.shape == (t, s, 16, 4)
+        grids, valid = pipe._gmc_carry
+        np.testing.assert_array_equal(np.asarray(valid), np.ones(8))
+        assert float(jax.device_get(jax.numpy.abs(grids)).max()) > 0.0
+        # the carry is stream-sharded like the tracker state
+        assert len(grids.sharding.device_set) == 8
+
+    def test_step_and_chunk_thread_carry(self):
+        pipe = self._make_pipe()
+        frames = self._scene_frames(1, 8, np.random.default_rng(0))[0]
+        pipe.step(frames)
+        assert float(np.asarray(pipe._gmc_carry[1]).min()) == 1.0
+        pipe._gmc_reset()
+        chunk = self._scene_frames(2, 8, np.random.default_rng(0))
+        pipe.step_chunk(chunk)
+        assert float(np.asarray(pipe._gmc_carry[1]).min()) == 1.0
+
+    def test_static_scene_parity_with_gmc_off(self):
+        """Static textured cameras: the dominant translation is ~0 per
+        stream, so packed-chunk outputs must match gmc: none."""
+        from rtmodt_tpu.ops.yuv import pack_chunk
+
+        t, s = 4, 8
+        frames = self._scene_frames(t, s, np.random.default_rng(7))
+
+        def collect(method):
+            pipe = self._make_pipe(method)
+            flat = frames.reshape(t * s, 160, 160, 3)
+            (y, u, v), _ = pack_chunk(flat, 128)
+            planes = (y.reshape(t, s, *y.shape[1:]),
+                      u.reshape(t, s, *u.shape[1:]),
+                      v.reshape(t, s, *v.shape[1:]))
+            outs, _ = pipe.submit_chunk_packed(planes, 160, 160)
+            return jax.device_get(outs)
+
+        base, comp = collect("none"), collect("phase")
+        np.testing.assert_array_equal(base.track_id, comp.track_id)
+        np.testing.assert_allclose(base.boxes, comp.boxes, atol=0.5)
+
+
 class TestMultiStreamRun:
     def test_run_end_to_end_with_events(self, tmp_path):
         """Full multi-camera loop: 8 file streams -> time-aligned packed
