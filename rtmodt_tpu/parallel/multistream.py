@@ -37,6 +37,94 @@ from rtmodt_tpu.tracking.bytetrack import (
 from rtmodt_tpu.utils.logging import logger
 
 
+class MosaicAnnotator:
+    """Host-side annotated output for multi-camera mode: renders each
+    stream's tracks onto its BGR frame (same FrameRenderer as the single-
+    stream pipeline, SURVEY.md N7) and tiles the S streams into one mosaic
+    frame for ``--display`` / ``--save-video``.
+
+    Keeps per-stream centroid trails (track IDs are independent per
+    stream, so one trail map per stream) and a per-stream blank tile for
+    dead/short slots.  Stateless across resolutions: the tile size is
+    fixed by the first frame seen.
+    """
+
+    def __init__(self, vcfg, names: list[str], num_streams: int):
+        from rtmodt_tpu.visualization.renderer import FrameRenderer
+
+        # visualization.enabled=false still tiles the raw streams (parity
+        # with the single-stream run(), which writes/displays unannotated
+        # frames then) - it just skips the track/zone/label drawing
+        self.annotate = vcfg.enabled
+        self.renderer = FrameRenderer(
+            show_boxes=vcfg.show_boxes, show_labels=vcfg.show_labels,
+            show_trails=vcfg.show_trails, show_zones=vcfg.show_zones,
+            show_hud=False,  # the per-tile HUD is the stream label; the
+        )                    # aggregate FPS goes on the mosaic itself
+        self.show_hud = vcfg.show_hud and vcfg.enabled
+        self.names = names
+        self.s = num_streams
+        self.cols = int(np.ceil(np.sqrt(num_streams)))
+        self.rows = int(np.ceil(num_streams / self.cols))
+        self.trail_len = vcfg.trail_length
+        self._trails: list[dict[int, list[tuple[int, int]]]] = [
+            {} for _ in range(num_streams)]
+
+    def tracks_for(self, host, t: int, si: int) -> list:
+        """Host TrackOutputs (T, S, K, ...) slice -> Track list with trails."""
+        from rtmodt_tpu.tracking.tracker import Track
+
+        vis = np.asarray(host.visible[t, si])
+        trails = self._trails[si]
+        out = []
+        for i in np.where(vis)[0]:
+            tid = int(host.track_id[t, si, i])
+            box = np.asarray(host.boxes[t, si, i], np.float32)
+            cx = int((box[0] + box[2]) / 2)
+            cy = int((box[1] + box[3]) / 2)
+            trail = trails.setdefault(tid, [])
+            trail.append((cx, cy))
+            del trail[:-self.trail_len]
+            cid = int(host.class_id[t, si, i])
+            out.append(Track(
+                track_id=tid, xyxy=box,
+                confidence=float(host.confidence[t, si, i]),
+                class_id=cid,
+                class_name=(self.names[cid]
+                            if 0 <= cid < len(self.names) else str(cid)),
+                age=int(host.age[t, si, i]),
+                time_since_update=int(host.tsu[t, si, i]),
+                trail=list(trail)))
+        return out
+
+    def mosaic(self, host, t: int, bgr_row: list, zones, fps: float
+               ) -> np.ndarray:
+        """Render frame t of a chunk: annotate every stream's tile (dead
+        slots get a black tile) and tile them into one (rows*H, cols*W) BGR
+        frame with per-tile stream labels + an aggregate-FPS HUD."""
+        import cv2
+
+        shape = next(f.shape for f in bgr_row if f is not None)
+        tiles = []
+        for si in range(self.s):
+            f = bgr_row[si]
+            f = np.zeros(shape, np.uint8) if f is None else f
+            if self.annotate:
+                self.renderer.render(f, self.tracks_for(host, t, si), zones)
+                cv2.putText(f, f"cam{si}", (8, 24), cv2.FONT_HERSHEY_SIMPLEX,
+                            0.7, (80, 220, 80), 2, cv2.LINE_AA)
+            tiles.append(f)
+        blank = np.zeros(shape, np.uint8)
+        tiles += [blank] * (self.rows * self.cols - self.s)
+        grid = np.vstack([np.hstack(tiles[r * self.cols:(r + 1) * self.cols])
+                          for r in range(self.rows)])
+        if self.show_hud and fps > 0:
+            cv2.putText(grid, f"{fps:.1f} FPS aggregate", (8, grid.shape[0] - 12),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 255), 2,
+                        cv2.LINE_AA)
+        return grid
+
+
 def init_multistream_state(num_streams: int, max_tracks: int,
                            init_one=init_track_state, **init_kw):
     """Batched tracker state: every leaf gains a leading stream axis."""
@@ -544,7 +632,7 @@ class MultiStreamPipeline:
 
     # ------------------------------------------------------------------
     def run(self, sources: list, max_frames: int | None = None,
-            chunk_size: int | None = None) -> dict:
+            chunk_size: int | None = None, display: bool = False) -> dict:
         """End-to-end multi-camera loop - the scale-out analog of
         ``Pipeline.run_chunked`` (one camera) for S cameras on one SPMD
         program.
@@ -567,6 +655,7 @@ class MultiStreamPipeline:
         every stream is done; ``dead_streams`` and per-stream frame counts
         are reported in the summary.
         """
+        import os
         import queue
         import threading
         import time as _time
@@ -593,6 +682,15 @@ class MultiStreamPipeline:
                 eng.extra_metadata = {"stream": si}
         names = self.detector.class_names
 
+        # annotated mosaic output (display and/or video file): opt-in, so
+        # the headless hot path never retains BGR frames on host
+        vcfg = self.cfg.visualization
+        render_on = display or vcfg.save_video
+        annot = MosaicAnnotator(vcfg, names, s_streams) if render_on else None
+        writer = None
+        render_zones = (engines[0].get_zone_polygons()
+                        if (render_on and engines) else [])
+
         qs: list[queue.Queue] = [queue.Queue(maxsize=3 * t_chunk)
                                  for _ in range(s_streams)]
         stop = threading.Event()
@@ -618,7 +716,8 @@ class MultiStreamPipeline:
                         last_id = fid
                         planes, _ = pack_i420_planar(
                             frame, self.cfg.detection.input_size)
-                        item = (planes, frame.shape[:2], fid, ts)
+                        item = (planes, frame.shape[:2], fid, ts,
+                                frame if render_on else None)
                         while not stop.is_set():   # bounded put, stop-aware
                             try:
                                 qs[si].put(item, timeout=0.5)
@@ -645,9 +744,11 @@ class MultiStreamPipeline:
         y = u = v = None
         t_start = None
 
-        def consume(entry):
-            nonlocal frames_done
-            metas, outs, n_real = entry
+        def consume(entry) -> bool:
+            """Host half of one chunk: events + optional mosaic render.
+            Returns False when the display window requests quit."""
+            nonlocal frames_done, writer
+            metas, outs, n_real, bgrs = entry
             host = jax.device_get(outs)
             if engines is not None:
                 tid = np.asarray(host.track_id)
@@ -661,6 +762,31 @@ class MultiStreamPipeline:
                         np.asarray([m[si][1] for m in metas], np.float64),
                         class_names=names)
             frames_done += n_real
+            if annot is not None:
+                import cv2
+
+                elapsed = (_time.perf_counter() - t_start) if t_start else 0.0
+                fps_now = frames_done / elapsed if elapsed > 0 else 0.0
+                for t, row in enumerate(bgrs):
+                    if all(f is None for f in row):
+                        continue  # trailing all-blank rows of the last chunk
+                    grid = annot.mosaic(host, t, row, render_zones, fps_now)
+                    if vcfg.save_video:
+                        if writer is None:
+                            os.makedirs(os.path.dirname(vcfg.save_path)
+                                        or ".", exist_ok=True)
+                            fps_out = (fps_by_stream[0]
+                                       if fps_by_stream[0] > 0 else 25.0)
+                            writer = cv2.VideoWriter(
+                                vcfg.save_path,
+                                cv2.VideoWriter_fourcc(*vcfg.codec),
+                                fps_out, (grid.shape[1], grid.shape[0]))
+                        writer.write(grid)
+                    if display:
+                        cv2.imshow(vcfg.window_name, grid)
+                        if cv2.waitKey(1) & 0xFF == ord("q"):
+                            return False
+            return True
 
         dead = [False] * s_streams
         last_meta = [(0, 0.0)] * s_streams   # per-stream (fid, ts) for blanks
@@ -701,11 +827,14 @@ class MultiStreamPipeline:
                 u = np.empty((t_chunk, s_streams, ch // 2, cw // 2), np.uint8)
                 v = np.empty((t_chunk, s_streams, ch // 2, cw // 2), np.uint8)
                 metas = []
+                bgrs = []
                 for t in range(t_chunk):
                     row = []
+                    brow = []
                     for si in range(s_streams):
+                        bgr = None
                         if t < len(block[si]):
-                            planes, hw, fid, ts = block[si][t]
+                            planes, hw, fid, ts, bgr = block[si][t]
                             if hw != src_hw:
                                 raise ValueError(
                                     f"stream {si} resolution {hw} != {src_hw}; "
@@ -721,19 +850,24 @@ class MultiStreamPipeline:
                             ts = last_meta[si][1] + 1.0 / fps_by_stream[si]
                             last_meta[si] = (fid, ts)
                         row.append(last_meta[si])
+                        brow.append(bgr)
                     metas.append(row)
+                    bgrs.append(brow)
                 outs, _ress = self.submit_chunk_packed((y, u, v), *src_hw)
                 for leaf in jax.tree.leaves(outs):
                     if hasattr(leaf, "copy_to_host_async"):
                         leaf.copy_to_host_async()
-                inflight.append((metas, outs, n_real))
+                inflight.append((metas, outs, n_real, bgrs))
                 n_chunks += 1
                 if t_start is None:
                     t_start = _time.perf_counter()
                 if len(inflight) > depth:
-                    consume(inflight.popleft())
+                    if not consume(inflight.popleft()):
+                        inflight.clear()
+                        break
             while inflight:
-                consume(inflight.popleft())
+                if not consume(inflight.popleft()):
+                    break
         finally:
             stop.set()
             for q in qs:  # unblock any producer stuck on a full queue
@@ -741,6 +875,13 @@ class MultiStreamPipeline:
                     q.get_nowait()
                 except queue.Empty:
                     pass
+            if writer is not None:
+                writer.release()
+                logger.info(f"mosaic video written: {vcfg.save_path}")
+            if display:
+                import cv2
+
+                cv2.destroyAllWindows()
         wall = (_time.perf_counter() - t_start) if t_start else 0.0
         fps = frames_done / wall if wall > 0 else 0.0
         summary = {

@@ -226,6 +226,110 @@ class TestMultiStreamGMC:
         np.testing.assert_allclose(base.boxes, comp.boxes, atol=0.5)
 
 
+class TestMosaicAnnotator:
+    """Multi-camera annotated output: per-stream track rendering tiled
+    into one mosaic frame (parallel/multistream.py::MosaicAnnotator)."""
+
+    @staticmethod
+    def _fake_host(t, s, k):
+        from rtmodt_tpu.tracking.bytetrack import TrackOutputs
+
+        rng = np.random.default_rng(0)
+        boxes = rng.uniform(10, 100, (t, s, k, 4)).astype(np.float32)
+        boxes[..., 2:] = boxes[..., :2] + 20
+        vis = np.zeros((t, s, k), bool)
+        vis[:, :, 0] = True                # one visible track per stream
+        return TrackOutputs(
+            boxes=boxes,
+            track_id=np.arange(t * s * k, dtype=np.int32).reshape(t, s, k) % 7,
+            class_id=np.zeros((t, s, k), np.int32),
+            confidence=np.full((t, s, k), 0.9, np.float32),
+            age=np.ones((t, s, k), np.int32),
+            tsu=np.zeros((t, s, k), np.int32),
+            visible=vis)
+
+    def _annot(self, s):
+        from rtmodt_tpu.config import load_config
+        from rtmodt_tpu.parallel.multistream import MosaicAnnotator
+
+        cfg = load_config(overrides={})
+        return MosaicAnnotator(cfg.visualization, ["person"], s)
+
+    def test_tracks_for_builds_trails(self):
+        annot = self._annot(3)
+        host = self._fake_host(2, 3, 4)
+        tr0 = annot.tracks_for(host, 0, 1)
+        assert len(tr0) == 1 and tr0[0].class_name == "person"
+        assert len(tr0[0].trail) == 1
+        tr1 = annot.tracks_for(host, 1, 1)
+        # same track id across frames extends the per-stream trail
+        if tr1[0].track_id == tr0[0].track_id:
+            assert len(tr1[0].trail) == 2
+        # a different stream has an independent trail map
+        assert len(annot.tracks_for(host, 0, 2)[0].trail) == 1
+
+    def test_mosaic_shape_and_dead_tile(self):
+        annot = self._annot(3)          # 3 streams -> 2x2 grid, 1 filler
+        host = self._fake_host(1, 3, 4)
+        frames = [np.full((120, 160, 3), 60, np.uint8), None,
+                  np.full((120, 160, 3), 60, np.uint8)]
+        grid = annot.mosaic(host, 0, frames, [], fps=42.0)
+        assert grid.shape == (240, 320, 3)
+        # dead slot (top-right tile) stays black outside its label text
+        assert grid[100:120, 160 + 80:320].max() == 0
+
+    def test_disabled_visualization_tiles_raw_frames(self):
+        """visualization.enabled=false still writes the mosaic (parity with
+        the single-stream run, which saves/displays raw frames then) but
+        skips all drawing - tiles are bit-identical to the inputs."""
+        from rtmodt_tpu.config import load_config
+        from rtmodt_tpu.parallel.multistream import MosaicAnnotator
+
+        cfg = load_config(overrides={"visualization": {"enabled": False}})
+        annot = MosaicAnnotator(cfg.visualization, ["person"], 2)
+        host = self._fake_host(1, 2, 4)
+        f0 = np.full((120, 160, 3), 37, np.uint8)
+        f1 = np.full((120, 160, 3), 91, np.uint8)
+        grid = annot.mosaic(host, 0, [f0.copy(), f1.copy()], [], fps=10.0)
+        assert grid.shape == (120, 320, 3)
+        np.testing.assert_array_equal(grid[:, :160], f0)
+        np.testing.assert_array_equal(grid[:, 160:], f1)
+
+    def test_run_save_video_writes_mosaic(self, tmp_path):
+        """Headless multi-camera --save-video: the run writes a mosaic mp4
+        sized (rows*H, cols*W) with one frame per real time step."""
+        import cv2
+
+        from rtmodt_tpu.config import load_config
+        from rtmodt_tpu.parallel.mesh import create_mesh
+        from rtmodt_tpu.parallel.multistream import MultiStreamPipeline
+        from rtmodt_tpu.utils.synthetic import write_synthetic_video
+
+        vid = str(tmp_path / "cam.mp4")
+        write_synthetic_video(vid, frames=8, h=160, w=160, n_objects=2)
+        out = tmp_path / "mosaic.mp4"
+        cfg = load_config(overrides={
+            "detection": {"model": "yolov8n", "input_size": 128,
+                          "conf_threshold": 0.01, "nms_candidates": 32,
+                          "max_detections": 8, "classes": None},
+            "tracking": {"bytetrack": {"max_tracks": 16}},
+            "parallel": {"chunk_size": 4, "pipeline_depth": 1},
+            "visualization": {"save_video": True, "save_path": str(out)},
+            "events": {"enabled": False},
+        })
+        pipe = MultiStreamPipeline(cfg, num_streams=8, mesh=create_mesh(8))
+        summary = pipe.run([vid] * 8)
+        assert summary["frames"] == 8 * 8
+        cap = cv2.VideoCapture(str(out))
+        assert cap.isOpened()
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        cap.release()
+        assert (w, h) == (3 * 160, 3 * 160)   # 8 streams -> 3x3 grid
+        assert n == 8                          # one mosaic frame per step
+
+
 class TestMultiStreamRun:
     def test_run_end_to_end_with_events(self, tmp_path):
         """Full multi-camera loop: 8 file streams -> time-aligned packed

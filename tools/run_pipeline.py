@@ -50,13 +50,11 @@ def main(config_path, source, display, max_frames, save_video):
     if len(source) > 1:
         from rtmodt_tpu.parallel.multistream import MultiStreamPipeline
 
-        if display or save_video:
-            logger.warning(
-                "multi-camera mode is headless: --display/--save-video are "
-                "ignored (per-stream rendering of S batched streams is not "
-                "implemented; run one pipeline per camera to render)")
+        # --display/--save-video tile the S annotated streams into one
+        # mosaic frame (parallel/multistream.py::MosaicAnnotator)
         pipe = MultiStreamPipeline(cfg)
-        summary = pipe.run(list(source), max_frames=max_frames)
+        summary = pipe.run(list(source), max_frames=max_frames,
+                           display=display)
     else:
         from rtmodt_tpu.runtime.pipeline import Pipeline
 
