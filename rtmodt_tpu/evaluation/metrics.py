@@ -35,7 +35,8 @@ def evaluate_tracking(gt_mot_file: str, pred_mot_file: str) -> dict[str, float]:
 
     result = evaluate_mot(load_mot_txt(gt_mot_file), load_mot_txt(pred_mot_file))
     logger.info(f"Tracking eval | IDF1={result['idf1']:.4f} "
-                f"MOTA={result['mota']:.4f} Switches={result['num_switches']}")
+                f"MOTA={result['mota']:.4f} HOTA={result['hota']:.4f} "
+                f"Switches={result['num_switches']}")
     return result
 
 

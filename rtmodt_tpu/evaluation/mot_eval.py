@@ -10,7 +10,11 @@ is not available here, so this implements the standard protocol directly:
     (motmetrics' distance convention);
   * IDF1 via global bipartite matching between GT and predicted trajectories
     on per-pair overlap counts (Ristani et al. 2016);
-  * mostly_tracked / mostly_lost at the usual 80% / 20% coverage cuts.
+  * mostly_tracked / mostly_lost at the usual 80% / 20% coverage cuts;
+  * HOTA (Luiten et al. 2021, the TrackEval reference protocol): detection
+    and association accuracy balanced geometrically, averaged over 19
+    localization thresholds - the modern headline tracking metric the
+    reference's motmetrics stack predates (``evaluate_hota``).
 
 MOT15-2D file rows: frame, id, bb_left, bb_top, bb_width, bb_height,
 conf, x, y, z.
@@ -141,11 +145,111 @@ def evaluate_mot(gt_frames: dict[int, dict[int, np.ndarray]],
     ml = sum(1 for g in gt_ids_all
              if gt_matched_count[g] / gt_frames_count[g] <= 0.2)
 
-    return {
+    out = {
         "idf1": float(idf1),
         "mota": float(1.0 - (fn + fp + idsw) / max(num_gt, 1)),
         "motp": float(np.mean(match_dists)) if match_dists else 0.0,
         "num_switches": int(idsw),
         "mostly_tracked": int(mt),
         "mostly_lost": int(ml),
+    }
+    out.update(evaluate_hota(gt_frames, pred_frames))
+    return out
+
+
+def evaluate_hota(gt_frames: dict[int, dict[int, np.ndarray]],
+                  pred_frames: dict[int, dict[int, np.ndarray]],
+                  ) -> dict[str, float]:
+    """HOTA = mean over alpha of sqrt(DetA(a) * AssA(a)).
+
+    Follows the official TrackEval two-pass algorithm exactly:
+
+      pass 1: accumulate per-(gt_id, pred_id) "potential match" mass using
+        the Jaccard-normalized per-frame similarity, plus per-ID frame
+        counts, giving a global alignment score per trajectory pair;
+      pass 2: per frame, Hungarian-maximize ``global_alignment * iou`` and
+        accept pairs with iou >= alpha, accumulating TP/FN/FP and the
+        accepted pair-match counts per alpha;
+      AssA(a) = TP-weighted mean of the matched pairs' association
+        Jaccard ``A(g,p) = TPA / (gt_count + pred_count - TPA)``;
+      DetA(a) = TP / (TP + FN + FP);  LocA(a) = mean TP similarity.
+
+    Returns {hota, det_a, ass_a, loc_a} averaged over the 19 thresholds
+    alpha = 0.05..0.95.
+    """
+    alphas = np.arange(0.05, 0.99, 0.05)
+    na = len(alphas)
+    gt_ids_all = sorted({g for d in gt_frames.values() for g in d})
+    pr_ids_all = sorted({p for d in pred_frames.values() for p in d})
+    g_index = {g: i for i, g in enumerate(gt_ids_all)}
+    p_index = {p: i for i, p in enumerate(pr_ids_all)}
+    ng, np_ = len(gt_ids_all), len(pr_ids_all)
+    if ng == 0 or np_ == 0:
+        # degenerate sequences: HOTA is 0 unless both are empty
+        empty = not gt_ids_all and not pr_ids_all
+        val = 1.0 if empty else 0.0
+        return {"hota": val, "det_a": val, "ass_a": val, "loc_a": val}
+
+    frames = sorted(set(gt_frames) | set(pred_frames))
+    per_frame = []                       # (g_idx row, p_idx col, iou matrix)
+    potential = np.zeros((ng, np_))
+    gt_count = np.zeros(ng)
+    pr_count = np.zeros(np_)
+    for fr in frames:
+        gts = gt_frames.get(fr, {})
+        preds = pred_frames.get(fr, {})
+        gi = np.array([g_index[g] for g in gts], int)
+        pi = np.array([p_index[p] for p in preds], int)
+        gt_count[gi] += 1
+        pr_count[pi] += 1
+        if len(gi) and len(pi):
+            iou = _iou_xywh(np.stack(list(gts.values())),
+                            np.stack(list(preds.values())))
+        else:
+            iou = np.zeros((len(gi), len(pi)))
+        per_frame.append((gi, pi, iou))
+        if iou.size:
+            denom = iou.sum(0)[None, :] + iou.sum(1)[:, None] - iou
+            sim = np.where(denom > np.finfo(float).eps, iou / np.maximum(denom, 1e-12), 0.0)
+            potential[np.ix_(gi, pi)] += sim
+
+    global_align = potential / np.maximum(
+        gt_count[:, None] + pr_count[None, :] - potential, 1e-12)
+
+    tp = np.zeros(na)
+    fn = np.zeros(na)
+    fp = np.zeros(na)
+    loc_sum = np.zeros(na)
+    match_counts = [np.zeros((ng, np_)) for _ in range(na)]
+    for gi, pi, iou in per_frame:
+        if iou.size:
+            score = global_align[np.ix_(gi, pi)] * iou
+            rows, cols = linear_sum_assignment(-score)
+        else:
+            rows = cols = np.array([], int)
+        for ai, alpha in enumerate(alphas):
+            ok = iou[rows, cols] >= alpha - np.finfo(float).eps if len(rows) \
+                else np.array([], bool)
+            n_match = int(ok.sum())
+            tp[ai] += n_match
+            fn[ai] += len(gi) - n_match
+            fp[ai] += len(pi) - n_match
+            if n_match:
+                loc_sum[ai] += float(iou[rows[ok], cols[ok]].sum())
+                match_counts[ai][gi[rows[ok]], pi[cols[ok]]] += 1
+
+    det_a = tp / np.maximum(tp + fn + fp, 1)
+    ass_a = np.zeros(na)
+    for ai in range(na):
+        mc = match_counts[ai]
+        pair_ass = mc / np.maximum(
+            gt_count[:, None] + pr_count[None, :] - mc, 1e-12)
+        ass_a[ai] = float((mc * pair_ass).sum() / max(tp[ai], 1))
+    loc_a = np.where(tp > 0, loc_sum / np.maximum(tp, 1), 1.0)
+    hota = np.sqrt(det_a * ass_a)
+    return {
+        "hota": float(hota.mean()),
+        "det_a": float(det_a.mean()),
+        "ass_a": float(ass_a.mean()),
+        "loc_a": float(loc_a.mean()),
     }
