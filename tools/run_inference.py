@@ -122,8 +122,12 @@ def detect(images, gt_json, out, model, weights, num_classes, input_size,
               type=click.Choice(["bytetrack", "deepsort", "ocsort"]),
               help="deepsort adds the appearance embedder (shipped weights); "
                    "ocsort is observation-centric for occlusion-heavy scenes")
+@click.option("--interpolate", default=0, type=int, metavar="MAX_GAP",
+              help="offline post-processing: linearly fill per-id track "
+                   "gaps up to MAX_GAP frames (ByteTrack's standard offline "
+                   "trick; needs future frames so it never runs live)")
 def track(video, out, model, weights, num_classes, input_size, gt_mot, conf,
-          match_thresh, track_thresh, max_frames, algorithm):
+          match_thresh, track_thresh, max_frames, algorithm, interpolate):
     """Detect+track over a video -> MOT15-2D rows (+ optional IDF1/MOTA)."""
     import cv2
 
@@ -178,6 +182,17 @@ def track(video, out, model, weights, num_classes, input_size, gt_mot, conf,
             if max_frames and n >= max_frames:
                 break
     logger.info(f"tracked {n} frames -> {out}")
+
+    if interpolate > 0:
+        from rtmodt_tpu.tracking.postprocess import (interpolate_mot_rows,
+                                                     load_mot_rows,
+                                                     write_mot_rows)
+
+        rows = load_mot_rows(out)
+        filled = interpolate_mot_rows(rows, max_gap=interpolate)
+        write_mot_rows(out, filled)
+        logger.info(f"interpolated {len(filled) - len(rows)} gap rows "
+                    f"(max_gap={interpolate}) -> {out}")
 
     if gt_mot:
         from rtmodt_tpu.evaluation.metrics import evaluate_tracking
