@@ -195,6 +195,77 @@ class TestMOTEval:
         assert r["idf1"] == pytest.approx(20 / 22)
 
 
+class TestHOTA:
+    """HOTA (TrackEval protocol) on analytically solvable scenes."""
+
+    def test_perfect_tracking_is_one(self, tmp_path):
+        from rtmodt_tpu.evaluation.mot_eval import evaluate_mot, load_mot_txt
+
+        rows = [(fr, tid, 10 + 80 * tid, 10, 50, 80)
+                for fr in range(1, 11) for tid in (1, 2)]
+        g, p = str(tmp_path / "gt.txt"), str(tmp_path / "p.txt")
+        write_mot(g, rows)
+        write_mot(p, rows)
+        r = evaluate_mot(load_mot_txt(g), load_mot_txt(p))
+        assert r["hota"] == pytest.approx(1.0)
+        assert r["det_a"] == pytest.approx(1.0)
+        assert r["ass_a"] == pytest.approx(1.0)
+        assert r["loc_a"] == pytest.approx(1.0)
+
+    def test_id_split_penalizes_association_only(self, tmp_path):
+        """One GT track of 10 frames predicted as two 5-frame ids with
+        exact boxes: DetA=1 (every frame a TP at every alpha); each pair's
+        association Jaccard is 5/(10+5-5)=0.5, so AssA=0.5 and
+        HOTA=sqrt(0.5)."""
+        from rtmodt_tpu.evaluation.mot_eval import evaluate_hota, load_mot_txt
+
+        gt = [(fr, 1, 100, 100, 60, 90) for fr in range(1, 11)]
+        pred = [(fr, 5, 100, 100, 60, 90) for fr in range(1, 6)]
+        pred += [(fr, 6, 100, 100, 60, 90) for fr in range(6, 11)]
+        g, p = str(tmp_path / "gt.txt"), str(tmp_path / "p.txt")
+        write_mot(g, gt)
+        write_mot(p, pred)
+        r = evaluate_hota(load_mot_txt(g), load_mot_txt(p))
+        assert r["det_a"] == pytest.approx(1.0)
+        assert r["ass_a"] == pytest.approx(0.5)
+        assert r["hota"] == pytest.approx(np.sqrt(0.5))
+
+    def test_localization_thresholds_average(self, tmp_path):
+        """Boxes offset to IoU ~= 0.538: TPs only at alphas below that, so
+        DetA averages the per-alpha step function (11 of 19 thresholds)."""
+        from rtmodt_tpu.evaluation.mot_eval import (_iou_xywh, evaluate_hota,
+                                                    load_mot_txt)
+
+        gt = [(fr, 1, 100, 100, 60, 90) for fr in range(1, 11)]
+        pred = [(fr, 5, 112, 112, 60, 90) for fr in range(1, 11)]
+        g, p = str(tmp_path / "gt.txt"), str(tmp_path / "p.txt")
+        write_mot(g, gt)
+        write_mot(p, pred)
+        iou = float(_iou_xywh(np.array([[100, 100, 60, 90.0]]),
+                              np.array([[112, 112, 60, 90.0]]))[0, 0])
+        alphas = np.arange(0.05, 0.99, 0.05)
+        n_pass = int((alphas <= iou).sum())
+        r = evaluate_hota(load_mot_txt(g), load_mot_txt(p))
+        # below the cut every frame is TP (DetA=1, AssA=1); above, all
+        # frames are FN+FP (DetA=0)
+        assert r["det_a"] == pytest.approx(n_pass / len(alphas))
+        assert r["hota"] == pytest.approx(n_pass / len(alphas))
+        assert r["loc_a"] < 1.0
+
+    def test_empty_and_surfaced_in_facade(self, tmp_path):
+        from rtmodt_tpu.evaluation.metrics import evaluate_tracking
+        from rtmodt_tpu.evaluation.mot_eval import evaluate_hota
+
+        assert evaluate_hota({1: {1: np.array([0, 0, 10, 10.0])}}, {})["hota"] == 0.0
+        assert evaluate_hota({}, {})["hota"] == 1.0
+        rows = [(fr, 1, 10, 10, 50, 80) for fr in range(1, 6)]
+        g, p = str(tmp_path / "gt.txt"), str(tmp_path / "p.txt")
+        write_mot(g, rows)
+        write_mot(p, rows)
+        r = evaluate_tracking(g, p)
+        assert {"hota", "det_a", "ass_a", "loc_a"} <= set(r)
+
+
 class TestHelpers:
     def test_confusion_matrix(self):
         from rtmodt_tpu.evaluation.metrics import build_confusion_matrix
