@@ -133,6 +133,31 @@ class DeepSortConfig:
 
 
 @dataclass
+class BotSortConfig:
+    """BoT-SORT (framework extension; tracking/botsort.py): ByteTrack's
+    confidence-split two-stage association with a fused motion+appearance
+    cost - ``min(IoU distance, gated cosine distance)`` - per the BoT-SORT
+    paper (Aharon et al. 2022).  Camera-motion compensation (the paper's
+    other half) is the shared ``tracking.gmc`` block, applied on device.
+    Defaults follow the canonical repo's MOT17 configuration."""
+
+    track_thresh: float = 0.5           # high/low confidence split
+    low_thresh: float = 0.1             # BYTE stage floor
+    match_thresh: float = 0.8           # stage-1 accept: fused dist <= thresh
+    low_match_thresh: float = 0.5       # stage-2 accept: 1 - IoU <= thresh
+    new_track_thresh: float = 0.6       # birth gate (canonical: high+0.1)
+    track_buffer: int = 30              # frames a lost track survives
+    proximity_thresh: float = 0.5       # appearance only when 1-IoU <= this
+    appearance_thresh: float = 0.25     # cosine-distance/2 acceptance cut
+    fuse_score: bool = True             # stage-1 IoU similarity *= det conf
+    ema_alpha: float = 0.9              # appearance gallery EMA momentum
+    embedder: str = ""                  # embedder weights chain (as deepsort)
+    embed_dim: int = 128
+    crop_hw: list[int] = field(default_factory=lambda: [64, 32])
+    max_tracks: int = 256               # static track-slot count (device state)
+
+
+@dataclass
 class OCSortConfig:
     """Observation-Centric SORT (framework extension; tracking/ocsort.py).
 
@@ -171,6 +196,7 @@ class TrackingConfig:
     gmc: GMCConfig = field(default_factory=GMCConfig)
     bytetrack: ByteTrackConfig = field(default_factory=ByteTrackConfig)
     deepsort: DeepSortConfig = field(default_factory=DeepSortConfig)
+    botsort: BotSortConfig = field(default_factory=BotSortConfig)
     ocsort: OCSortConfig = field(default_factory=OCSortConfig)
 
 
@@ -419,9 +445,9 @@ def _validate(cfg: PipelineConfig) -> None:
         raise ValueError(f"tracking.bytetrack.motion_model must be kalman|none, got {bt.motion_model}")
     if bt.assignment not in ("greedy", "lapjv"):
         raise ValueError(f"tracking.bytetrack.assignment must be greedy|lapjv, got {bt.assignment}")
-    if cfg.tracking.algorithm not in ("bytetrack", "deepsort", "ocsort"):
-        raise ValueError(f"tracking.algorithm must be bytetrack|deepsort|ocsort, "
-                         f"got {cfg.tracking.algorithm}")
+    if cfg.tracking.algorithm not in ("bytetrack", "deepsort", "botsort", "ocsort"):
+        raise ValueError(f"tracking.algorithm must be bytetrack|deepsort|botsort|"
+                         f"ocsort, got {cfg.tracking.algorithm}")
     g = cfg.tracking.gmc
     if g.method not in ("none", "phase"):
         raise ValueError(f"tracking.gmc.method must be none|phase, got {g.method}")
@@ -441,6 +467,15 @@ def _validate(cfg: PipelineConfig) -> None:
     if not (0.0 <= oc.iou_threshold < 1.0):
         raise ValueError(f"tracking.ocsort.iou_threshold must be in [0, 1), "
                          f"got {oc.iou_threshold}")
+    bs = cfg.tracking.botsort
+    if not (0.0 <= bs.proximity_thresh <= 1.0):
+        raise ValueError(f"tracking.botsort.proximity_thresh must be in [0, 1], "
+                         f"got {bs.proximity_thresh}")
+    if not (0.0 < bs.appearance_thresh <= 1.0):
+        raise ValueError(f"tracking.botsort.appearance_thresh must be in (0, 1], "
+                         f"got {bs.appearance_thresh}")
+    if len(bs.crop_hw) != 2 or any(v <= 0 for v in bs.crop_hw):
+        raise ValueError(f"tracking.botsort.crop_hw must be [h, w] > 0, got {bs.crop_hw}")
     ds = cfg.tracking.deepsort
     if ds.n_init < 1:
         raise ValueError(f"tracking.deepsort.n_init must be >= 1, got {ds.n_init}")

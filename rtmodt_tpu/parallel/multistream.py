@@ -156,9 +156,10 @@ class MultiStreamPipeline:
         # program (per-stream ROI crops + embed inside the same XLA program)
         from functools import partial as _partial
         algo = cfg.tracking.algorithm
-        self._is_deepsort = algo == "deepsort"
+        self._is_appearance = algo in ("deepsort", "botsort")
         self._embedder = None
         self._ds_cfg = None
+        self._app_update = None
         if algo == "ocsort":
             from rtmodt_tpu.tracking.ocsort import (init_ocsort_state,
                                                     ocsort_update)
@@ -169,18 +170,20 @@ class MultiStreamPipeline:
             self.state = init_multistream_state(
                 self.num_streams, occ.max_tracks,
                 init_one=init_ocsort_state, delta_t=occ.delta_t)
-        elif algo == "deepsort":
+        elif algo in ("deepsort", "botsort"):
             from rtmodt_tpu.tracking.deepsort import init_deepsort_state
             from rtmodt_tpu.tracking.tracker import MultiObjectTracker
 
             # the facade resolves the embedder weights chain (shipped
-            # checkpoint by default, `embedder: random` opts out)
+            # checkpoint by default, `embedder: random` opts out) and the
+            # algorithm's update function (deepsort_update / botsort_update)
             facade = MultiObjectTracker(
-                "deepsort", trail_length=cfg.tracking.trail_length,
-                deepsort=cfg.tracking.deepsort)
+                algo, trail_length=cfg.tracking.trail_length,
+                **{algo: getattr(cfg.tracking, algo)})
             self._embedder = facade.embedder
             self._emb_params_host = facade.embedder_params
             self._ds_cfg = facade.cfg
+            self._app_update = facade.appearance_update
             self._mot_update = None
             self._mot_repr = repr(self._ds_cfg)
             self.state = init_multistream_state(
@@ -198,7 +201,7 @@ class MultiStreamPipeline:
         self.state = jax.device_put(self.state, self._stream_shard)
         self.params = jax.device_put(self.detector.params, self._repl)
         self.emb_params = (jax.device_put(self._emb_params_host, self._repl)
-                           if self._is_deepsort else None)
+                           if self._is_appearance else None)
         # per-stream camera-motion compensation (tracking.gmc, ops/gmc.py):
         # each stream carries its own previous luma grid + validity scalar,
         # sharded along the stream axis with the tracker state, and the
@@ -244,9 +247,8 @@ class MultiStreamPipeline:
             dcfg.conf_threshold, dcfg.iou_threshold,
             dcfg.max_detections, dcfg.nms_candidates,
             self.detector._class_mask, dcfg.agnostic_nms, impl=dcfg.nms_impl)
-        if self._is_deepsort:
+        if self._is_appearance:
             from rtmodt_tpu.ops.roi import crop_and_resize
-            from rtmodt_tpu.tracking.deepsort import deepsort_update
 
             # crop while boxes are still in letterbox coordinates
             # (same convention as pipeline.py::_fused_deepsort_for)
@@ -254,9 +256,8 @@ class MultiStreamPipeline:
                                     tuple(self._ds_cfg.crop_hw)) * 255.0
             feats = self._embedder.apply(self.emb_params, crops)
             res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
-            state, outputs = deepsort_update(
-                state, res.boxes, res.scores, res.classes, res.valid,
-                feats, self._ds_cfg)
+            state, outputs = self._app_update(
+                state, res.boxes, res.scores, res.classes, res.valid, feats)
         else:
             res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
             state, outputs = self._mot_update(
@@ -478,13 +479,14 @@ class MultiStreamPipeline:
         return self._jitted[key]
 
     def _packed_chunk_deepsort_for(self, src_h: int, src_w: int, t: int):
-        """DeepSORT twin of ``_packed_chunk_for``: the per-frame NMS is
-        followed by ROI crops taken directly from the padded Y/U/V planes
-        (``ops.roi.crop_yuv_rgb`` - the RGB frame never exists) feeding the
-        appearance embedder, all inside the same sharded program; only the
-        per-stream DeepSORT update scans over T.  Embedder params ride as a
-        replicated argument next to the detector params."""
-        key = ("packed_ds", src_h, src_w, t)
+        """Appearance-tracker twin of ``_packed_chunk_for``: the per-frame
+        NMS is followed by ROI crops taken directly from the padded Y/U/V
+        planes (``ops.roi.crop_yuv_rgb`` - the RGB frame never exists)
+        feeding the appearance embedder, all inside the same sharded
+        program; only the per-stream DeepSORT/BoT-SORT update scans over T.
+        Embedder params ride as a replicated argument next to the detector
+        params."""
+        key = ("packed_app", self.cfg.tracking.algorithm, src_h, src_w, t)
         if key in self._jitted:
             return self._jitted[key]
         from rtmodt_tpu.ops.planar_stem import pad_planes
@@ -492,8 +494,8 @@ class MultiStreamPipeline:
         from rtmodt_tpu.ops.s2d_front import apply_front
         from rtmodt_tpu.ops.yuv import (content_dims, packed_meta,
                                        unletterbox_boxes_packed)
-        from rtmodt_tpu.tracking.deepsort import deepsort_update
 
+        app_update = self._app_update
         dcfg = self.cfg.detection
         dscfg = self._ds_cfg
         embedder = self._embedder
@@ -550,9 +552,8 @@ class MultiStreamPipeline:
                     def one(ss, rr, ee, gp, gv, gc):
                         ss, (cg, cv) = gmc_step(ss, gc, (gp, gv), gcfg,
                                                 scale_xy)
-                        ss, outs = deepsort_update(
-                            ss, rr.boxes, rr.scores, rr.classes, rr.valid,
-                            ee, dscfg)
+                        ss, outs = app_update(
+                            ss, rr.boxes, rr.scores, rr.classes, rr.valid, ee)
                         return ss, outs, cg, cv
 
                     st, outs, cg, cv = jax.vmap(one)(
@@ -567,9 +568,8 @@ class MultiStreamPipeline:
             def body(st, xs):
                 res_s, emb_s = xs
                 st, outs = jax.vmap(
-                    lambda ss, rr, ee: deepsort_update(
-                        ss, rr.boxes, rr.scores, rr.classes, rr.valid,
-                        ee, dscfg)
+                    lambda ss, rr, ee: app_update(
+                        ss, rr.boxes, rr.scores, rr.classes, rr.valid, ee)
                 )(st, res_s, emb_s)
                 return st, outs
 
@@ -620,7 +620,7 @@ class MultiStreamPipeline:
         sh = NamedSharding(self.mesh, P(None, "data"))
         dev = (jax.device_put(y, sh), jax.device_put(u, sh),
                jax.device_put(v, sh))
-        if self._is_deepsort:
+        if self._is_appearance:
             fn = self._packed_chunk_deepsort_for(src_h, src_w, t)
             self.state, outs, ress = self._run_prog(
                 fn, self.params, self.emb_params, self.state, *dev)

@@ -62,10 +62,14 @@ class Pipeline:
             trail_length=cfg.tracking.trail_length,
             bytetrack=cfg.tracking.bytetrack,
             deepsort=cfg.tracking.deepsort,
+            botsort=cfg.tracking.botsort,
             ocsort=cfg.tracking.ocsort,
             gmc=cfg.tracking.gmc,
         )
-        self._is_deepsort = self.tracker.algorithm == "deepsort"
+        # appearance trackers (deepsort, botsort) need per-detection ROI
+        # embeddings inside the jitted step and share the same update
+        # signature (tracking/deepsort.py, tracking/botsort.py)
+        self._is_appearance = self.tracker.algorithm in ("deepsort", "botsort")
         # motion-only tracker update shared by the fused/packed/chunked
         # programs (bytetrack and ocsort have the same step signature;
         # deepsort needs appearance features and keeps its own builders)
@@ -175,16 +179,16 @@ class Pipeline:
 
     def _fused_deepsort_for(self, h: int, w: int):
         """ONE jitted program: letterbox -> YOLO -> NMS -> ROI crop ->
-        appearance embed -> DeepSORT associate/update.  The detection
-        patches and embeddings never exist on the host."""
-        key = ("deepsort", h, w)
+        appearance embed -> DeepSORT/BoT-SORT associate/update.  The
+        detection patches and embeddings never exist on the host."""
+        key = (self.tracker.algorithm, h, w)
         if key in self._fused_fns:
             return self._fused_fns[key]
         from rtmodt_tpu.ops.roi import crop_and_resize
-        from rtmodt_tpu.tracking.deepsort import deepsort_update
 
+        app_update = self.tracker.appearance_update
         dcfg = self.cfg.detection
-        dscfg = self.cfg.tracking.deepsort
+        dscfg = self.tracker.cfg
         dtype = jnp.bfloat16 if dcfg.half else jnp.float32
         model = self.detector.model
         class_mask = self.detector._class_mask
@@ -213,8 +217,8 @@ class Pipeline:
             crops = crop_and_resize(img.astype(jnp.float32), res.boxes, crop_hw) * 255.0
             feats = embedder.apply(emb_params, crops)
             res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
-            state, outputs = deepsort_update(
-                state, res.boxes, res.scores, res.classes, res.valid, feats, dscfg)
+            state, outputs = app_update(
+                state, res.boxes, res.scores, res.classes, res.valid, feats)
             if gmc_on:
                 return state, outputs, res, carry
             return state, outputs, res
@@ -223,7 +227,7 @@ class Pipeline:
         return step_fn
 
     def _fused_for(self, h: int, w: int):
-        if self._is_deepsort:
+        if self._is_appearance:
             return self._fused_deepsort_for(h, w)
         key = (h, w)
         if key in self._fused_fns:
@@ -398,10 +402,11 @@ class Pipeline:
         """Low-latency per-frame path over packed transport: host packs ONE
         frame to planar I420 (~0.4 MB), device runs the fused step."""
         self._maybe_trace()
-        if self._is_deepsort:
+        if self._is_appearance:
             raise NotImplementedError(
-                "the packed planar path never forms an RGB image, which "
-                "deepsort's ROI crops need; use step() for deepsort")
+                f"the per-frame packed path has no appearance-embedding "
+                f"program; use step() or the chunked path for "
+                f"{self.tracker.algorithm}")
         from rtmodt_tpu.ops.yuv import pack_i420
 
         h, w = frame_bgr.shape[:2]
@@ -570,12 +575,12 @@ class Pipeline:
         return self._chunk_fns[key]
 
     def _packed_chunk_deepsort_for(self, src_h: int, src_w: int, k: int):
-        """DeepSORT twin of ``_packed_chunk_for``: same batched planar
-        detection, plus per-frame ROI crops taken DIRECTLY from the Y/U/V
-        planes (``ops.roi.crop_yuv_rgb`` - color conversion happens per crop,
-        the RGB frame never exists) feeding the appearance embedder; the
-        DeepSORT update is the only sequential part."""
-        key = ("i420_deepsort", src_h, src_w, k)
+        """Appearance-tracker twin of ``_packed_chunk_for``: same batched
+        planar detection, plus per-frame ROI crops taken DIRECTLY from the
+        Y/U/V planes (``ops.roi.crop_yuv_rgb`` - color conversion happens per
+        crop, the RGB frame never exists) feeding the appearance embedder;
+        the DeepSORT/BoT-SORT update is the only sequential part."""
+        key = ("i420", self.tracker.algorithm, src_h, src_w, k)
         if key in self._chunk_fns:
             return self._chunk_fns[key]
         from rtmodt_tpu.ops.planar_stem import pad_planes
@@ -583,10 +588,10 @@ class Pipeline:
         from rtmodt_tpu.ops.roi import crop_yuv_rgb
         from rtmodt_tpu.ops.yuv import (content_dims, packed_meta,
                                        unletterbox_boxes_packed)
-        from rtmodt_tpu.tracking.deepsort import deepsort_update
 
+        app_update = self.tracker.appearance_update
         dcfg = self.cfg.detection
-        dscfg = self.cfg.tracking.deepsort
+        dscfg = self.tracker.cfg
         dtype = jnp.bfloat16 if dcfg.half else jnp.float32
         model = self.detector.model
         class_mask = self.detector._class_mask
@@ -632,9 +637,8 @@ class Pipeline:
                     res, emb, grid_t = xs
                     st, gc = st_carry
                     st, gc = _gmc_step(st, grid_t, gc, gcfg, scale_xy)
-                    st, outputs = deepsort_update(
-                        st, res.boxes, res.scores, res.classes, res.valid,
-                        emb, dscfg)
+                    st, outputs = app_update(
+                        st, res.boxes, res.scores, res.classes, res.valid, emb)
                     return (st, gc), outputs
 
                 (state, carry), outs = jax.lax.scan(
@@ -643,8 +647,8 @@ class Pipeline:
 
             def body(st, xs):
                 res, emb = xs
-                st, outputs = deepsort_update(
-                    st, res.boxes, res.scores, res.classes, res.valid, emb, dscfg)
+                st, outputs = app_update(
+                    st, res.boxes, res.scores, res.classes, res.valid, emb)
                 return st, outputs
 
             state, outs = jax.lax.scan(body, state, (ress, embs))
@@ -671,7 +675,7 @@ class Pipeline:
         y, u, v = planes
         k = y.shape[0]
         chunk_fn = (self._packed_chunk_deepsort_for(src_h, src_w, k)
-                    if self._is_deepsort
+                    if self._is_appearance
                     else self._packed_chunk_for(src_h, src_w, k))
         self.tracker.state, outs, ress = self._run_prog(
             chunk_fn, self.detector.params, self.tracker.state,
@@ -710,7 +714,7 @@ class Pipeline:
                 raw = fwd(self.detector.params, img)
                 res = nms(raw)
                 if self.tracker._host is None:
-                    if self._is_deepsort:
+                    if self._is_appearance:
                         feats = self.tracker.embed_fn()(jax.device_put(dummy),
                                                         res.boxes)
                         state, _ = self.tracker._step(
@@ -804,7 +808,7 @@ class Pipeline:
                 self.tracker.state, self._gmc_carry = self._gmc_stage_fn()(
                     self.tracker.state, fdev, *self._gmc_carry,
                     np.asarray([w / g, h / g], np.float32))
-            if self._is_deepsort:
+            if self._is_appearance:
                 feats = self.tracker.embed_fn()(jax.device_put(frame), res.boxes)
                 self.tracker.state, outputs = self.tracker._step(
                     self.tracker.state, res.boxes, res.scores, res.classes,
@@ -890,7 +894,7 @@ class Pipeline:
         (deepsort needs RGB ROI crops; per-stage and host-tracker modes keep
         the BGR stages the reference profiler mirrors)."""
         return (self.cfg.parallel.transport == "packed"
-                and not self._is_deepsort
+                and not self._is_appearance
                 and not self._per_stage
                 and self.tracker._host is None)
 
@@ -927,7 +931,7 @@ class Pipeline:
         # deepsort's chunk program needs the planes (ROI crops), so it
         # always ships packed
         use_bgr = (self.cfg.parallel.transport == "bgr"
-                   and not self._is_deepsort)
+                   and not self._is_appearance)
 
         def consume(entry):
             nonlocal frames_done

@@ -5,9 +5,10 @@ constructor dispatch, same ``update(detections) -> list[Track]`` call, same
 per-ID centroid trails capped at ``trail_length``.  Capability extensions:
 ``deepsort`` actually works here (the reference raises NotImplementedError,
 tracker.py:212-214) - an appearance-embedding tracker whose ROI crop, embed
-and association all run on device (``deepsort.py``) - and ``ocsort`` adds
-an observation-centric tracker for occlusion-heavy scenes (``ocsort.py``),
-both in the same fixed-slot jittable formulation.
+and association all run on device (``deepsort.py``) - ``botsort`` fuses
+motion and appearance costs BoT-SORT-style (``botsort.py``), and ``ocsort``
+adds an observation-centric tracker for occlusion-heavy scenes
+(``ocsort.py``), all in the same fixed-slot jittable formulation.
 
 ByteTrack execution backends:
   * ``assignment: greedy`` (default) - the jittable device state machine in
@@ -55,7 +56,7 @@ class MultiObjectTracker:
 
     def __init__(self, algorithm: str = "bytetrack", trail_length: int = 30, **kwargs):
         self.algorithm = algorithm.lower()
-        if self.algorithm not in ("bytetrack", "deepsort", "ocsort"):
+        if self.algorithm not in ("bytetrack", "deepsort", "botsort", "ocsort"):
             raise ValueError(f"Unknown tracker: {self.algorithm}")
 
         self._trail_map: dict[int, list[tuple[int, int]]] = defaultdict(list)
@@ -68,18 +69,23 @@ class MultiObjectTracker:
         self._embed_fns: dict = {}
         self._setup_gmc(kwargs.get("gmc"))
 
-        if self.algorithm == "deepsort":
-            from rtmodt_tpu.config.loader import DeepSortConfig
+        if self.algorithm in ("deepsort", "botsort"):
+            from rtmodt_tpu.config.loader import BotSortConfig, DeepSortConfig
             from rtmodt_tpu.models.embedder import init_embedder
             from rtmodt_tpu.tracking.deepsort import (
                 deepsort_update, init_deepsort_state)
 
-            ds = kwargs.get("deepsort", kwargs)
-            if isinstance(ds, DeepSortConfig):
+            if self.algorithm == "deepsort":
+                cfg_cls, update_fn = DeepSortConfig, deepsort_update
+            else:
+                from rtmodt_tpu.tracking.botsort import botsort_update
+                cfg_cls, update_fn = BotSortConfig, botsort_update
+            ds = kwargs.get(self.algorithm, kwargs)
+            if isinstance(ds, cfg_cls):
                 self.cfg = ds
             else:
-                known = {f for f in DeepSortConfig.__dataclass_fields__}
-                self.cfg = DeepSortConfig(**{k: v for k, v in ds.items() if k in known})
+                known = {f for f in cfg_cls.__dataclass_fields__}
+                self.cfg = cfg_cls(**{k: v for k, v in ds.items() if k in known})
             weights = self.cfg.embedder
             if weights in ("random", "none"):
                 weights = ""               # explicit opt-out of the fallback
@@ -94,7 +100,8 @@ class MultiObjectTracker:
                 self.embedder, self.embedder_params = init_embedder(
                     tuple(self.cfg.crop_hw), self.cfg.embed_dim, weights)
                 if weights and not self.cfg.embedder:
-                    logger.info(f"deepsort: using shipped embedder weights {weights}")
+                    logger.info(f"{self.algorithm}: using shipped embedder "
+                                f"weights {weights}")
             except Exception as e:
                 # corrupt/truncated npz raises OSError/BadZipFile, shape or
                 # key mismatches ValueError - all fall back for the implicit
@@ -106,9 +113,12 @@ class MultiObjectTracker:
                 self.embedder, self.embedder_params = init_embedder(
                     tuple(self.cfg.crop_hw), self.cfg.embed_dim, "")
             self.state = init_deepsort_state(self.cfg.max_tracks, self.cfg.embed_dim)
-            self._step = jax.jit(partial(deepsort_update, cfg=self.cfg))
-            logger.info(f"Tracker initialised: deepsort (embed_dim="
-                        f"{self.cfg.embed_dim}, n_init={self.cfg.n_init})")
+            # raw (un-jitted) partial for the fused/packed/chunked pipeline
+            # programs; the facade's own step jits it standalone
+            self.appearance_update = partial(update_fn, cfg=self.cfg)
+            self._step = jax.jit(self.appearance_update)
+            logger.info(f"Tracker initialised: {self.algorithm} "
+                        f"(embed_dim={self.cfg.embed_dim})")
             return
 
         if self.algorithm == "ocsort":
@@ -251,6 +261,7 @@ class MultiObjectTracker:
         from rtmodt_tpu.tracking.ocsort import OCSortState
 
         cls = {"deepsort": DeepSortState,
+               "botsort": DeepSortState,     # botsort shares the pytree
                "ocsort": OCSortState}.get(self.algorithm, TrackState)
         with np.load(path) as z:
             fields = {k: jnp.asarray(z[k]) for k in cls._fields}
@@ -266,7 +277,7 @@ class MultiObjectTracker:
         if self._host is not None:
             self._host._tracks.clear()
             self._host._next_id = 1
-        elif self.algorithm == "deepsort":
+        elif self.algorithm in ("deepsort", "botsort"):
             from rtmodt_tpu.tracking.deepsort import init_deepsort_state
             self.state = init_deepsort_state(self.cfg.max_tracks, self.cfg.embed_dim)
         elif self.algorithm == "ocsort":
@@ -303,10 +314,11 @@ class MultiObjectTracker:
         conf[:d] = detections.confidence
         cls[:d] = detections.class_id
         valid[:d] = True
-        if self.algorithm == "deepsort":
+        if self.algorithm in ("deepsort", "botsort"):
             if frame is None:
-                raise ValueError("deepsort requires the frame for appearance "
-                                 "embeddings: update(detections, frame)")
+                raise ValueError(f"{self.algorithm} requires the frame for "
+                                 "appearance embeddings: "
+                                 "update(detections, frame)")
             feats = self.embed_fn()(jax.device_put(frame), boxes)
             self.state, outputs = self._step(self.state, boxes, conf, cls,
                                              valid, feats)

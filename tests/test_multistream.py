@@ -104,7 +104,7 @@ class TestMultiStreamDeepSort:
     def test_step_runs_appearance_path(self, ds_pipe):
         from rtmodt_tpu.tracking.deepsort import DeepSortState
 
-        assert ds_pipe._is_deepsort and ds_pipe.emb_params is not None
+        assert ds_pipe._is_appearance and ds_pipe.emb_params is not None
         frames = np.random.default_rng(0).integers(
             0, 255, (8, 160, 160, 3), np.uint8)
         outs, ress = ds_pipe.step(frames)

@@ -291,6 +291,11 @@ def main() -> None:
              deepsort=dict(ds_base, embedder=args.embedder if
                            os.path.exists(args.embedder) else "random"),
              gmc=gmc_on)),
+            ("botsort_gmc", dict(algorithm="botsort",
+             botsort=dict(track_thresh=0.5, new_track_thresh=0.5,
+                          embedder=args.embedder if
+                          os.path.exists(args.embedder) else "random"),
+             gmc=gmc_on)),
         ]
     else:
         configs = [
@@ -302,6 +307,10 @@ def main() -> None:
              deepsort=dict(ds_base, embedder="random"))),
             ("ocsort", dict(algorithm="ocsort",
              ocsort=dict(det_thresh=0.5, min_hits=1, max_age=30))),
+            ("botsort", dict(algorithm="botsort",
+             botsort=dict(track_thresh=0.5, new_track_thresh=0.5,
+                          embedder=args.embedder if
+                          os.path.exists(args.embedder) else "random"))),
         ]
         if os.path.exists(args.embedder):
             configs.append(("deepsort_trained_embedder", dict(

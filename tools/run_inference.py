@@ -119,9 +119,11 @@ def detect(images, gt_json, out, model, weights, num_classes, input_size,
                    "lower than large clean ones")
 @click.option("--max-frames", default=None, type=int)
 @click.option("--algorithm", default="bytetrack",
-              type=click.Choice(["bytetrack", "deepsort", "ocsort"]),
+              type=click.Choice(["bytetrack", "deepsort", "botsort", "ocsort"]),
               help="deepsort adds the appearance embedder (shipped weights); "
-                   "ocsort is observation-centric for occlusion-heavy scenes")
+                   "botsort fuses motion+appearance costs (pair with "
+                   "tracking.gmc for moving cameras); ocsort is observation-"
+                   "centric for occlusion-heavy scenes")
 @click.option("--interpolate", default=0, type=int, metavar="MAX_GAP",
               help="offline post-processing: linearly fill per-id track "
                    "gaps up to MAX_GAP frames (ByteTrack's standard offline "
@@ -144,6 +146,9 @@ def track(video, out, model, weights, num_classes, input_size, gt_mot, conf,
                                    "track_thresh": track_thresh,
                                    "new_track_thresh": track_thresh},
                      "deepsort": {"min_confidence": track_thresh},
+                     "botsort": {"track_thresh": track_thresh,
+                                 "new_track_thresh": track_thresh,
+                                 "match_thresh": match_thresh},
                      "ocsort": {"det_thresh": track_thresh}},
         "events": {"enabled": False},
         "visualization": {"enabled": False},

@@ -95,7 +95,7 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--out", default="/tmp/rtmodt_trace")
     ap.add_argument("--algorithm", default="bytetrack",
-                    choices=["bytetrack", "deepsort", "ocsort"])
+                    choices=["bytetrack", "deepsort", "botsort", "ocsort"])
     ap.add_argument("--summarize-only", action="store_true")
     args = ap.parse_args()
     if not args.summarize_only:
