@@ -313,8 +313,13 @@ class Pipeline:
         path, one dispatch per frame).  Takes the SINGLE (ch*3/2, cw) packed
         I420 buffer ``pack_i420`` emits - one host->device put per frame;
         through a high-latency link each extra put costs a full round trip,
-        so the plane split happens on device (free slicing under jit)."""
-        key = ("i420_fused", src_h, src_w)
+        so the plane split happens on device (free slicing under jit).
+
+        Appearance trackers (deepsort/botsort) ride the same program: ROI
+        crops come straight from the padded Y/U/V planes
+        (``ops.roi.crop_yuv_rgb``) into the embedder, like the chunked
+        appearance path - the RGB frame never exists."""
+        key = ("i420_fused", self.tracker.algorithm, src_h, src_w)
         if key in self._fused_fns:
             return self._fused_fns[key]
         from rtmodt_tpu.ops.planar_stem import pad_planes
@@ -324,6 +329,17 @@ class Pipeline:
 
         dcfg = self.cfg.detection
         mot_update = self._mot_update
+        is_app = self._is_appearance
+        if is_app:
+            from rtmodt_tpu.ops.roi import crop_yuv_rgb
+
+            app_update = self.tracker.appearance_update
+            embedder = self.tracker.embedder
+            emb_params = self.tracker.embedder_params
+            crop_hw = tuple(self.tracker.cfg.crop_hw)
+            mot_repr = repr(self.tracker.cfg)
+        else:
+            mot_repr = self._mot_repr
         dtype = jnp.bfloat16 if dcfg.half else jnp.float32
         model = self.detector.model
         class_mask = self.detector._class_mask
@@ -364,9 +380,24 @@ class Pipeline:
                 dcfg.conf_threshold, dcfg.iou_threshold,
                 dcfg.max_detections, dcfg.nms_candidates, class_mask,
                 dcfg.agnostic_nms, impl=dcfg.nms_impl)
-            res = res._replace(boxes=unletterbox_boxes_packed(res.boxes, meta))
-            state, outputs = mot_update(
-                state, res.boxes, res.scores, res.classes, res.valid)
+            if is_app:
+                # crop while boxes are still in model-input coordinates
+                # (same convention as _packed_chunk_deepsort_for)
+                crops = crop_yuv_rgb(yp[0].astype(jnp.float32),
+                                     up[0].astype(jnp.float32),
+                                     vp[0].astype(jnp.float32),
+                                     res.boxes, crop_hw)
+                feats = embedder.apply(emb_params, crops)
+                res = res._replace(
+                    boxes=unletterbox_boxes_packed(res.boxes, meta))
+                state, outputs = app_update(
+                    state, res.boxes, res.scores, res.classes, res.valid,
+                    feats)
+            else:
+                res = res._replace(
+                    boxes=unletterbox_boxes_packed(res.boxes, meta))
+                state, outputs = mot_update(
+                    state, res.boxes, res.scores, res.classes, res.valid)
             if gmc_on:
                 return state, outputs, res, carry
             return state, outputs, res
@@ -391,7 +422,7 @@ class Pipeline:
         sig = jax.tree.map(lambda x: (tuple(x.shape), str(x.dtype)),
                            (self.detector.params, self._get_front_pack()))
         self._fused_fns[key] = aot_cached(
-            ("pipe_fused_packed", repr(dcfg), self._mot_repr, self._gmc_repr,
+            ("pipe_fused_packed", repr(dcfg), mot_repr, self._gmc_repr,
              src_h, src_w,
              donate, sig),
             build, example_args)
@@ -402,11 +433,6 @@ class Pipeline:
         """Low-latency per-frame path over packed transport: host packs ONE
         frame to planar I420 (~0.4 MB), device runs the fused step."""
         self._maybe_trace()
-        if self._is_appearance:
-            raise NotImplementedError(
-                f"the per-frame packed path has no appearance-embedding "
-                f"program; use step() or the chunked path for "
-                f"{self.tracker.algorithm}")
         from rtmodt_tpu.ops.yuv import pack_i420
 
         h, w = frame_bgr.shape[:2]
@@ -890,11 +916,11 @@ class Pipeline:
         return outputs, res
 
     def _use_packed_transport(self) -> bool:
-        """Packed planar transport applies to the fused device-tracker path
-        (deepsort needs RGB ROI crops; per-stage and host-tracker modes keep
-        the BGR stages the reference profiler mirrors)."""
+        """Packed planar transport applies to every fused device-tracker
+        path, appearance trackers included (their ROI crops come from the
+        Y/U/V planes); per-stage and host-tracker modes keep the BGR
+        stages the reference profiler mirrors."""
         return (self.cfg.parallel.transport == "packed"
-                and not self._is_appearance
                 and not self._per_stage
                 and self.tracker._host is None)
 

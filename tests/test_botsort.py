@@ -233,6 +233,33 @@ class TestPipelineIntegration:
             jax.device_get(outs), pipe.detector.class_names)
         assert len(tracks) == 4
 
+    @pytest.mark.parametrize("algo", ["botsort", "deepsort"])
+    def test_step_packed_runs_appearance(self, algo):
+        """The per-frame packed-I420 path (the low-latency live program)
+        embeds ROI crops from the padded planes for BOTH appearance
+        trackers - previously it raised NotImplementedError."""
+        from rtmodt_tpu.runtime.pipeline import Pipeline
+        from rtmodt_tpu.utils.synthetic import moving_boxes_frame
+
+        cfg = load_config(overrides={
+            "detection": {"model": "yolov8n", "input_size": 256},
+            "tracking": {"algorithm": algo,
+                         algo: {"embedder": "random", "max_tracks": 16,
+                                **({"n_init": 1} if algo == "deepsort"
+                                   else {})}},
+            "profiling": {"per_stage": False, "warmup_frames": 0,
+                          "log_interval": 0},
+            "visualization": {"enabled": False},
+            "events": {"enabled": False},
+        })
+        pipe = Pipeline(cfg)
+        assert pipe._use_packed_transport()
+        for t in range(3):
+            frame = moving_boxes_frame(t, 288, 512, n_objects=2)[0]
+            tracks, events, res = pipe.step_packed(frame, t, t / 30.0)
+        assert isinstance(tracks, list)      # contract: runs, no crash
+        assert np.isfinite(np.asarray(jax.device_get(res.boxes))).all()
+
     def test_multistream_spmd_runs_botsort(self):
         """The S-stream SPMD program compiles and steps with botsort state
         (incl. appearance gallery) sharded over the 8-device mesh."""
