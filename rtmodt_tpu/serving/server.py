@@ -89,16 +89,27 @@ class _DetectorSingleton:
 _singleton = _DetectorSingleton()
 
 
+_ALGORITHMS = ("bytetrack", "deepsort", "botsort", "ocsort")
+
+
+def _check_algorithm(algo: str) -> str:
+    algo = (algo or "bytetrack").lower()
+    if algo not in _ALGORITHMS:
+        raise HTTPError(400, f"algorithm must be one of {'|'.join(_ALGORITHMS)}")
+    return algo
+
+
 class _Session:
     """One webcam client's server-side state: tracker + optional zone engine."""
 
     __slots__ = ("tracker", "engine", "zones_sig", "zone_polys", "frame_id",
-                 "lock")
+                 "lock", "algorithm")
 
-    def __init__(self):
+    def __init__(self, algorithm: str = "bytetrack"):
         from rtmodt_tpu.tracking.tracker import MultiObjectTracker
 
-        self.tracker = MultiObjectTracker("bytetrack")
+        self.algorithm = algorithm
+        self.tracker = MultiObjectTracker(algorithm)
         self.engine = None
         self.zones_sig: str | None = None
         self.zone_polys: list | None = None   # cached echo for responses
@@ -149,17 +160,21 @@ class _TrackerSessions:
         self.ttl = ttl
         self.max_sessions = max_sessions
 
-    def get(self, session_id: str) -> _Session:
+    def get(self, session_id: str, algorithm: str = "bytetrack") -> _Session:
         now = time.time()
         with self._lock:
             for sid in [s for s, (t, _) in self._sessions.items()
                         if now - t > self.ttl]:
                 del self._sessions[sid]
+            if (session_id in self._sessions
+                    and self._sessions[session_id][1].algorithm != algorithm):
+                # switching trackers mid-session restarts it (fresh ids)
+                del self._sessions[session_id]
             if session_id not in self._sessions:
                 if len(self._sessions) >= self.max_sessions:
                     oldest = min(self._sessions, key=lambda s: self._sessions[s][0])
                     del self._sessions[oldest]
-                self._sessions[session_id] = (now, _Session())
+                self._sessions[session_id] = (now, _Session(algorithm))
             t, sess = self._sessions[session_id]
             self._sessions[session_id] = (now, sess)
             return sess
@@ -169,12 +184,13 @@ _sessions = _TrackerSessions()
 
 
 def _run_detection(img_bgr: np.ndarray, session_id: str | None = None,
-                   zones=None) -> dict:
+                   zones=None, algorithm: str = "bytetrack") -> dict:
     """Single-image detection -> reference response schema
     (web/server.py:84-115).  With a ``session_id``, detections also flow
-    through a per-session ByteTrack and ``tracks`` is populated; with
-    ``zones`` too (decoded JSON list), the session runs a wall-clock
-    zone-event engine and this frame's alerts are returned."""
+    through a per-session tracker (``algorithm``: bytetrack | deepsort |
+    botsort | ocsort) and ``tracks`` is populated; with ``zones`` too
+    (decoded JSON list), the session runs a wall-clock zone-event engine
+    and this frame's alerts are returned."""
     t0 = time.perf_counter()
     det = _singleton.get().detect(img_bgr)
     inference_ms = (time.perf_counter() - t0) * 1e3
@@ -193,11 +209,13 @@ def _run_detection(img_bgr: np.ndarray, session_id: str | None = None,
     events = zone_polys = None
     sess = None
     if session_id:
-        sess = _sessions.get(session_id)
+        sess = _sessions.get(session_id, algorithm)
         with sess.lock:
             sess.frame_id += 1
             sess.set_zones(zones)
-            live = sess.tracker.update(det)
+            # the frame feeds appearance embeddings (deepsort/botsort) and
+            # camera-motion estimation; bytetrack/ocsort ignore it
+            live = sess.tracker.update(det, img_bgr)
             if sess.engine is not None:
                 events = [asdict(ev)
                           for ev in sess.engine.process(live, sess.frame_id)]
@@ -367,8 +385,9 @@ def create_app() -> App:
         zones = payload.get("zones")
         if zones is not None and session_id is None:
             raise HTTPError(400, "zones require a session_id")
+        algo = _check_algorithm(payload.get("algorithm"))
         return JSONResponse(_run_detection(_decode_image(img_bytes),
-                                           session_id, zones))
+                                           session_id, zones, algo))
 
     @app.post("/api/track/video")
     def track_video(req: Request) -> Response:
@@ -378,7 +397,8 @@ def create_app() -> App:
         (web/static/app.js capture-at-t=0.5s path); this endpoint runs the
         real tracker over the clip and returns per-frame persistent-ID
         tracks.  Query/body knobs: ``max_frames`` (default 150, cap 600),
-        ``stride`` (process every Nth frame, default 1).
+        ``stride`` (process every Nth frame, default 1), ``algorithm``
+        (bytetrack | deepsort | botsort | ocsort, default bytetrack).
 
         An optional ``zones`` multipart field (JSON list of
         ``{name, polygon: [[x, y], ...], dwell_time_sec?, cooldown_sec?,
@@ -409,7 +429,7 @@ def create_app() -> App:
         from rtmodt_tpu.tracking.tracker import MultiObjectTracker
 
         detector = _singleton.get()
-        tracker = MultiObjectTracker("bytetrack")
+        tracker = MultiObjectTracker(_check_algorithm(req.query.get("algorithm")))
         t0 = time.perf_counter()
         events_out = []
         frames_out = []
@@ -433,7 +453,7 @@ def create_app() -> App:
                         continue
                     size = (frame.shape[1], frame.shape[0])
                     det = detector.detect(frame)
-                    live = tracker.update(det)
+                    live = tracker.update(det, frame)
                     if zone_engine is not None:
                         ts = n_read / fps_in if fps_in > 0 else float(n_read) / 25.0
                         for ev in zone_engine.process(live, n_read, timestamp=ts):

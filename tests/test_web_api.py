@@ -199,6 +199,33 @@ class TestDetectionAPI:
         assert len(set(ids)) == 1          # ID persists across requests
         assert data["tracks"][0]["age"] == 3
 
+    def test_session_algorithm_selection(self, client):
+        """The frame payload's ``algorithm`` picks the session tracker;
+        switching algorithms restarts the session (fresh ids); bad values
+        are a 400 (tracker choice on the demo surface - the reference has
+        no tracker there at all)."""
+        import base64
+
+        img = base64.b64encode(_jpeg_bytes(100, 100)).decode()
+        payload = {"image": img, "session_id": "algo-sess",
+                   "algorithm": "ocsort"}
+        ages = []
+        for _ in range(3):
+            r = client.post("/api/detect/frame", json_body=payload)
+            assert r.status_code == 200
+            tracks = r.json()["tracks"]
+            if tracks:
+                ages.append(tracks[0]["age"])
+        assert ages and ages[-1] >= 2        # same ocsort session advanced
+        # switching algorithm restarts the session: age resets
+        r = client.post("/api/detect/frame",
+                        json_body={**payload, "algorithm": "bytetrack"})
+        assert r.status_code == 200
+        assert r.json()["tracks"][0]["age"] == 1
+        r = client.post("/api/detect/frame",
+                        json_body={**payload, "algorithm": "sortx"})
+        assert r.status_code == 400
+
     def test_session_zones_fire_live_alerts(self, client):
         """Webcam frames with a session_id + zones get wall-clock intrusion
         alerts per frame; cooldown suppresses repeats; clearing zones stops
@@ -340,6 +367,21 @@ class TestVideoTracking:
         assert data["frames"][0]["frame_id"] == 1
         assert data["image_size"] == [96, 96]
         assert data["processing_fps"] > 0
+
+    def test_track_video_algorithm_param(self, client, tmp_path):
+        """?algorithm= runs the clip through the chosen tracker; bad values
+        are a 400 before any decode work."""
+        content = self._mp4_bytes(tmp_path)
+        r = client.post("/api/track/video?algorithm=botsort",
+                        files={"file": ("clip.mp4", content, "video/mp4")})
+        assert r.status_code == 200
+        data = r.json()
+        assert data["num_frames"] == 8
+        ids = {t["track_id"] for f in data["frames"] for t in f["tracks"]}
+        assert len(ids) == 1                # persistent ID under botsort too
+        r = client.post("/api/track/video?algorithm=nope",
+                        files={"file": ("clip.mp4", content, "video/mp4")})
+        assert r.status_code == 400
 
     def test_track_video_stride_and_cap(self, client, tmp_path):
         content = self._mp4_bytes(tmp_path, frames=10)

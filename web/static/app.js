@@ -150,6 +150,12 @@ let lastVideoFile = null;  // re-track this file when zones change
 let liveEvents = [];       // rolling webcam alert feed (newest first)
 
 const zoneControls = document.getElementById("zone-controls");
+const trackerAlgo = document.getElementById("tracker-algo");
+// switching trackers re-runs the current video (the server restarts a
+// webcam session automatically when its algorithm changes)
+trackerAlgo.addEventListener("change", () => {
+  if (uploadModeActive() && lastVideoFile) handleFile(lastVideoFile);
+});
 const zoneDrawBtn = document.getElementById("zone-draw");
 const zoneClearBtn = document.getElementById("zone-clear");
 const zoneHint = document.getElementById("zone-hint");
@@ -274,8 +280,9 @@ async function trackVideo(file) {
       form.append("zones",
                   JSON.stringify(pixelZones(video.videoWidth, video.videoHeight)));
     }
-    const res = await fetch("/api/track/video?max_frames=300",
-                            { method: "POST", body: form });
+    const res = await fetch(
+      `/api/track/video?max_frames=300&algorithm=${trackerAlgo.value}`,
+      { method: "POST", body: form });
     if (!res.ok) throw new Error((await res.json()).detail || res.status);
     data = await res.json();
     if (!data.frames.length) throw new Error("no frames tracked");
@@ -392,6 +399,7 @@ async function captureAndDetect(video) {
       headers: { "Content-Type": "application/json" },
       body: JSON.stringify({ image: jpeg,
                              session_id: sessionId,
+                             algorithm: trackerAlgo.value,
                              ...(zones.length
                                  ? { zones: pixelZones(c.width, c.height) }
                                  : {}) }),
