@@ -69,6 +69,24 @@ class MosaicAnnotator:
         self.trail_len = vcfg.trail_length
         self._trails: list[dict[int, list[tuple[int, int]]]] = [
             {} for _ in range(num_streams)]
+        # trail garbage collection (same policy as the facade's
+        # _prune_trails): ids unseen far past any re-match window are
+        # dropped so 24/7 multi-camera runs don't accumulate a graveyard
+        self._frame_count = [0] * num_streams
+        self._trail_seen: list[dict[int, int]] = [
+            {} for _ in range(num_streams)]
+
+    def _prune_trails(self, si: int) -> None:
+        self._frame_count[si] += 1
+        if self._frame_count[si] % 512:
+            return
+        horizon = max(600, 4 * self.trail_len)
+        seen = self._trail_seen[si]
+        dead = [tid for tid, last in seen.items()
+                if self._frame_count[si] - last > horizon]
+        for tid in dead:
+            seen.pop(tid, None)
+            self._trails[si].pop(tid, None)
 
     def tracks_for(self, host, t: int, si: int) -> list:
         """Host TrackOutputs (T, S, K, ...) slice -> Track list with trails."""
@@ -76,15 +94,19 @@ class MosaicAnnotator:
 
         vis = np.asarray(host.visible[t, si])
         trails = self._trails[si]
+        self._prune_trails(si)
         out = []
         for i in np.where(vis)[0]:
             tid = int(host.track_id[t, si, i])
+            self._trail_seen[si][tid] = self._frame_count[si]
             box = np.asarray(host.boxes[t, si, i], np.float32)
             cx = int((box[0] + box[2]) / 2)
             cy = int((box[1] + box[3]) / 2)
             trail = trails.setdefault(tid, [])
             trail.append((cx, cy))
-            del trail[:-self.trail_len]
+            # explicit length form: del trail[:-0] would be a no-op at
+            # trail_length == 0
+            del trail[:max(0, len(trail) - self.trail_len)]
             cid = int(host.class_id[t, si, i])
             out.append(Track(
                 track_id=tid, xyxy=box,

@@ -92,8 +92,12 @@ _singleton = _DetectorSingleton()
 _ALGORITHMS = ("bytetrack", "deepsort", "botsort", "ocsort")
 
 
-def _check_algorithm(algo: str) -> str:
-    algo = (algo or "bytetrack").lower()
+def _check_algorithm(algo) -> str | None:
+    """Validate a client-supplied tracker name; None passes through
+    (meaning: keep the session's current algorithm / use the default)."""
+    if algo is None:
+        return None
+    algo = str(algo).lower()
     if algo not in _ALGORITHMS:
         raise HTTPError(400, f"algorithm must be one of {'|'.join(_ALGORITHMS)}")
     return algo
@@ -160,22 +164,31 @@ class _TrackerSessions:
         self.ttl = ttl
         self.max_sessions = max_sessions
 
-    def get(self, session_id: str, algorithm: str = "bytetrack") -> _Session:
+    def get(self, session_id: str, algorithm: str | None = None) -> _Session:
+        """``algorithm=None`` keeps an existing session's tracker (a frame
+        that omits the field must not reset a non-default session)."""
         now = time.time()
         with self._lock:
             for sid in [s for s, (t, _) in self._sessions.items()
                         if now - t > self.ttl]:
                 del self._sessions[sid]
-            if (session_id in self._sessions
-                    and self._sessions[session_id][1].algorithm != algorithm):
-                # switching trackers mid-session restarts it (fresh ids)
-                del self._sessions[session_id]
-            if session_id not in self._sessions:
-                if len(self._sessions) >= self.max_sessions:
-                    oldest = min(self._sessions, key=lambda s: self._sessions[s][0])
-                    del self._sessions[oldest]
-                self._sessions[session_id] = (now, _Session(algorithm))
-            t, sess = self._sessions[session_id]
+            existing = self._sessions.get(session_id)
+            if existing is not None and (
+                    algorithm is None
+                    or existing[1].algorithm == algorithm):
+                self._sessions[session_id] = (now, existing[1])
+                return existing[1]
+        # construct OUTSIDE the lock: deepsort/botsort init loads embedder
+        # weights and would stall every other client's frame for seconds
+        sess = _Session(algorithm or "bytetrack")
+        with self._lock:
+            cur = self._sessions.get(session_id)
+            if cur is not None and cur[1].algorithm == sess.algorithm:
+                sess = cur[1]     # raced with another first-frame: keep one
+            elif session_id not in self._sessions \
+                    and len(self._sessions) >= self.max_sessions:
+                oldest = min(self._sessions, key=lambda s: self._sessions[s][0])
+                del self._sessions[oldest]
             self._sessions[session_id] = (now, sess)
             return sess
 
@@ -183,8 +196,35 @@ class _TrackerSessions:
 _sessions = _TrackerSessions()
 
 
+class _VideoTrackers:
+    """Per-algorithm tracker cache for /api/track/video: constructing an
+    appearance tracker (embedder weights + per-bucket XLA traces) per
+    request would cost seconds-to-minutes per upload.  One cached tracker
+    per algorithm, reset per clip; the per-tracker lock serializes
+    concurrent uploads of the same algorithm (they share mutable state)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._trackers: dict[str, tuple[threading.Lock, object]] = {}
+
+    def acquire(self, algorithm: str):
+        from rtmodt_tpu.tracking.tracker import MultiObjectTracker
+
+        with self._lock:
+            entry = self._trackers.get(algorithm)
+        if entry is None:
+            tracker = MultiObjectTracker(algorithm)   # outside the dict lock
+            with self._lock:
+                entry = self._trackers.setdefault(
+                    algorithm, (threading.Lock(), tracker))
+        return entry
+
+
+_video_trackers = _VideoTrackers()
+
+
 def _run_detection(img_bgr: np.ndarray, session_id: str | None = None,
-                   zones=None, algorithm: str = "bytetrack") -> dict:
+                   zones=None, algorithm: str | None = None) -> dict:
     """Single-image detection -> reference response schema
     (web/server.py:84-115).  With a ``session_id``, detections also flow
     through a per-session tracker (``algorithm``: bytetrack | deepsort |
@@ -426,16 +466,16 @@ def create_app() -> App:
             zone_engine = _build_zone_engine(files["zones"][1])
 
         suffix = os.path.splitext(filename or "clip.mp4")[1] or ".mp4"
-        from rtmodt_tpu.tracking.tracker import MultiObjectTracker
-
         detector = _singleton.get()
-        tracker = MultiObjectTracker(_check_algorithm(req.query.get("algorithm")))
+        algo = _check_algorithm(req.query.get("algorithm")) or "bytetrack"
+        tracker_lock, tracker = _video_trackers.acquire(algo)
         t0 = time.perf_counter()
         events_out = []
         frames_out = []
         n_read = 0
         track_ids = set()
-        with tempfile.NamedTemporaryFile(suffix=suffix) as tmp:
+        with tracker_lock, tempfile.NamedTemporaryFile(suffix=suffix) as tmp:
+            tracker.reset()
             tmp.write(content)
             tmp.flush()
             cap = cv2.VideoCapture(tmp.name)

@@ -278,6 +278,26 @@ class TestMosaicAnnotator:
         # dead slot (top-right tile) stays black outside its label text
         assert grid[100:120, 160 + 80:320].max() == 0
 
+    def test_zero_trail_length_stays_empty(self):
+        """visualization.trail_length == 0 must keep trails empty (the
+        sliced del form would silently be a no-op at 0) and the trail
+        maps must prune ids unseen past the GC horizon."""
+        from rtmodt_tpu.config import load_config
+        from rtmodt_tpu.parallel.multistream import MosaicAnnotator
+
+        cfg = load_config(overrides={"visualization": {"trail_length": 0}})
+        annot = MosaicAnnotator(cfg.visualization, ["person"], 1)
+        host = self._fake_host(1, 1, 4)
+        for _ in range(3):
+            tracks = annot.tracks_for(host, 0, 0)
+        assert tracks and tracks[0].trail == []
+        # GC: an id last seen long ago is dropped from the maps
+        annot._trails[0][999] = [(1, 1)]
+        annot._trail_seen[0][999] = 1
+        annot._frame_count[0] = 1023  # next call hits the 512 gate at 1024,
+        annot.tracks_for(host, 0, 0)  # 1024 - 1 > the 600-frame horizon
+        assert 999 not in annot._trails[0]
+
     def test_disabled_visualization_tiles_raw_frames(self):
         """visualization.enabled=false still writes the mosaic (parity with
         the single-stream run, which saves/displays raw frames then) but

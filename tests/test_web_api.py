@@ -226,6 +226,24 @@ class TestDetectionAPI:
                         json_body={**payload, "algorithm": "sortx"})
         assert r.status_code == 400
 
+    def test_omitted_algorithm_keeps_session(self, client):
+        """A frame WITHOUT the algorithm field must not reset an existing
+        non-default session (omission means 'keep', not 'bytetrack')."""
+        import base64
+
+        img = base64.b64encode(_jpeg_bytes(100, 100)).decode()
+        sid = "keep-sess"
+        for _ in range(3):
+            r = client.post("/api/detect/frame",
+                            json_body={"image": img, "session_id": sid,
+                                       "algorithm": "ocsort"})
+            assert r.status_code == 200
+        # omit the field: the ocsort session (and its ages) must survive
+        r = client.post("/api/detect/frame",
+                        json_body={"image": img, "session_id": sid})
+        assert r.status_code == 200
+        assert r.json()["tracks"][0]["age"] == 4
+
     def test_session_zones_fire_live_alerts(self, client):
         """Webcam frames with a session_id + zones get wall-clock intrusion
         alerts per frame; cooldown suppresses repeats; clearing zones stops

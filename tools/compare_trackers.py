@@ -235,6 +235,7 @@ def run_tracker(name: str, kwargs: dict, frames_bgr, gt):
     m = evaluate_mot(gt_xywh, pr_xywh)
     return {"idf1": round(float(m["idf1"]), 4),
             "mota": round(float(m["mota"]), 4),
+            "hota": round(float(m["hota"]), 4),
             "switches": int(m["num_switches"])}
 
 
