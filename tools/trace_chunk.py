@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def capture(out_dir: str, chunk: int, iters: int,
-            algorithm: str = "bytetrack") -> None:
+            algorithm: str = "bytetrack", gmc: bool = False) -> None:
     import numpy as np
 
     from rtmodt_tpu.utils.jax_setup import setup_jax
@@ -36,7 +36,8 @@ def capture(out_dir: str, chunk: int, iters: int,
 
     cfg = load_config(overrides={
         "detection": {"model": "yolov8s", "input_size": 640},
-        "tracking": {"algorithm": algorithm},
+        "tracking": {"algorithm": algorithm,
+                     **({"gmc": {"method": "phase"}} if gmc else {})},
         "profiling": {"per_stage": False, "warmup_frames": 0, "log_interval": 0},
         "visualization": {"enabled": False},
         "events": {"enabled": False},
@@ -96,10 +97,13 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/rtmodt_trace")
     ap.add_argument("--algorithm", default="bytetrack",
                     choices=["bytetrack", "deepsort", "botsort", "ocsort"])
+    ap.add_argument("--gmc", action="store_true",
+                    help="enable tracking.gmc (phase correlation) to "
+                         "measure its device cost in the chunk program")
     ap.add_argument("--summarize-only", action="store_true")
     args = ap.parse_args()
     if not args.summarize_only:
-        capture(args.out, args.chunk, args.iters, args.algorithm)
+        capture(args.out, args.chunk, args.iters, args.algorithm, args.gmc)
     summarize(args.out, args.iters, args.chunk)
 
 
