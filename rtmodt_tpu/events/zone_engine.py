@@ -114,6 +114,11 @@ class ZoneEventEngine:
         self._mqtt = None              # lazy MQTTPublisher (backend: mqtt)
         # track_id -> {zone_name -> first_seen_time}
         self._occupancy: dict[int, dict[str, float]] = {}
+        # per-zone analytics (framework extension; the reference only logs
+        # alerts): entry transitions + distinct track ids ever entered.
+        # Counted identically by the per-frame and chunked paths.
+        self._counts: dict[str, dict] = {
+            z.name: {"entries": 0, "tids": set()} for z in self.zones}
         # (track_id, zone_name) -> last_alert_time
         self._cooldown: dict[tuple[int, str], float] = {}
         # per-SLOT centroid history for the chunked array path (direction
@@ -177,6 +182,8 @@ class ZoneEventEngine:
                     was_inside = self._occupancy.get(track.track_id, {}).get(zone.name)
                     if inside_mat[ti, zi]:
                         occ = self._occupancy.setdefault(track.track_id, {})
+                        if was_inside is None:
+                            self._count_entry(zone.name, track.track_id)
                         occ.setdefault(zone.name, now)
                         if was_inside is None and self._direction_ok(zone, track):
                             if now - self._cooldown.get(key, -1e18) >= zone.cooldown_sec:
@@ -204,6 +211,8 @@ class ZoneEventEngine:
                     continue
                 if inside_mat[ti, zi]:
                     occ = self._occupancy.setdefault(track.track_id, {})
+                    if zone.name not in occ:
+                        self._count_entry(zone.name, track.track_id)
                     occ.setdefault(zone.name, now)
                     dwell = now - occ[zone.name]
                     if dwell >= zone.dwell_time_sec:
@@ -339,6 +348,8 @@ class ZoneEventEngine:
                     prev[0, s] = True
                     carried_entry[s] = e
             start = m & ~prev
+            for f, s in np.argwhere(start):   # zone analytics (entry edges)
+                self._count_entry(zone.name, int(track_ids[f, s]))
             # per-run entry timestamp: prefix-max of start frame indices
             last_start = np.maximum.accumulate(np.where(start, f_idx, -1), axis=0)
             entry_ts = np.where(last_start >= 0,
@@ -409,6 +420,26 @@ class ZoneEventEngine:
                     entry_ts[-1, s])
             elif class_ok[-1, s] and tid in self._occupancy:
                 self._occupancy[tid].pop(zone.name, None)
+
+    def _count_entry(self, zone_name: str, track_id: int) -> None:
+        c = self._counts[zone_name]
+        c["entries"] += 1
+        c["tids"].add(int(track_id))
+
+    def zone_counts(self) -> dict[str, dict[str, int]]:
+        """Per-zone analytics (framework extension): cumulative entry
+        transitions, distinct track ids ever entered, and the number of
+        tracks currently inside.  Identical between the per-frame and
+        chunked paths (each entry edge counts once)."""
+        out = {}
+        for z in self.zones:
+            c = self._counts[z.name]
+            current = sum(1 for occ in self._occupancy.values()
+                          if z.name in occ)
+            out[z.name] = {"entries": c["entries"],
+                           "unique_tracks": len(c["tids"]),
+                           "current": current}
+        return out
 
     def _prune_cooldown(self, now: float) -> None:
         """Drop cooldown entries already past their zone's window - they can

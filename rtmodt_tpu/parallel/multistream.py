@@ -914,6 +914,8 @@ class MultiStreamPipeline:
             "per_stream_frames": per_stream_frames,
             "dead_streams": [si for si, d in enumerate(dead) if d],
         }
+        if engines is not None:
+            summary["zone_counts"] = [eng.zone_counts() for eng in engines]
         logger.info(f"multi-stream run: {frames_done} frames over "
                     f"{s_streams} streams, {summary['fps_aggregate']} fps "
                     f"aggregate ({summary['fps_per_stream']}/stream)")

@@ -526,6 +526,7 @@ def create_app() -> App:
             resp["events"] = events_out
             resp["zones"] = [{"name": z.name, "polygon": z.polygon.tolist()}
                              for z in zone_engine.zones]
+            resp["zone_counts"] = zone_engine.zone_counts()
         return JSONResponse(resp)
 
     @app.get("/api/detect/sample/{filename}")

@@ -388,6 +388,10 @@ class TestMultiStreamRun:
         assert events, "full-frame zone with zero dwell must fire"
         streams_seen = {e["metadata"]["stream"] for e in events}
         assert len(streams_seen) > 1  # per-stream engines, stream-tagged
+        # per-stream zone analytics in the summary
+        zc = summary["zone_counts"]
+        assert len(zc) == 8 and all("z" in c for c in zc)
+        assert sum(c["z"]["entries"] for c in zc) > 0
 
     def test_run_degraded_mixed_length_streams(self, tmp_path):
         """A stream that ends early must NOT stop the others: its slot goes

@@ -309,6 +309,28 @@ class TestZoneEngine:
         assert eng.process([inside], 2, timestamp=1.1) == []  # dwell restarted
         assert len(eng.process([inside], 3, timestamp=2.2)) == 1
 
+    def test_zone_counts_analytics(self, tmp_path):
+        """Per-zone analytics: entries count every entry edge (re-entry
+        counts again), unique_tracks dedupes ids, current is live
+        occupancy (framework extension; the reference only logs alerts)."""
+        from rtmodt_tpu.events.zone_engine import ZoneEventEngine
+
+        eng = ZoneEventEngine(
+            [{"name": "z", "polygon": [[0, 0], [200, 0], [200, 200], [0, 200]],
+              "dwell_time_sec": 0.0, "cooldown_sec": 0.0}],
+            log_path=str(tmp_path / "ev.jsonl"), clock="stream")
+        a_in = self._track(1, [50, 50, 150, 150])
+        a_out = self._track(1, [500, 500, 600, 600])
+        b_in = self._track(2, [60, 60, 160, 160])
+        eng.process([a_in, b_in], 0, timestamp=0.0)
+        assert eng.zone_counts() == {"z": {"entries": 2, "unique_tracks": 2,
+                                           "current": 2}}
+        eng.process([a_out, b_in], 1, timestamp=0.1)   # a exits
+        assert eng.zone_counts()["z"]["current"] == 1
+        eng.process([a_in, b_in], 2, timestamp=0.2)    # a re-enters
+        c = eng.zone_counts()["z"]
+        assert c == {"entries": 3, "unique_tracks": 2, "current": 2}
+
     def test_jsonl_schema(self, tmp_path):
         import json
         from rtmodt_tpu.events.zone_engine import ZoneEventEngine
@@ -508,6 +530,10 @@ class TestProcessChunkEquivalence:
              e.dwell_time_sec) for e in es)
         assert len(ref_events) > 0, "simulation produced no events; bad seed"
         assert key(ref_events) == key(vec_events)
+        # zone analytics parity: both paths count the same entry edges
+        counts = ref.zone_counts()
+        assert counts == vec.zone_counts()
+        assert sum(c["entries"] for c in counts.values()) > 0
 
     def test_chunk_with_device_inside(self, tmp_path):
         """Supplying device-computed (K, S, Z) masks reproduces the host path."""

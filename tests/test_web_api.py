@@ -449,6 +449,9 @@ class TestVideoTracking:
         assert ev["zone_name"] == "lobby"
         assert ev["event_type"] == "intrusion"
         assert ev["frame_id"] >= 1 and ev["track_id"] == 1
+        # zone analytics ride along: one persistent track entered once
+        assert data["zone_counts"] == {
+            "lobby": {"entries": 1, "unique_tracks": 1, "current": 1}}
 
     def test_track_video_zone_misses_outside_polygon(self, client, tmp_path):
         """A zone that excludes the detector's centroid fires nothing."""

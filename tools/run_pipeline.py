@@ -60,6 +60,9 @@ def main(config_path, source, display, max_frames, save_video):
 
         pipe = Pipeline(cfg)
         summary = pipe.run(display=display, max_frames=max_frames)
+        if pipe.events is not None and summary is not None:
+            summary = dict(summary)
+            summary["zone_counts"] = pipe.events.zone_counts()
     if summary:
         click.echo("\n=== final profile ===")
         for k, v in sorted(summary.items()):

@@ -323,6 +323,13 @@ async function trackVideo(file) {
     `${data.num_frames} frames · server ${data.processing_fps} fps</p>`;
   if (serverZones.length) {
     html += `<p class="muted">${events.length} zone event(s)</p>`;
+    const zc = data.zone_counts || {};
+    for (const [zn, c] of Object.entries(zc)) {
+      html += `<div class="det-row"><span class="dot" style="background:#4c9aff"></span>` +
+              `<span class="det-name">${escHtml(zn)}</span>` +
+              `<span class="det-conf">${Number(c.entries)} entr${Number(c.entries) === 1 ? "y" : "ies"} · ` +
+              `${Number(c.unique_tracks)} unique · ${Number(c.current)} at end</span></div>`;
+    }
     for (const ev of events.slice(0, 20)) {
       html += `<div class="det-row"><span class="dot" style="background:#ff3c3c"></span>` +
               `<span class="det-name">${escHtml(ev.event_type)} · ${escHtml(ev.zone_name)}</span>` +
