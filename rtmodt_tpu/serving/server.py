@@ -40,6 +40,7 @@ from rtmodt_tpu.serving.wsgi import (
     JSONResponse,
     Request,
     Response,
+    StreamingResponse,
     static_response,
 )
 from rtmodt_tpu.utils.coco_names import COCO_NAMES
@@ -350,6 +351,33 @@ def _parse_zone_specs(specs) -> list[dict]:
     return cleaned
 
 
+_MJPEG_BOUNDARY = "rtmodtframe"
+
+
+def _mjpeg_part(jpg: bytes) -> bytes:
+    return (f"--{_MJPEG_BOUNDARY}\r\nContent-Type: image/jpeg\r\n"
+            f"Content-Length: {len(jpg)}\r\n\r\n".encode() + jpg + b"\r\n")
+
+
+def _clamp_num(q: dict, key: str, default: float, lo: float, hi: float) -> float:
+    try:
+        return min(max(float(q.get(key, default)), lo), hi)
+    except (TypeError, ValueError):
+        raise HTTPError(400, f"{key} must be a number")
+
+
+def _annotate_tracked(renderer, frame: np.ndarray, tracks, fps: float,
+                      latency_ms: float) -> bytes:
+    """Render tracks onto a frame and JPEG-encode it for an MJPEG part."""
+    import cv2
+
+    renderer.render(frame, tracks, fps=fps, latency_ms=latency_ms)
+    ok, jpg = cv2.imencode(".jpg", frame, [int(cv2.IMWRITE_JPEG_QUALITY), 80])
+    if not ok:  # pragma: no cover - imencode only fails on invalid input
+        raise RuntimeError("JPEG encode failed")
+    return jpg.tobytes()
+
+
 def _build_zone_engine(raw: bytes, clock: str = "stream"):
     """Decode + validate a ``zones`` multipart field into a ZoneEventEngine."""
     import json as _json
@@ -528,6 +556,133 @@ def create_app() -> App:
                              for z in zone_engine.zones]
             resp["zone_counts"] = zone_engine.zone_counts()
         return JSONResponse(resp)
+
+    @app.get("/api/stream/demo")
+    def stream_demo(req: Request) -> Response:
+        """Live annotated MJPEG stream (``multipart/x-mixed-replace``) of the
+        framework's deterministic synthetic scene run through the real
+        detect -> track -> render path - the "Real-Time" part of the demo,
+        viewable as a plain ``<img src=...>``.
+
+        The reference has no live-stream endpoint (its SPA polls single
+        frames, web/static/app.js); this is a serving extension.  Query
+        knobs: ``algorithm`` (bytetrack | deepsort | botsort | ocsort),
+        ``seconds`` (stream length, default 15, cap 120), ``fps`` (pace,
+        default 10, cap 30), ``objects`` (scene density, default 6, cap 16).
+        """
+        from rtmodt_tpu.tracking.tracker import MultiObjectTracker
+        from rtmodt_tpu.utils.synthetic import moving_boxes_frame
+        from rtmodt_tpu.visualization.renderer import FrameRenderer
+
+        q = req.query
+        algo = _check_algorithm(q.get("algorithm")) or "bytetrack"
+        seconds = _clamp_num(q, "seconds", 15.0, 0.1, 120.0)
+        fps = _clamp_num(q, "fps", 10.0, 1.0, 30.0)
+        n_objects = int(_clamp_num(q, "objects", 6, 1, 16))
+        detector = _singleton.get()       # compile before streaming starts
+        tracker = MultiObjectTracker(algo)
+        renderer = FrameRenderer(show_hud=True)
+
+        def produce():
+            period = 1.0 / fps
+            t_next = time.perf_counter()
+            for t in range(max(1, int(seconds * fps))):
+                t0 = time.perf_counter()
+                frame, _ = moving_boxes_frame(t, 480, 640, n_objects=n_objects)
+                live = tracker.update(detector.detect(frame), frame)
+                ms = (time.perf_counter() - t0) * 1e3
+                yield _mjpeg_part(_annotate_tracked(
+                    renderer, frame, live, fps=min(fps, 1e3 / max(ms, 1e-6)),
+                    latency_ms=ms))
+                t_next += period
+                delay = t_next - time.perf_counter()
+                if delay > 0:
+                    time.sleep(delay)
+            yield f"--{_MJPEG_BOUNDARY}--\r\n".encode()
+
+        return StreamingResponse(
+            produce(),
+            content_type=f"multipart/x-mixed-replace; boundary={_MJPEG_BOUNDARY}",
+            headers=[("Cache-Control", "no-cache")])
+
+    @app.post("/api/stream/video")
+    def stream_video(req: Request) -> Response:
+        """Upload a video clip, receive an annotated MJPEG stream back: each
+        frame runs detect -> track server-side and is returned with boxes,
+        IDs, and trails drawn - the streaming twin of ``/api/track/video``
+        (which returns JSON).  Query knobs: ``algorithm``, ``max_frames``
+        (default 300, cap 1200), ``stride``.  Frames are streamed as fast
+        as they are processed (no pacing): clients render at arrival rate.
+        """
+        import tempfile
+
+        import cv2
+
+        from rtmodt_tpu.tracking.tracker import MultiObjectTracker
+        from rtmodt_tpu.visualization.renderer import FrameRenderer
+
+        files = req.files()
+        if "file" not in files:
+            raise HTTPError(400, "missing multipart field 'file'")
+        filename, content = files["file"]
+        if len(content) > 64 * 1024 * 1024:
+            raise HTTPError(413, "video too large (64 MB limit)")
+        q = req.query
+        max_frames = int(_clamp_num(q, "max_frames", 300, 1, 1200))
+        stride = int(_clamp_num(q, "stride", 1, 1, 64))
+        algo = _check_algorithm(q.get("algorithm")) or "bytetrack"
+        detector = _singleton.get()
+        tracker = MultiObjectTracker(algo)
+        renderer = FrameRenderer(show_hud=True)
+
+        # validate the clip decodes BEFORE committing to a 200 streaming
+        # response (a mid-stream failure cannot change the status line)
+        suffix = os.path.splitext(filename or "clip.mp4")[1] or ".mp4"
+        tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
+        try:
+            tmp.write(content)
+            tmp.close()
+            cap = cv2.VideoCapture(tmp.name)
+            if not cap.isOpened() or not cap.read()[0]:
+                cap.release()
+                raise HTTPError(400, "Could not decode video.")
+            cap.release()
+        except HTTPError:
+            os.unlink(tmp.name)
+            raise
+
+        def produce():
+            cap = cv2.VideoCapture(tmp.name)
+            t_start = time.perf_counter()
+            n_read = n_out = 0
+            try:
+                while n_out < max_frames:
+                    ok, frame = cap.read()
+                    if not ok:
+                        break
+                    n_read += 1
+                    if (n_read - 1) % stride:
+                        continue
+                    t0 = time.perf_counter()
+                    live = tracker.update(detector.detect(frame), frame)
+                    ms = (time.perf_counter() - t0) * 1e3
+                    n_out += 1
+                    yield _mjpeg_part(_annotate_tracked(
+                        renderer, frame, live,
+                        fps=n_out / max(time.perf_counter() - t_start, 1e-6),
+                        latency_ms=ms))
+                yield f"--{_MJPEG_BOUNDARY}--\r\n".encode()
+            finally:
+                cap.release()
+                try:
+                    os.unlink(tmp.name)
+                except OSError:
+                    pass
+
+        return StreamingResponse(
+            produce(),
+            content_type=f"multipart/x-mixed-replace; boundary={_MJPEG_BOUNDARY}",
+            headers=[("Cache-Control", "no-cache")])
 
     @app.get("/api/detect/sample/{filename}")
     def detect_sample(req: Request) -> Response:

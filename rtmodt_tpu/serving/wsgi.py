@@ -91,6 +91,24 @@ class JSONResponse(Response):
         super().__init__(json.dumps(data), status, "application/json")
 
 
+class StreamingResponse(Response):
+    """Response whose body is produced incrementally by an iterator of bytes
+    (the stdlib analog of ``fastapi.responses.StreamingResponse``).
+
+    Enables long-lived streams - e.g. ``multipart/x-mixed-replace`` MJPEG
+    video - where the body length is unknown up front.  No ``Content-Length``
+    is sent; the stream ends when the iterator is exhausted and the
+    connection closes (browsers accept this for multipart streams).  If the
+    iterator is a generator, the server calls ``close()`` on client
+    disconnect, so ``finally`` blocks in the producer run for cleanup."""
+
+    def __init__(self, body_iter, status: int = 200,
+                 content_type: str = "application/octet-stream",
+                 headers: list[tuple[str, str]] | None = None):
+        super().__init__(b"", status, content_type, headers)
+        self.body_iter = body_iter
+
+
 class HTTPError(Exception):
     def __init__(self, status: int, detail: str):
         self.status = status
@@ -133,6 +151,15 @@ class App:
         except Exception as e:  # pragma: no cover - defensive 500
             resp = JSONResponse({"detail": f"internal error: {e}"}, 500)
         status_line = f"{resp.status} {_STATUS_TEXT.get(resp.status, 'Unknown')}"
+        if isinstance(resp, StreamingResponse):
+            # no Content-Length: the body is open-ended; wsgiref switches to
+            # connection-close delimiting and closes the iterator (running
+            # generator ``finally`` blocks) if the client goes away
+            headers = [("Content-Type", resp.content_type),
+                       ("Access-Control-Allow-Origin", "*"),
+                       *resp.headers]
+            start_response(status_line, headers)
+            return resp.body_iter
         headers = [("Content-Type", resp.content_type),
                    ("Content-Length", str(len(resp.body))),
                    ("Access-Control-Allow-Origin", "*"),  # CORS-allow-all, as reference

@@ -486,3 +486,72 @@ class TestVideoTracking:
                             files={"file": ("clip.mp4", content, "video/mp4"),
                                    "zones": ("", payload, "")})
             assert r.status_code == 400, payload
+
+
+class TestMjpegStreaming:
+    """GET /api/stream/demo and POST /api/stream/video - long-lived
+    multipart/x-mixed-replace MJPEG streams (serving extension; the
+    reference SPA polls single frames, web/static/app.js)."""
+
+    BOUNDARY = b"--rtmodtframe"
+
+    def _parts(self, content: bytes) -> list[bytes]:
+        """Split an MJPEG body into JPEG payloads, asserting framing."""
+        assert content.endswith(self.BOUNDARY + b"--\r\n")
+        payloads = []
+        for piece in content.split(self.BOUNDARY)[1:]:
+            if piece.startswith(b"--"):
+                continue
+            head, body = piece.split(b"\r\n\r\n", 1)
+            assert b"Content-Type: image/jpeg" in head
+            n = int(head.split(b"Content-Length: ")[1].split(b"\r\n")[0])
+            payloads.append(body[:n])
+            assert body[n:] == b"\r\n"
+        return payloads
+
+    def test_stream_demo_parts(self, client):
+        import cv2
+        import numpy as np
+
+        r = client.get("/api/stream/demo?seconds=0.1&fps=30&objects=3")
+        assert r.status_code == 200
+        assert r.headers["Content-Type"] == \
+            "multipart/x-mixed-replace; boundary=rtmodtframe"
+        assert "Content-Length" not in r.headers
+        parts = self._parts(r.content)
+        assert len(parts) == 3                       # int(0.1 s * 30 fps)
+        for jpg in parts:
+            img = cv2.imdecode(np.frombuffer(jpg, np.uint8), cv2.IMREAD_COLOR)
+            assert img is not None and img.shape == (480, 640, 3)
+
+    def test_stream_demo_bad_params_400(self, client):
+        assert client.get("/api/stream/demo?algorithm=nope").status_code == 400
+        assert client.get("/api/stream/demo?fps=abc").status_code == 400
+
+    def test_stream_video_annotated(self, client, tmp_path):
+        import cv2
+        import numpy as np
+
+        from rtmodt_tpu.utils.synthetic import write_synthetic_video
+
+        p = tmp_path / "clip.mp4"
+        write_synthetic_video(str(p), frames=8, h=96, w=96, n_objects=1)
+        r = client.post("/api/stream/video?max_frames=5&stride=2",
+                        files={"file": ("clip.mp4", p.read_bytes(), "video/mp4")})
+        assert r.status_code == 200
+        assert r.headers["Content-Type"].startswith("multipart/x-mixed-replace")
+        parts = self._parts(r.content)
+        assert len(parts) == 4                       # frames 1,3,5,7 of 8
+        for jpg in parts:
+            img = cv2.imdecode(np.frombuffer(jpg, np.uint8), cv2.IMREAD_COLOR)
+            assert img is not None and img.shape == (96, 96, 3)
+        # annotation actually drew on the frame: FakeDetector's box region
+        # differs from the raw synthetic frame
+        assert len(parts[0]) != len(parts[1]) or parts[0] != parts[1]
+
+    def test_stream_video_bad_payload_400(self, client):
+        r = client.post("/api/stream/video",
+                        files={"file": ("x.mp4", b"not a video", "video/mp4")})
+        assert r.status_code == 400          # validated BEFORE streaming
+        r = client.post("/api/stream/video")
+        assert r.status_code == 400

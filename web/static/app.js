@@ -38,6 +38,7 @@ function switchMode(mode) {
   document.querySelectorAll(".panel").forEach((p) =>
     p.classList.toggle("active", p.id === `panel-${mode}`));
   if (mode !== "webcam") stopWebcam();
+  if (mode !== "live") stopLiveDemo();
   stopVideoPlayback();
 }
 
@@ -356,6 +357,33 @@ async function trackVideo(file) {
   };
   tick();
 }
+
+/* ---------- live demo (server-side MJPEG stream) ---------- */
+const liveImg = document.getElementById("live-img");
+const liveStartBtn = document.getElementById("live-start");
+const liveStopBtn = document.getElementById("live-stop");
+
+function startLiveDemo() {
+  const algo = trackerAlgo.value;
+  const objects = document.getElementById("live-objects").value;
+  // the browser renders multipart/x-mixed-replace natively in an <img>;
+  // a cache-buster restarts the stream on every click
+  liveImg.src = `/api/stream/demo?algorithm=${algo}&objects=${objects}` +
+    `&seconds=60&fps=12&_=${Date.now()}`;
+  liveImg.hidden = false;
+  liveStartBtn.disabled = true;
+  liveStopBtn.disabled = false;
+}
+
+function stopLiveDemo() {
+  if (liveImg.src) liveImg.src = "";   // closes the connection server-side
+  liveImg.hidden = true;
+  liveStartBtn.disabled = false;
+  liveStopBtn.disabled = true;
+}
+
+liveStartBtn.addEventListener("click", startLiveDemo);
+liveStopBtn.addEventListener("click", stopLiveDemo);
 
 /* ---------- webcam ---------- */
 document.getElementById("webcam-start").addEventListener("click", startWebcam);
