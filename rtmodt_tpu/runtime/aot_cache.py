@@ -62,11 +62,23 @@ def _platform_unsupported() -> bool:
     (the XlaCallModule custom call blocks forever - measured on a 128x128
     matmul: export+serialize instant, call hangs at 0% CPU).  Standard
     PJRT backends (cpu, direct tpu, gpu) serve it fine, so gate the cache
-    off only there; everything falls back to plain jit tracing."""
+    off only there; everything falls back to plain jit tracing.
+
+    Detection must not rely on ``jax.default_backend()``: newer relay
+    builds self-report plain ``"tpu"`` (observed 2026-08-19 - the silent
+    re-enable wedged the live pipeline's first result fetch at 0% CPU).
+    The PJRT ``platform_version`` string still identifies the relay, as
+    does its entry in the backend registry."""
     try:
         import jax
 
-        return jax.default_backend() == "axon"
+        if jax.default_backend() == "axon":
+            return True
+        try:
+            ver = jax.devices()[0].client.platform_version
+        except Exception:
+            ver = ""
+        return "axon" in ver.lower()
     except Exception:
         return False
 
