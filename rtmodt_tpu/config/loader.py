@@ -256,6 +256,8 @@ class VisualizationConfig:
     save_path: str = "outputs/annotated.mp4"
     codec: str = "mp4v"                 # cv2 fourcc for save_video
     window_name: str = "RTMODT-TPU"     # --display window title
+    mjpeg_port: int | None = None       # serve annotated frames as MJPEG
+                                        # (0 = OS-picked port; headless live view)
 
 
 @dataclass
@@ -440,6 +442,11 @@ def _validate(cfg: PipelineConfig) -> None:
     if d.quant_scales and d.quant != "int8":
         raise ValueError("detection.quant_scales (QAT frozen scales) requires "
                          "detection.quant=int8")
+    vz = cfg.visualization
+    if vz.mjpeg_port is not None and not (
+            isinstance(vz.mjpeg_port, int) and 0 <= vz.mjpeg_port <= 65535):
+        raise ValueError("visualization.mjpeg_port must be an int in "
+                         f"[0, 65535] or null, got {vz.mjpeg_port!r}")
     bt = cfg.tracking.bytetrack
     if bt.motion_model not in ("kalman", "none"):
         raise ValueError(f"tracking.bytetrack.motion_model must be kalman|none, got {bt.motion_model}")

@@ -707,8 +707,13 @@ class MultiStreamPipeline:
         # annotated mosaic output (display and/or video file): opt-in, so
         # the headless hot path never retains BGR frames on host
         vcfg = self.cfg.visualization
-        render_on = display or vcfg.save_video
+        render_on = display or vcfg.save_video or vcfg.mjpeg_port is not None
         annot = MosaicAnnotator(vcfg, names, s_streams) if render_on else None
+        monitor = None
+        if vcfg.mjpeg_port is not None:
+            from rtmodt_tpu.serving.monitor import LiveMonitor
+
+            monitor = LiveMonitor(vcfg.mjpeg_port)
         writer = None
         render_zones = (engines[0].get_zone_polygons()
                         if (render_on and engines) else [])
@@ -793,6 +798,8 @@ class MultiStreamPipeline:
                     if all(f is None for f in row):
                         continue  # trailing all-blank rows of the last chunk
                     grid = annot.mosaic(host, t, row, render_zones, fps_now)
+                    if monitor is not None:
+                        monitor.publish(grid)
                     if vcfg.save_video:
                         if writer is None:
                             os.makedirs(os.path.dirname(vcfg.save_path)
@@ -897,6 +904,8 @@ class MultiStreamPipeline:
                     q.get_nowait()
                 except queue.Empty:
                     pass
+            if monitor is not None:
+                monitor.close()
             if writer is not None:
                 writer.release()
                 logger.info(f"mosaic video written: {vcfg.save_path}")

@@ -1050,6 +1050,10 @@ class Pipeline:
 
         from rtmodt_tpu.ingestion.rtsp_reader import RTSPReader
 
+        if self.cfg.visualization.mjpeg_port is not None and self.renderer is None:
+            logger.warning("visualization.mjpeg_port set but "
+                           "visualization.enabled is false - the live "
+                           "monitor streams ANNOTATED frames; ignoring")
         if (self.cfg.parallel.chunk_size > 1 and not display
                 and not self.cfg.visualization.save_video
                 and self.renderer is None and self.tracker._host is None
@@ -1071,6 +1075,11 @@ class Pipeline:
         )
         writer = None
         vcfg = self.cfg.visualization
+        monitor = None
+        if vcfg.mjpeg_port is not None and self.renderer is not None:
+            from rtmodt_tpu.serving.monitor import LiveMonitor
+
+            monitor = LiveMonitor(vcfg.mjpeg_port)
         zones = self.events.get_zone_polygons() if self.events else []
         names = self.detector.class_names
         depth = (self.cfg.parallel.pipeline_depth
@@ -1099,6 +1108,8 @@ class Pipeline:
                                      latency_ms=p.summary().get("total_mean_ms", 0.0))
                 p.tock("visualization")
             p.end_frame()
+            if monitor is not None:
+                monitor.publish(frame)
             if vcfg.save_video:
                 if writer is None:
                     os.makedirs(os.path.dirname(vcfg.save_path) or ".", exist_ok=True)
@@ -1151,6 +1162,8 @@ class Pipeline:
                                                  latency_ms=p.summary().get("total_mean_ms", 0.0))
                             p.tock("visualization")
                         p.end_frame()
+                        if monitor is not None:
+                            monitor.publish(frame)
                         if vcfg.save_video:
                             if writer is None:
                                 os.makedirs(os.path.dirname(vcfg.save_path) or ".", exist_ok=True)
@@ -1172,6 +1185,8 @@ class Pipeline:
         except KeyboardInterrupt:
             logger.info("interrupted")
         finally:
+            if monitor is not None:
+                monitor.close()
             if writer is not None:
                 writer.release()
             if display:

@@ -30,12 +30,19 @@ from rtmodt_tpu.utils.logging import logger  # noqa: E402
 @click.option("--max-frames", default=None, type=int, help="stop after N frames")
 @click.option("--save-video", is_flag=True, default=False,
               help="write annotated video to visualization.save_path")
-def main(config_path, source, display, max_frames, save_video):
+@click.option("--mjpeg-port", default=None, type=int,
+              help="serve the annotated stream as MJPEG on this port "
+                   "(headless live view; 0 = OS-picked port)")
+def main(config_path, source, display, max_frames, save_video, mjpeg_port):
     overrides = {}
     if len(source) == 1:
         overrides["ingestion"] = {"source": source[0]}
     if save_video:
         overrides["visualization"] = {"save_video": True}
+    if mjpeg_port is not None:
+        # the monitor streams ANNOTATED frames, so it implies visualization
+        overrides.setdefault("visualization", {}).update(
+            {"mjpeg_port": mjpeg_port, "enabled": True})
     if len(source) > 1:
         overrides["parallel"] = {"num_streams": len(source)}
     cfg = load_config(config_path or default_config_path(), overrides)
