@@ -5,19 +5,35 @@ Measures the full production path - 720p BGR frames packed on host ingest
 workers to planar I420, fused letterbox -> YOLOv8s (bf16) -> DFL decode ->
 NMS -> ByteTrack step on device, track outputs + zone events consumed on the
 host every frame (pipelined window to hide transfer latency, as the real
-pipeline runs).  Two configurations are tried and the best per-chip
-throughput wins the headline:
+pipeline runs).  Runs on TRAINED weights when the shipped rich-synthetic
+checkpoint is present (checkpoints/rich640/ema_final.npz or
+RTMODT_BENCH_WEIGHTS) so detection load - NMS pool occupancy, live tracks,
+event volume - is realistic, not random-weight noise.
+
+Two configurations are tried; the best per-chip throughput wins the headline:
 
   * single : one 720p stream, chunked lax.scan dispatches (Pipeline);
-  * multi  : S=4 concurrent 720p streams as ONE SPMD program
+  * multi  : S concurrent 720p streams as ONE SPMD program
              (MultiStreamPipeline, aggregate FPS on the one chip).
 
+Resilience (VERDICT r2 #1): each pass runs in a fresh subprocess; a child
+preflights a trivial jit before measuring, and the parent scans child stderr
+for persistent-compile-cache poisoning (the BENCH_r02 failure: an XLA
+executable "compiled on a machine with CPU features ... vs host machine
+features" -> SIGILL risk).  On a poisoned-cache signature the parent
+repoints RTMODT_JAX_CACHE / RTMODT_AOT_CACHE at a fresh per-run directory
+and retries the SAME configuration; any other failed pass is re-queued once
+instead of sleeping through its plan slot.
+
+Diagnostics (VERDICT r2 #2): every child emits "[diag]" stderr lines - a
+host->device link probe (MB/s, before pass 0's measurement), pack ms/frame,
+and a device-trace ms/frame for the measured program - so a low headline is
+immediately attributable to tunnel weather vs regression.  The parent
+reprints them into its own stderr (the driver-recorded tail).
+
 The whole run is bounded by a hard wall-clock budget (RTMODT_BENCH_BUDGET,
-default 270 s).  SIGTERM/SIGINT/SIGALRM all flush the best result seen so
-far, so the driver always gets a parsed JSON line.  Passes run in fresh
-subprocesses because the remote-TPU tunnel's transfer path degrades with
-process age (docs/PERF_NOTES.md section 1); all XLA programs come from the
-persistent compilation cache.
+default 540 s).  SIGTERM/SIGINT/SIGALRM all flush the best result seen so
+far, so the driver always gets a parsed JSON line.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference's claimed end-to-end mean of 87 FPS (YOLOv8s TRT
@@ -39,6 +55,9 @@ BASELINE_E2E_FPS = 87.0
 TARGET_FPS = 500.0          # BASELINE.md north star; stop early once reached
 METRIC = "e2e_fps_720p_yolov8s_detect_track"
 
+# stderr signatures of a poisoned persistent compile cache (BENCH_r02 tail)
+_POISON_MARKERS = ("CPU features", "SIGILL", "deserializ")
+
 
 def emit(value: float) -> None:
     print(json.dumps({
@@ -49,8 +68,24 @@ def emit(value: float) -> None:
     }), flush=True)
 
 
+def _default_weights() -> str | None:
+    """Trained checkpoint for a realistic detection load (VERDICT r2 weak #3).
+
+    Order: RTMODT_BENCH_WEIGHTS env -> shipped rich-640 YOLOv8s checkpoint.
+    Returns None (random init, throughput-identical) when neither exists.
+    """
+    cand = os.environ.get("RTMODT_BENCH_WEIGHTS")
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in ([cand] if cand else []) + [
+            os.path.join(here, "checkpoints", "rich640", "ema_final.npz"),
+            os.path.join(here, "checkpoints", "rich640", "qat_final.npz")]:
+        if path and os.path.exists(path):
+            return path
+    return None
+
+
 # ----------------------------------------------------------------------
-# parent: budget-bounded pass scheduler
+# parent: budget-bounded pass scheduler with poisoned-cache recovery
 # ----------------------------------------------------------------------
 
 def main() -> None:
@@ -58,12 +93,6 @@ def main() -> None:
     if mode:
         return run_child(mode)
 
-    # 540 s: one single-stream pass is banked in ~180 s; the remainder gives
-    # the S=4 multi pass (the >=500 FPS configuration) a real window when
-    # the tunnel is healthy (warmup 90-180 s) without risking the whole run
-    # on it (r1's driver record shows the harness ran well past 10 min
-    # before being cut, so a ~9.5 min exit stays inside the driver cap; if
-    # not, SIGTERM/SIGALRM still flush the banked best as a parsed line).
     budget = float(os.environ.get("RTMODT_BENCH_BUDGET", "540"))
     t0 = time.monotonic()
     best = [0.0]
@@ -86,36 +115,42 @@ def main() -> None:
     # measured 306 -> 266 -> 85 fps for consecutive passes in one process),
     # so the first pass of a fresh process is the honest repeatable sample.
     # Best-of wins the headline (tunnel throughput swings minute to minute).
-    # single passes are cheap (~35-45 s warm); the S=4 multi pass costs
-    # ~90-180 s (exported-program load varies through the tunnel) and wins
-    # only on a healthy tunnel - schedule singles first, weave multis in.
-    plan = ["single", "multi", "single", "multi"] + ["single"] * 4
+    # Work queue of (config, attempt); a failed pass is re-queued (attempt+1,
+    # max 2 tries) instead of burning its plan slot (VERDICT r2 #1c).
+    queue: list[tuple[str, int]] = [
+        ("single", 0), ("multi", 0), ("single", 0), ("multi", 0),
+        ("single", 0), ("single", 0)]
     est_cost = {"single": 45.0, "multi": 150.0}
-    for i, cfg_name in enumerate(plan):
-        if i > 0:
+    cache_env: dict[str, str] = {}     # set after a poisoning detection
+    pass_idx = 0
+    first_child = True
+
+    while queue:
+        cfg_name, attempt = queue.pop(0)
+        if pass_idx > 0:
             time.sleep(15.0)   # let the previous relay session drain; an
             # immediate follow-up process reliably wedges in warmup
         remaining = budget - (time.monotonic() - t0) - 8.0
         # don't start a pass that cannot finish; the first child may have to
         # compile from scratch (minutes) and killing a compiling client
         # stalls the device, so it gets the whole remaining budget
-        if i > 0 and remaining < est_cost[cfg_name]:
+        if not first_child and remaining < est_cost[cfg_name]:
             if remaining >= est_cost["single"] and cfg_name != "single":
                 cfg_name = "single"   # squeeze one more cheap pass in
             else:
                 break
-        err_path = f"/tmp/rtmodt_bench_child_{i}.log"
+        err_path = f"/tmp/rtmodt_bench_child_{pass_idx}.log"
         try:
-            env = dict(os.environ, RTMODT_BENCH_CHILD=cfg_name)
+            env = dict(os.environ, RTMODT_BENCH_CHILD=cfg_name, **cache_env)
             with open(err_path, "w") as err_f:
                 child[0] = subprocess.Popen(
                     [sys.executable, os.path.abspath(__file__)],
                     stdout=subprocess.PIPE, stderr=err_f,
                     text=True, env=env)
             # cap per child so one wedged tunnel session cannot eat the
-            # whole budget (a fresh process often recovers); child 0 gets a
-            # bigger window in case it must cold-compile
-            cap = (max(150.0, remaining * 0.6) if i == 0
+            # whole budget (a fresh process often recovers); the first child
+            # gets a bigger window in case it must cold-compile
+            cap = (max(150.0, remaining * 0.6) if first_child
                    else min(remaining, est_cost[cfg_name] * 3))
             try:
                 out, _ = child[0].communicate(timeout=cap + 15.0)
@@ -131,16 +166,39 @@ def main() -> None:
                     err = f.read()
             except OSError:
                 err = ""
+            # reprint the child's diagnostic lines into the driver-visible
+            # tail so every pass is attributable (link MB/s, device ms/frame)
+            for ln in err.splitlines():
+                if ln.startswith(("[diag]", "[single]", "[multi]")):
+                    print(f"pass {pass_idx} {ln}", file=sys.stderr)
             lines = [ln for ln in out.splitlines() if ln.startswith("{")]
             if lines:
                 val = float(json.loads(lines[-1])["value"])
-                print(f"pass {i} [{cfg_name}]: {val} fps", file=sys.stderr)
+                print(f"pass {pass_idx} [{cfg_name}]: {val} fps",
+                      file=sys.stderr)
                 best[0] = max(best[0], val)
             else:
-                print(f"pass {i} [{cfg_name}] failed:\n{err[-1200:]}",
+                print(f"pass {pass_idx} [{cfg_name}] failed:\n{err[-1200:]}",
                       file=sys.stderr)
+                poisoned = any(m in err for m in _POISON_MARKERS)
+                if poisoned and not cache_env:
+                    # quarantine: all further children compile into fresh
+                    # per-run cache dirs; retry this config immediately
+                    fresh = f"/tmp/rtmodt_bench_cache_{os.getpid()}"
+                    cache_env = {
+                        "RTMODT_JAX_CACHE": os.path.join(fresh, "jax"),
+                        "RTMODT_AOT_CACHE": os.path.join(fresh, "aot")}
+                    print(f"pass {pass_idx}: poisoned compile cache detected;"
+                          f" repointing caches to {fresh} and retrying",
+                          file=sys.stderr)
+                    queue.insert(0, (cfg_name, attempt))
+                    first_child = True   # fresh cache must cold-compile
+                elif attempt < 1:
+                    queue.append((cfg_name, attempt + 1))
         except Exception as e:  # never let a pass kill the harness
-            print(f"child {i} [{cfg_name}] error: {e}", file=sys.stderr)
+            print(f"child {pass_idx} [{cfg_name}] error: {e}", file=sys.stderr)
+        pass_idx += 1
+        first_child = False
         if best[0] >= TARGET_FPS:
             break
     signal.alarm(0)
@@ -195,6 +253,32 @@ def _ingest_pool(n_chunks: int, make_block, n_workers: int = 3,
     return next_block
 
 
+def _preflight_and_probe() -> None:
+    """Trivial jit (catches a poisoned persistent cache before the real
+    program compiles) + host->device link probe.  Exit 3 with the poisoning
+    signature on stderr so the parent quarantines the cache dir."""
+    import jax
+
+    try:
+        x = np.arange(256, dtype=np.float32)
+        np.asarray(jax.jit(lambda v: v * 2.0 + 1.0)(x))
+    except Exception as e:
+        print(f"[diag] preflight failed: {e}", file=sys.stderr)
+        sys.exit(3)
+    # link probe: 2 puts of 8 MB; report the second (first pays session setup)
+    buf = np.random.default_rng(0).integers(
+        0, 255, 8 * 1024 * 1024, dtype=np.uint8)
+    mbps = 0.0
+    for rep in range(2):
+        buf[0] = rep  # defeat tunnel buffer dedup
+        t0 = time.perf_counter()
+        dev = jax.device_put(buf)
+        dev.block_until_ready()
+        mbps = len(buf) / 1e6 / (time.perf_counter() - t0)
+        del dev
+    print(f"[diag] link h2d ~{mbps:.0f} MB/s", file=sys.stderr)
+
+
 def run_child(mode: str) -> None:
     # per-event console logging is not part of the workload (the events
     # JSONL file is still written); must be set before package import
@@ -203,6 +287,8 @@ def run_child(mode: str) -> None:
 
     setup_jax()
     import jax
+
+    _preflight_and_probe()
 
     from rtmodt_tpu.config import load_config
     from rtmodt_tpu.utils.synthetic import moving_boxes_frame
@@ -219,8 +305,17 @@ def run_child(mode: str) -> None:
     signal.signal(signal.SIGTERM, flush_partial)
 
     h, w = 720, 1280
+    weights = _default_weights()
+    det_over: dict = {"model": "yolov8s", "input_size": 640}
+    if weights:
+        det_over["weights"] = weights
+        det_over["num_classes"] = 8   # rich-synthetic checkpoint head
+        print(f"[diag] weights {os.path.basename(weights)}", file=sys.stderr)
+    else:
+        print("[diag] weights random-init (no checkpoint found)",
+              file=sys.stderr)
     base_over = {
-        "detection": {"model": "yolov8s", "input_size": 640},
+        "detection": det_over,
         "profiling": {"per_stage": False, "warmup_frames": 10, "log_interval": 0},
         "visualization": {"enabled": False},
         "events": {"enabled": True},
@@ -294,11 +389,35 @@ def run_child(mode: str) -> None:
 
     print(f"[{mode}] warmup/compile...", file=sys.stderr)
     t0 = time.perf_counter()
+    t_pack0 = time.perf_counter()
     warm = make_block(0)
+    pack_ms = (time.perf_counter() - t_pack0) * 1e3 / frames_per_chunk
     for _ in range(2):
         outs, _ = submit(warm)
     np.asarray(jax.device_get(jax.tree.leaves(outs)[0]))  # force full sync
     print(f"[{mode}] compile+warmup {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    # device-trace ms/frame for the measured program: the tunnel-immune
+    # number that classifies a low headline (VERDICT r2 #2).  Best-effort -
+    # trace capture failing must not cost the measurement.
+    dev_ms = None
+    try:
+        from rtmodt_tpu.profiling.trace_summary import device_total_ms
+
+        tdir = f"/tmp/rtmodt_bench_trace_{os.getpid()}"
+        reps = 3
+        jax.profiler.start_trace(tdir)
+        for _ in range(reps):
+            outs, _ = submit(warm)
+        np.asarray(jax.device_get(jax.tree.leaves(outs)[0]))
+        jax.profiler.stop_trace()
+        dev_ms = device_total_ms(tdir) / (reps * frames_per_chunk)
+    except Exception as e:
+        print(f"[diag] device trace unavailable: {e}", file=sys.stderr)
+    print(f"[diag] pack {pack_ms:.2f} ms/frame"
+          + (f", device {dev_ms:.3f} ms/frame ({1e3 / dev_ms:.0f} fps "
+             "device-side)" if dev_ms else ""),
           file=sys.stderr)
 
     depth = 3

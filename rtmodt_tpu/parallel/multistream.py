@@ -159,6 +159,9 @@ class MultiStreamPipeline:
 
     def __init__(self, cfg: PipelineConfig, num_streams: int | None = None,
                  mesh: Mesh | None = None):
+        from rtmodt_tpu.utils.jax_setup import setup_jax
+
+        setup_jax(platform="cpu" if cfg.system.device == "cpu" else None)
         self.cfg = cfg
         self.num_streams = num_streams or cfg.parallel.num_streams
         if mesh is None:
