@@ -85,10 +85,14 @@ class LiveMonitor:
     def publish(self, frame_bgr: np.ndarray) -> None:
         """Hand the monitor one annotated frame; returns immediately.
 
-        Copies only when a viewer is attached, so a headless run pays one
-        integer compare per frame.
+        The latest frame is stored unconditionally so a client that only
+        polls ``GET /frame`` (no ``/stream`` connection holding a viewer
+        slot) still gets a picture; one small copy per frame is cheap next
+        to the render that just produced it.  JPEG encoding stays lazy
+        (per request / per stream yield), so a headless run pays only the
+        copy.
         """
-        if self._viewers <= 0 or self._closed:
+        if self._closed:
             return
         with self._cond:
             self._frame = frame_bgr.copy()

@@ -361,9 +361,40 @@ def _mjpeg_part(jpg: bytes) -> bytes:
 
 def _clamp_num(q: dict, key: str, default: float, lo: float, hi: float) -> float:
     try:
-        return min(max(float(q.get(key, default)), lo), hi)
+        v = float(q.get(key, default))
     except (TypeError, ValueError):
         raise HTTPError(400, f"{key} must be a number")
+    # NaN slips through min/max (min(max(nan, lo), hi) stays NaN) and then
+    # explodes downstream - int(nan) -> 500, or worse inside a streaming
+    # generator after the 200 status line is already sent
+    if not math.isfinite(v):
+        raise HTTPError(400, f"{key} must be a finite number")
+    return min(max(v, lo), hi)
+
+
+class _UnlinkOnClose:
+    """Streaming-body wrapper that guarantees a backing tempfile is removed
+    on ``close()``.  A bare generator's ``finally`` never runs when the WSGI
+    server closes it BEFORE its first iteration (client disconnects between
+    headers and first frame: ``gen.close()`` on an unstarted generator skips
+    the body entirely), which would leak the file."""
+
+    def __init__(self, gen, path: str):
+        self._gen, self._path = gen, path
+
+    def __iter__(self):
+        return iter(self._gen)
+
+    def close(self) -> None:
+        try:
+            close = getattr(self._gen, "close", None)
+            if close is not None:
+                close()
+        finally:
+            try:
+                os.unlink(self._path)
+            except OSError:
+                pass
 
 
 def _annotate_tracked(renderer, frame: np.ndarray, tracks, fps: float,
@@ -636,7 +667,9 @@ def create_app() -> App:
         renderer = FrameRenderer(show_hud=True)
 
         # validate the clip decodes BEFORE committing to a 200 streaming
-        # response (a mid-stream failure cannot change the status line)
+        # response (a mid-stream failure cannot change the status line);
+        # any pre-stream failure (not just HTTPError - e.g. OSError on the
+        # tmp write) must unlink, so catch everything and re-raise
         suffix = os.path.splitext(filename or "clip.mp4")[1] or ".mp4"
         tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
         try:
@@ -647,7 +680,7 @@ def create_app() -> App:
                 cap.release()
                 raise HTTPError(400, "Could not decode video.")
             cap.release()
-        except HTTPError:
+        except BaseException:
             os.unlink(tmp.name)
             raise
 
@@ -680,7 +713,7 @@ def create_app() -> App:
                     pass
 
         return StreamingResponse(
-            produce(),
+            _UnlinkOnClose(produce(), tmp.name),
             content_type=f"multipart/x-mixed-replace; boundary={_MJPEG_BOUNDARY}",
             headers=[("Cache-Control", "no-cache")])
 

@@ -37,12 +37,22 @@ def _publish_until(monitor, stop: threading.Event):
 
 class TestLiveMonitor:
     def test_single_frame_endpoint(self, monitor):
-        # no frame yet -> 404 (a viewer is attached only on /stream; /frame
-        # serves whatever was last published WITH a viewer attached)
+        # no frame yet -> 404
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(
                 f"http://127.0.0.1:{monitor.port}/frame", timeout=5)
         assert e.value.code == 404
+        # a poll-only client (no /stream connection holding a viewer slot)
+        # gets the latest published frame - publish stores unconditionally
+        monitor.publish(_frame(3))
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{monitor.port}/frame", timeout=5) as r:
+            body = r.read()
+        assert r.headers["Content-Type"] == "image/jpeg"
+        import cv2
+
+        img = cv2.imdecode(np.frombuffer(body, np.uint8), cv2.IMREAD_COLOR)
+        assert img is not None and img.shape == (48, 64, 3)
 
     def test_index_page(self, monitor):
         with urllib.request.urlopen(
@@ -87,12 +97,13 @@ class TestLiveMonitor:
         # latest-wins buffer: consecutive parts show different frames
         assert not np.array_equal(imgs[0], imgs[1])
 
-    def test_publish_without_viewers_is_free(self, monitor):
-        """Headless publish must not copy or encode: the internal buffer
-        stays empty until a viewer attaches (zero hot-path cost)."""
+    def test_publish_without_viewers_stores_latest_only(self, monitor):
+        """Headless publish stores (one copy) but never JPEG-encodes: the
+        encode cache stays empty until a viewer actually requests."""
         for i in range(10):
             monitor.publish(_frame(i))
-        assert monitor._frame is None and monitor._seq == 0
+        assert monitor._seq == 10
+        assert monitor._frame is not None and monitor._jpeg is None
 
     def test_close_unblocks_viewer(self, monitor):
         req = urllib.request.urlopen(

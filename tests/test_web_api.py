@@ -528,6 +528,15 @@ class TestMjpegStreaming:
         assert client.get("/api/stream/demo?algorithm=nope").status_code == 400
         assert client.get("/api/stream/demo?fps=abc").status_code == 400
 
+    def test_stream_demo_nonfinite_params_400(self, client):
+        # NaN survives min/max clamping; must be rejected before the 200
+        # status line is committed (mid-stream aborts can't change it)
+        for bad in ("nan", "inf", "-inf"):
+            assert client.get(
+                f"/api/stream/demo?seconds={bad}").status_code == 400
+            assert client.get(
+                f"/api/stream/demo?objects={bad}").status_code == 400
+
     def test_stream_video_annotated(self, client, tmp_path):
         import cv2
         import numpy as np
