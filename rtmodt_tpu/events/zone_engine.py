@@ -137,6 +137,53 @@ class ZoneEventEngine:
                    trail_length=trail_length)
 
     # ------------------------------------------------------------------
+    # checkpoint / resume (runtime/state_store.py composes this with the
+    # tracker state; capability the reference lacks - its dwell timers and
+    # cooldowns die with the process, SURVEY.md 5.4)
+    # ------------------------------------------------------------------
+
+    def state_dict(self) -> dict:
+        """JSON-serializable engine state: dwell timers, cooldowns, per-zone
+        analytics, the chunked-path centroid history, and the events-JSONL
+        byte offset at snapshot time (so a downstream consumer can tell
+        which logged events precede this snapshot)."""
+        d: dict[str, Any] = {
+            "occupancy": [[int(tid), zn, float(t)]
+                          for tid, occ in self._occupancy.items()
+                          for zn, t in occ.items()],
+            "cooldown": [[int(tid), zn, float(t)]
+                         for (tid, zn), t in self._cooldown.items()],
+            "counts": {zn: {"entries": int(c["entries"]),
+                            "tids": sorted(int(t) for t in c["tids"])}
+                       for zn, c in self._counts.items()},
+            "last_wall_chunk": self._last_wall_chunk,
+            "log_offset": (self.log_path.stat().st_size
+                           if self.log_path.exists() else 0),
+        }
+        if self._hist is not None:
+            d["hist"] = {"pts": self._hist.tolist(),
+                         "len": self._hist_len.tolist(),
+                         "tid": self._hist_tid.tolist()}
+        return d
+
+    def load_state_dict(self, d: dict) -> None:
+        self._occupancy.clear()
+        for tid, zn, t in d.get("occupancy", []):
+            self._occupancy.setdefault(int(tid), {})[zn] = float(t)
+        self._cooldown = {(int(tid), zn): float(t)
+                          for tid, zn, t in d.get("cooldown", [])}
+        for zn, c in d.get("counts", {}).items():
+            if zn in self._counts:
+                self._counts[zn] = {"entries": int(c["entries"]),
+                                    "tids": set(c["tids"])}
+        self._last_wall_chunk = d.get("last_wall_chunk")
+        h = d.get("hist")
+        if h is not None:
+            self._hist = np.asarray(h["pts"], np.float64)
+            self._hist_len = np.asarray(h["len"], np.int32)
+            self._hist_tid = np.asarray(h["tid"], np.int64)
+
+    # ------------------------------------------------------------------
     def process(self, tracks: Sequence, frame_id: int,
                 timestamp: float | None = None,
                 inside_mat: np.ndarray | None = None) -> list[ZoneEvent]:

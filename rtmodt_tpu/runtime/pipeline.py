@@ -54,7 +54,7 @@ class Pipeline:
     def __init__(self, cfg: PipelineConfig, warmup_shape: tuple[int, int] | None = None):
         from rtmodt_tpu.utils.jax_setup import setup_jax
 
-        setup_jax()
+        setup_jax(platform="cpu" if cfg.system.device == "cpu" else None)
         self.cfg = cfg
         self.detector = Detector(cfg.detection, warmup=False)
         self.tracker = MultiObjectTracker(
@@ -114,11 +114,14 @@ class Pipeline:
             log_interval=cfg.profiling.log_interval,
         )
         v = cfg.visualization
+        # mjpeg_port implies visualization (the live monitor streams
+        # ANNOTATED frames), matching MultiStreamPipeline's semantics -
+        # config-only mjpeg_port must behave the same on both paths
         self.renderer = FrameRenderer(
             show_boxes=v.show_boxes, show_labels=v.show_labels,
             show_trails=v.show_trails, show_zones=v.show_zones,
             show_hud=v.show_hud, trail_length=v.trail_length,
-        ) if v.enabled else None
+        ) if (v.enabled or v.mjpeg_port is not None) else None
 
         # camera-motion compensation (tracking.gmc, ops/gmc.py): every
         # jitted detect+track program estimates the scene translation vs
@@ -925,8 +928,30 @@ class Pipeline:
                 and self.tracker._host is None)
 
     # ------------------------------------------------------------------
+    def save_runtime_state(self, path: str, frames_done: int = 0,
+                           last_ts: float = 0.0) -> None:
+        """Snapshot tracker + zone-engine state for kill-and-resume
+        (runtime/state_store.py; SURVEY.md 5.4 new capability).  Call only
+        when no frames are in flight - the device tracker state must
+        describe exactly ``frames_done`` consumed frames."""
+        from rtmodt_tpu.runtime.state_store import save_snapshot
+
+        save_snapshot(path, self.tracker, self.events,
+                      frames_done=frames_done, last_ts=last_ts)
+
+    def load_runtime_state(self, path: str) -> int:
+        """Restore a snapshot; returns its ``frames_done`` (the caller
+        fast-forwards a FILE source past that many frames so stream-time
+        dwell clocks line up exactly)."""
+        from rtmodt_tpu.runtime.state_store import load_snapshot
+
+        return int(load_snapshot(path, self.tracker, self.events)["frames_done"])
+
     def run_chunked(self, source: str | int | None = None,
-                    max_frames: int | None = None) -> dict[str, float]:
+                    max_frames: int | None = None,
+                    state_path: str | None = None,
+                    state_interval: int = 300,
+                    skip_frames: int = 0) -> dict[str, float]:
         """Throughput loop for file/offline sources: frames batch into
         ``parallel.chunk_size`` packed-I420 chunks (`lax.scan` dispatches),
         with a ``pipeline_depth`` window of in-flight chunks.  Tracks and
@@ -959,6 +984,8 @@ class Pipeline:
         use_bgr = (self.cfg.parallel.transport == "bgr"
                    and not self._is_appearance)
 
+        last_ts_done = [0.0]
+
         def consume(entry):
             nonlocal frames_done
             metas, outs, masks = entry
@@ -966,6 +993,7 @@ class Pipeline:
 
             host = _jax.device_get(outs)
             n = len(metas)   # < K only for the padded final chunk
+            last_ts_done[0] = float(metas[-1][1])
             if self.events:
                 # vectorized chunk consume: the dwell/cooldown state machine
                 # runs as array ops over the whole (K, S) output block - no
@@ -982,6 +1010,8 @@ class Pipeline:
                 p.end_frame()
                 frames_done += 1
 
+        skipped = 0
+        snaps_done = 0
         with reader:
             buf: list = []
             metas: list = []
@@ -992,6 +1022,13 @@ class Pipeline:
                         break
                     continue
                 last_id = fid
+                if skipped < skip_frames and reader._is_file:
+                    # resume fast-forward: these frames were consumed by the
+                    # run that wrote the snapshot; decode-and-drop keeps the
+                    # file's stream clock aligned with the restored dwell
+                    # timers (state_store.py)
+                    skipped += 1
+                    continue
                 buf.append(frame)
                 metas.append((fid, ts))
                 if len(buf) == k:
@@ -1013,6 +1050,20 @@ class Pipeline:
                     buf, metas = [], []
                     if len(inflight) > depth:
                         consume(inflight.popleft())
+                    if (state_path
+                            and frames_done // state_interval > snaps_done):
+                        # drain first: the snapshot must describe a tracker
+                        # that has seen exactly frames_done frames, not the
+                        # in-flight window beyond them
+                        while inflight:
+                            consume(inflight.popleft())
+                        # frames_done counts this process's consumption;
+                        # the snapshot records position in the FILE, which
+                        # includes frames a previous run already consumed
+                        self.save_runtime_state(state_path,
+                                                skipped + frames_done,
+                                                last_ts_done[0])
+                        snaps_done = frames_done // state_interval
                 if max_frames and frames_done + len(inflight) * k + len(buf) >= max_frames:
                     break
             if buf:
@@ -1039,21 +1090,30 @@ class Pipeline:
                 inflight.append((metas, outs, masks))
             while inflight:
                 consume(inflight.popleft())
+        if state_path:
+            self.save_runtime_state(state_path, skipped + frames_done,
+                                    last_ts_done[0])
         logger.info(f"chunked run processed {frames_done} frames")
         p.print_summary()
         return p.summary()
 
     def run(self, source: str | int | None = None, display: bool = False,
-            max_frames: int | None = None) -> dict[str, float]:
-        """The full CLI loop (reference run_pipeline.py:119-166)."""
+            max_frames: int | None = None,
+            state_path: str | None = None,
+            state_interval: int = 300,
+            skip_frames: int = 0) -> dict[str, float]:
+        """The full CLI loop (reference run_pipeline.py:119-166).
+
+        ``state_path`` enables kill-and-resume snapshots (tracker slots +
+        zone dwell/cooldown state; runtime/state_store.py): written every
+        ``state_interval`` consumed frames and at clean exit.  On resume the
+        caller passes the snapshot's ``frames_done`` as ``skip_frames`` so a
+        FILE source fast-forwards past already-processed frames.
+        """
         import cv2
 
         from rtmodt_tpu.ingestion.rtsp_reader import RTSPReader
 
-        if self.cfg.visualization.mjpeg_port is not None and self.renderer is None:
-            logger.warning("visualization.mjpeg_port set but "
-                           "visualization.enabled is false - the live "
-                           "monitor streams ANNOTATED frames; ignoring")
         if (self.cfg.parallel.chunk_size > 1 and not display
                 and not self.cfg.visualization.save_video
                 and self.renderer is None and self.tracker._host is None
@@ -1062,7 +1122,10 @@ class Pipeline:
             #  straight from the Y/U/V planes, ops/roi.py::crop_yuv_rgb;
             #  per_stage mode needs the per-frame stage programs, so the
             #  chunked fast path - which only times an aggregate - is skipped)
-            return self.run_chunked(source, max_frames)
+            return self.run_chunked(source, max_frames,
+                                    state_path=state_path,
+                                    state_interval=state_interval,
+                                    skip_frames=skip_frames)
 
         icfg = self.cfg.ingestion
         reader = RTSPReader(
@@ -1102,6 +1165,8 @@ class Pipeline:
             events = self.events.process(tracks, fid, ts) if self.events else []
             p.tock("events")
             del events
+            consumed[0] += 1
+            last_ts_done[0] = float(ts)
             if self.renderer is not None:
                 p.tick("visualization")
                 self.renderer.render(frame, tracks, zones, fps=p.current_fps,
@@ -1124,6 +1189,10 @@ class Pipeline:
                     return False
             return True
 
+        skipped = 0
+        consumed = [0]        # frames fully consumed (tracks+events done)
+        last_ts_done = [0.0]
+        snaps_done = 0
         try:
             with reader:
                 while True:
@@ -1136,6 +1205,10 @@ class Pipeline:
                             break
                         continue
                     last_id = fid
+                    if skipped < skip_frames and reader._is_file:
+                        # resume fast-forward (see run_chunked)
+                        skipped += 1
+                        continue
                     if not warmed:
                         self.warmup(frame.shape[:2])
                         warmed = True
@@ -1156,6 +1229,8 @@ class Pipeline:
                             self.step_packed(frame, fid, ts)
                             if self._use_packed_transport()
                             else self.step(frame, fid, ts))
+                        consumed[0] += 1
+                        last_ts_done[0] = float(ts)
                         if self.renderer is not None:
                             p.tick("visualization")
                             self.renderer.render(frame, tracks, zones, fps=p.current_fps,
@@ -1177,11 +1252,25 @@ class Pipeline:
                             if cv2.waitKey(1) & 0xFF == ord("q"):
                                 break
                     frames += 1
+                    if (state_path
+                            and consumed[0] // state_interval > snaps_done):
+                        # drain the window first: the snapshot's tracker
+                        # state must describe exactly the consumed frames
+                        while inflight:
+                            if not consume(inflight.popleft()):
+                                break
+                        self.save_runtime_state(state_path,
+                                                skipped + consumed[0],
+                                                last_ts_done[0])
+                        snaps_done = consumed[0] // state_interval
                     if max_frames and frames >= max_frames:
                         break
                 while inflight:  # drain the pipeline window
                     if not consume(inflight.popleft()):
                         break
+                if state_path:
+                    self.save_runtime_state(state_path, skipped + consumed[0],
+                                            last_ts_done[0])
         except KeyboardInterrupt:
             logger.info("interrupted")
         finally:

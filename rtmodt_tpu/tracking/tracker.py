@@ -234,10 +234,10 @@ class MultiObjectTracker:
         self._embed_fns[key] = fn
         return fn
 
-    def save_state(self, path: str) -> None:
-        """Serialize tracker state for stream-resume - a capability the
-        reference lacks (its tracker state dies with the process,
-        SURVEY.md 5.4)."""
+    def state_arrays(self) -> dict:
+        """Tracker state as a flat dict of host numpy arrays (the snapshot
+        payload; see also ``runtime/state_store.py`` which composes this
+        with the zone-engine state into one pipeline snapshot)."""
         import numpy as np
 
         if self._host is not None:
@@ -247,15 +247,17 @@ class MultiObjectTracker:
         trail_data = np.asarray(
             [t + [(-1, -1)] * (self._trail_maxlen - len(t))
              for t in self._trail_map.values()], np.int64)
-        np.savez(path, **host._asdict(),
-                 trail_ids=np.asarray(list(self._trail_map.keys()), np.int64),
-                 # explicit shape: reshape(-1) cannot infer a dim on the
-                 # empty (fresh/reset) tracker
-                 trail_data=trail_data.reshape(n, self._trail_maxlen if n else 0, 2))
+        out = {k: np.asarray(v) for k, v in host._asdict().items()}
+        out["trail_ids"] = np.asarray(list(self._trail_map.keys()), np.int64)
+        # explicit shape: reshape(-1) cannot infer a dim on the
+        # empty (fresh/reset) tracker
+        out["trail_data"] = trail_data.reshape(
+            n, self._trail_maxlen if n else 0, 2)
+        return out
 
-    def load_state(self, path: str) -> None:
-        import numpy as np
-
+    def load_state_arrays(self, z) -> None:
+        """Inverse of :meth:`state_arrays`; ``z`` is any mapping of arrays
+        (an open ``np.load`` handle or a plain dict)."""
         from rtmodt_tpu.tracking.bytetrack import TrackState
         from rtmodt_tpu.tracking.deepsort import DeepSortState
         from rtmodt_tpu.tracking.ocsort import OCSortState
@@ -263,13 +265,26 @@ class MultiObjectTracker:
         cls = {"deepsort": DeepSortState,
                "botsort": DeepSortState,     # botsort shares the pytree
                "ocsort": OCSortState}.get(self.algorithm, TrackState)
+        fields = {k: jnp.asarray(z[k]) for k in cls._fields}
+        self.state = cls(**fields)
+        self._trail_map.clear()
+        for tid, trail in zip(z["trail_ids"], z["trail_data"]):
+            pts = [(int(x), int(y)) for x, y in trail if x >= 0]
+            self._trail_map[int(tid)] = pts
+
+    def save_state(self, path: str) -> None:
+        """Serialize tracker state for stream-resume - a capability the
+        reference lacks (its tracker state dies with the process,
+        SURVEY.md 5.4)."""
+        import numpy as np
+
+        np.savez(path, **self.state_arrays())
+
+    def load_state(self, path: str) -> None:
+        import numpy as np
+
         with np.load(path) as z:
-            fields = {k: jnp.asarray(z[k]) for k in cls._fields}
-            self.state = cls(**fields)
-            self._trail_map.clear()
-            for tid, trail in zip(z["trail_ids"], z["trail_data"]):
-                pts = [(int(x), int(y)) for x, y in trail if x >= 0]
-                self._trail_map[int(tid)] = pts
+            self.load_state_arrays(z)
 
     def reset(self) -> None:
         self._trail_map.clear()

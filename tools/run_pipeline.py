@@ -33,7 +33,15 @@ from rtmodt_tpu.utils.logging import logger  # noqa: E402
 @click.option("--mjpeg-port", default=None, type=int,
               help="serve the annotated stream as MJPEG on this port "
                    "(headless live view; 0 = OS-picked port)")
-def main(config_path, source, display, max_frames, save_video, mjpeg_port):
+@click.option("--resume-state", "state_path", default=None,
+              help="pipeline snapshot path: restore tracker IDs + zone "
+                   "dwell/cooldown state from it if present, and keep it "
+                   "updated (periodic + on clean exit) so a killed 24/7 "
+                   "run resumes where it left off")
+@click.option("--state-interval", default=300, type=int,
+              help="snapshot every N consumed frames (with --resume-state)")
+def main(config_path, source, display, max_frames, save_video, mjpeg_port,
+         state_path, state_interval):
     overrides = {}
     if len(source) == 1:
         overrides["ingestion"] = {"source": source[0]}
@@ -57,6 +65,10 @@ def main(config_path, source, display, max_frames, save_video, mjpeg_port):
     if len(source) > 1:
         from rtmodt_tpu.parallel.multistream import MultiStreamPipeline
 
+        if state_path:
+            raise click.UsageError(
+                "--resume-state supports single-stream runs; multi-camera "
+                "state snapshotting is not implemented")
         # --display/--save-video tile the S annotated streams into one
         # mosaic frame (parallel/multistream.py::MosaicAnnotator)
         pipe = MultiStreamPipeline(cfg)
@@ -66,7 +78,13 @@ def main(config_path, source, display, max_frames, save_video, mjpeg_port):
         from rtmodt_tpu.runtime.pipeline import Pipeline
 
         pipe = Pipeline(cfg)
-        summary = pipe.run(display=display, max_frames=max_frames)
+        skip = 0
+        if state_path and os.path.exists(state_path):
+            skip = pipe.load_runtime_state(state_path)
+        summary = pipe.run(display=display, max_frames=max_frames,
+                           state_path=state_path,
+                           state_interval=state_interval,
+                           skip_frames=skip)
         if pipe.events is not None and summary is not None:
             summary = dict(summary)
             summary["zone_counts"] = pipe.events.zone_counts()
