@@ -236,6 +236,8 @@ def run_tracker(name: str, kwargs: dict, frames_bgr, gt):
     return {"idf1": round(float(m["idf1"]), 4),
             "mota": round(float(m["mota"]), 4),
             "hota": round(float(m["hota"]), 4),
+            "det_a": round(float(m["det_a"]), 4),
+            "ass_a": round(float(m["ass_a"]), 4),
             "switches": int(m["num_switches"])}
 
 
