@@ -156,6 +156,27 @@ class TestTrainStep:
         assert float(m2["loss"]) < float(metrics["loss"]) * 1.5
 
 
+class _FixedGainRng:
+    """rng stub whose uniform() makes ``1 + uniform(-1,1,3)*g`` hit exact
+    target gains; every other draw defers to a real generator."""
+
+    def __init__(self, gains):
+        self._gains = np.asarray(gains, np.float64)
+        self._real = np.random.default_rng(0)
+
+    def uniform(self, lo, hi, size=None):
+        if size == 3:
+            from rtmodt_tpu.training.data import AugConfig
+
+            a = AugConfig()
+            return (self._gains - 1.0) / np.asarray(
+                [a.hsv_h, a.hsv_s, a.hsv_v])
+        return self._real.uniform(lo, hi, size)
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+
 class TestDataAugmentation:
     """YoloDataset augmentation invariants (mosaic/mixup/copy_paste/affine -
     the reference's ultralytics aug surface, training.yaml:28-41)."""
@@ -227,3 +248,51 @@ class TestDataAugmentation:
         assert b.images.shape == (2, 96, 96, 3)
         assert b.gt_boxes.shape == (2, 32, 4)
         assert b.gt_mask.dtype == bool
+
+    def test_decode_cache_transparent(self, ds_root):
+        """The RAM decode cache must be behaviorally invisible: identical
+        raw loads, and heavy augmented sampling must never write through
+        into the cached source arrays."""
+        from rtmodt_tpu.training.data import AugConfig, YoloDataset
+
+        kw = dict(input_size=96, max_boxes=32, augment=True,
+                  aug=AugConfig(mosaic=1.0, mixup=1.0, copy_paste=1.0,
+                                fliplr=0.5, flipud=0.5))
+        cold = YoloDataset(ds_root, "train", cache_images=False, seed=3, **kw)
+        hot = YoloDataset(ds_root, "train", cache_images=True, seed=3, **kw)
+        assert hot._cache is not None and cold._cache is None
+        for i in range(len(hot)):
+            ic, bc, lc = cold._load_raw(i)
+            ih, bh, lh = hot._load_raw(i)
+            np.testing.assert_array_equal(ic, ih)
+            np.testing.assert_array_equal(bc, bh)
+            np.testing.assert_array_equal(lc, lh)
+        # snapshot the cache, hammer the full augmentation surface, recheck
+        snaps = [(img.copy(), bx.copy(), lb.copy())
+                 for img, bx, lb in hot._cache]
+        for _ in range(12):
+            hot.sample()
+        hot.make_batch(2)
+        for (i0, b0, l0), (i1, b1, l1) in zip(snaps, hot._cache):
+            np.testing.assert_array_equal(i0, i1)
+            np.testing.assert_array_equal(b0, b1)
+            np.testing.assert_array_equal(l0, l1)
+
+    def test_hsv_lut_matches_float_reference(self, ds_root):
+        """LUT-based HSV jitter must equal the full-image float32 map
+        (same gains) bit-for-bit — it is a pure per-value function."""
+        import cv2
+
+        ds = self._ds(ds_root)
+        img, _, _ = ds._load_raw(0)
+        rng = np.random.default_rng(7)
+        for _ in range(4):
+            gains = 1.0 + rng.uniform(-1, 1, 3) * [ds.aug.hsv_h,
+                                                   ds.aug.hsv_s, ds.aug.hsv_v]
+            hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV).astype(np.float32)
+            hsv[..., 0] = (hsv[..., 0] * gains[0]) % 180
+            hsv[..., 1] = np.clip(hsv[..., 1] * gains[1], 0, 255)
+            hsv[..., 2] = np.clip(hsv[..., 2] * gains[2], 0, 255)
+            ref = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2BGR)
+            ds.rng = _FixedGainRng(gains)
+            np.testing.assert_array_equal(ds._hsv(img), ref)
