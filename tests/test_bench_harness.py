@@ -1,0 +1,107 @@
+"""Bench-harness scheduling tests.
+
+bench.py's parent is the one artifact the driver records every round, so its
+scheduling logic (best-of over the pass queue, per-pass env overrides for
+the S/T sweep, re-queue on a crashed pass, poisoned-compile-cache
+quarantine, early stop at the target) is pinned here against fake children
+(``RTMODT_BENCH_FAKE`` plan files — see bench._run_fake_child) that never
+touch a device.  The real measurement path is exercised by running
+``python bench.py`` on hardware; these tests cover everything around it.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+BENCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "bench.py")
+
+# the parent's static pass plan (bench.main): single, multi, multi-S8T16,
+# single, multi, single
+QUEUE_LEN = 6
+
+
+def run_parent(plan_lines, tmp_path, budget="900"):
+    plan = tmp_path / "plan.txt"
+    plan.write_text("\n".join(plan_lines))
+    env = {**os.environ,
+           "RTMODT_BENCH_FAKE": str(plan),
+           "RTMODT_BENCH_BUDGET": budget,   # high: fake passes are instant
+           "RTMODT_BENCH_SLEEP": "0"}
+    env.pop("RTMODT_BENCH_CHILD", None)
+    env.pop("RTMODT_JAX_CACHE", None)
+    proc = subprocess.run([sys.executable, BENCH], env=env, text=True,
+                          capture_output=True, timeout=120)
+    result = None
+    for ln in proc.stdout.splitlines():
+        if ln.startswith("{"):
+            result = json.loads(ln)
+    return proc, result, plan
+
+
+class TestBestOf:
+    def test_best_pass_wins_headline(self, tmp_path):
+        proc, result, _ = run_parent(
+            ["ok:100", "ok:200", "ok:150", "ok:50", "ok:10", "ok:5"], tmp_path)
+        assert proc.returncode == 0
+        assert result["value"] == 200.0
+        assert result["vs_baseline"] == round(200.0 / 87.0, 2)
+        assert result["unit"] == "fps"
+        assert "pass 1 [multi]: 200.0 fps" in proc.stderr
+
+    def test_early_stop_at_target(self, tmp_path):
+        proc, result, plan = run_parent(
+            ["ok:600", "ok:1", "ok:1", "ok:1", "ok:1", "ok:1"], tmp_path)
+        assert result["value"] == 600.0
+        # >= TARGET_FPS after pass 0: the remaining 5 plan slots are untouched
+        assert plan.read_text().splitlines() == ["ok:1"] * 5
+
+
+class TestSweepEnvPlumbing:
+    def test_third_pass_carries_s8_t16(self, tmp_path):
+        # pass 2 of the static plan is the multi S=8 T=16 sweep entry; the
+        # fake child emits float(RTMODT_BENCH_STREAMS) so a wrong/missing
+        # override shows up as a KeyError (pass fails) or the wrong value
+        proc, result, _ = run_parent(
+            ["ok:1", "ok:2", "env:RTMODT_BENCH_STREAMS",
+             "ok:1", "ok:1", "ok:1"], tmp_path)
+        assert result["value"] == 8.0
+        assert "STREAMS=8" in proc.stderr and "T=16" in proc.stderr
+
+    def test_sweep_env_does_not_leak_into_other_passes(self, tmp_path):
+        # every non-sweep pass must NOT see the override (pass 4 is the
+        # second plain multi entry; env: on an unset var kills that child,
+        # which would drop the 999 result)
+        proc, result, _ = run_parent(
+            ["ok:1", "ok:1", "ok:8", "ok:1", "env:RTMODT_BENCH_STREAMS",
+             "ok:1"], tmp_path)
+        assert result["value"] == 8.0  # the env: child crashed -> no 999
+
+
+class TestFailureRequeue:
+    def test_crashed_pass_requeued_once(self, tmp_path):
+        proc, result, _ = run_parent(
+            ["fail", "ok:100", "ok:1", "ok:1", "ok:1", "ok:1", "ok:999"],
+            tmp_path)
+        # the crashed ("single", attempt 0) re-runs after the plan (7th
+        # child) instead of burning the slot
+        assert result["value"] == 999.0
+        assert "pass 0 [single] failed" in proc.stderr
+
+    def test_all_failures_exit_nonzero_no_json(self, tmp_path):
+        proc, result, _ = run_parent(["fail"] * (2 * QUEUE_LEN), tmp_path)
+        assert proc.returncode == 1
+        assert result is None
+
+
+class TestPoisonQuarantine:
+    def test_quarantine_retries_same_config_with_fresh_cache(self, tmp_path):
+        # pass 0 prints the CPU-feature poisoning signature; the parent must
+        # repoint RTMODT_JAX_CACHE and retry the SAME config immediately -
+        # the "cache:" behavior only emits when that env var arrived
+        proc, result, _ = run_parent(
+            ["poison", "cache:123", "ok:1", "ok:1", "ok:1", "ok:1", "ok:1"],
+            tmp_path)
+        assert result["value"] == 123.0
+        assert "poisoned compile cache detected" in proc.stderr
