@@ -657,7 +657,9 @@ class MultiStreamPipeline:
 
     # ------------------------------------------------------------------
     def run(self, sources: list, max_frames: int | None = None,
-            chunk_size: int | None = None, display: bool = False) -> dict:
+            chunk_size: int | None = None, display: bool = False,
+            state_path: str | None = None,
+            state_interval: int = 300) -> dict:
         """End-to-end multi-camera loop - the scale-out analog of
         ``Pipeline.run_chunked`` (one camera) for S cameras on one SPMD
         program.
@@ -679,6 +681,16 @@ class MultiStreamPipeline:
         drains naturally, like a camera going black).  The run ends when
         every stream is done; ``dead_streams`` and per-stream frame counts
         are reported in the summary.
+
+        ``state_path`` enables kill-and-resume snapshots, the multi-camera
+        analog of ``Pipeline.run`` (runtime/state_store.py): the batched
+        S-leading tracker state, per-stream GMC carry, and every stream's
+        zone dwell/cooldown/analytics state are written atomically every
+        ``state_interval`` consumed frames (at drained pipeline-window
+        boundaries, so device and host state describe the same frames) and
+        at clean exit.  If the snapshot already exists at start, it is
+        restored and each FILE source fast-forwards past that stream's
+        already-consumed frames so stream-time dwell clocks line up.
         """
         import os
         import queue
@@ -706,6 +718,18 @@ class MultiStreamPipeline:
             for si, eng in enumerate(engines):
                 eng.extra_metadata = {"stream": si}
         names = self.detector.class_names
+
+        # kill-and-resume: restore the batched tracker state + per-stream
+        # engine state BEFORE the ingest threads start, so each file source
+        # knows how many frames to fast-forward past
+        skip_frames = [0] * s_streams
+        resume_meta = None
+        if state_path and os.path.exists(state_path):
+            from rtmodt_tpu.runtime.state_store import (
+                load_multistream_snapshot)
+
+            resume_meta = load_multistream_snapshot(state_path, self, engines)
+            skip_frames = [int(n) for n in resume_meta["per_stream_frames"]]
 
         # annotated mosaic output (display and/or video file): opt-in, so
         # the headless hot path never retains BGR frames on host
@@ -737,6 +761,18 @@ class MultiStreamPipeline:
                     if rd.fps and rd.fps > 0:
                         fps_by_stream[si] = float(rd.fps)
                     last_id = 0
+                    # resume fast-forward: decode-and-drop the frames a
+                    # prior run already consumed, so fid/ts (the stream
+                    # clock the zone engines dwell on) continue exactly
+                    dropped = 0
+                    while dropped < skip_frames[si] and not stop.is_set():
+                        frame, fid, ts = rd.read_new(last_id, timeout=2.0)
+                        if frame is None:
+                            if rd.is_eof:
+                                break
+                            continue
+                        last_id = fid
+                        dropped += 1
                     while not stop.is_set():
                         frame, fid, ts = rd.read_new(last_id, timeout=2.0)
                         if frame is None:
@@ -823,6 +859,23 @@ class MultiStreamPipeline:
         dead = [False] * s_streams
         last_meta = [(0, 0.0)] * s_streams   # per-stream (fid, ts) for blanks
         per_stream_frames = [0] * s_streams
+        if resume_meta is not None:
+            last_meta = [tuple(m) for m in resume_meta["last_meta"]]
+            # cumulative across restarts: the NEXT snapshot's fast-forward
+            # counts must cover this run's frames AND every prior run's
+            per_stream_frames = [int(n)
+                                 for n in resume_meta["per_stream_frames"]]
+        last_snap = sum(per_stream_frames)
+        aborted = False
+
+        def snapshot() -> None:
+            from rtmodt_tpu.runtime.state_store import (
+                save_multistream_snapshot)
+
+            save_multistream_snapshot(
+                state_path, self, engines,
+                per_stream_frames=per_stream_frames,
+                last_meta=last_meta, dead=dead)
 
         try:
             while True:
@@ -896,10 +949,29 @@ class MultiStreamPipeline:
                 if len(inflight) > depth:
                     if not consume(inflight.popleft()):
                         inflight.clear()
+                        aborted = True
                         break
+                if (state_path
+                        and sum(per_stream_frames) - last_snap
+                        >= state_interval):
+                    # drain the window first: the snapshot's tracker state
+                    # (device, updated at submit) and engine state (host,
+                    # updated at consume) must describe the same frames
+                    while inflight:
+                        if not consume(inflight.popleft()):
+                            inflight.clear()
+                            aborted = True
+                            break
+                    if aborted:
+                        break
+                    snapshot()
+                    last_snap = sum(per_stream_frames)
             while inflight:
                 if not consume(inflight.popleft()):
+                    aborted = True
                     break
+            if state_path and not aborted and t_start is not None:
+                snapshot()   # clean-exit snapshot covers the whole run
         finally:
             stop.set()
             for q in qs:  # unblock any producer stuck on a full queue

@@ -219,13 +219,145 @@ visualization: {{enabled: false}}
         meta = json.loads(str(np.load(snap)["meta"]))
         assert meta["frames_done"] == self.FRAMES
 
-    def test_multicam_resume_rejected(self, tmp_path, video):
+def _ms_cfg(tmp, log_name):
+    return load_config(overrides={
+        "detection": {"model": "yolov8n", "input_size": 128,
+                      "conf_threshold": 0.01, "nms_candidates": 64,
+                      "max_detections": 20, "classes": None},
+        "tracking": {"bytetrack": {"max_tracks": 32}},
+        "events": {"alert": {"log_path": str(tmp / log_name)},
+                   "zones": [{"name": "z",
+                              "polygon": [[10, 10], [150, 10],
+                                          [150, 150], [10, 150]],
+                              "dwell_time_sec": 0.0, "cooldown_sec": 0.5}]},
+        "profiling": {"warmup_frames": 0, "log_interval": 0,
+                      "per_stage": False},
+        "parallel": {"chunk_size": 4, "num_streams": 2, "pipeline_depth": 2},
+        "visualization": {"enabled": False},
+    })
+
+
+def _events_ms(path):
+    """Event identity tuples with the stream tag (multi-camera engines all
+    append to one JSONL; ``metadata.stream`` disambiguates)."""
+    if not path.exists():
+        return []
+    with open(path) as f:
+        rows = [json.loads(ln) for ln in f if ln.strip()]
+    return sorted(
+        (r.get("metadata", {}).get("stream"), r["event_type"], r["zone_name"],
+         r["track_id"], r["frame_id"], round(r["dwell_time_sec"], 3))
+        for r in rows)
+
+
+class TestMultiStreamKillAndResume:
+    """The multi-camera analog of TestKillAndResumeEquivalence: the batched
+    S-leading tracker state, per-stream engine state, and per-stream
+    fast-forward counts survive a restart, so an interrupted 2-camera run
+    resumed in a fresh pipeline logs the identical per-stream event
+    stream."""
+
+    FRAMES = 24
+    HALF = 12
+
+    @pytest.fixture(scope="class")
+    def videos(self, tmp_path_factory):
+        from rtmodt_tpu.utils.synthetic import write_synthetic_video
+
+        d = tmp_path_factory.mktemp("msvid")
+        a, b = str(d / "a.mp4"), str(d / "b.mp4")
+        write_synthetic_video(a, frames=self.FRAMES, h=160, w=160,
+                              n_objects=2)
+        write_synthetic_video(b, frames=self.FRAMES, h=160, w=160,
+                              n_objects=3)
+        return [a, b]
+
+    def test_resume_equals_uninterrupted(self, videos, tmp_path):
+        from rtmodt_tpu.parallel.multistream import MultiStreamPipeline
+
+        sum_a = MultiStreamPipeline(_ms_cfg(tmp_path, "ma.jsonl")).run(
+            videos, max_frames=self.FRAMES)
+        ev_a = _events_ms(tmp_path / "ma.jsonl")
+        assert ev_a, "scenario produced no events; test is vacuous"
+
+        snap = str(tmp_path / "ms_state.npz")
+        MultiStreamPipeline(_ms_cfg(tmp_path, "mb.jsonl")).run(
+            videos, max_frames=self.HALF, state_path=snap)
+        meta = json.loads(str(np.load(snap)["meta"]))
+        assert meta["kind"] == "multistream"
+        assert meta["per_stream_frames"] == [self.HALF, self.HALF]
+
+        # a FRESH pipeline (new process in production) resumes: per-stream
+        # fast-forward + restored tracker/engine state
+        sum_b = MultiStreamPipeline(_ms_cfg(tmp_path, "mb.jsonl")).run(
+            videos, state_path=snap)
+        assert _events_ms(tmp_path / "mb.jsonl") == ev_a
+        assert sum_b["zone_counts"] == sum_a["zone_counts"]
+        meta = json.loads(str(np.load(snap)["meta"]))
+        assert meta["per_stream_frames"] == [self.FRAMES, self.FRAMES]
+
+    def test_mismatched_snapshot_refused(self, tmp_path):
+        from rtmodt_tpu.parallel.multistream import MultiStreamPipeline
+        from rtmodt_tpu.runtime.state_store import (
+            load_multistream_snapshot, save_multistream_snapshot,
+            save_snapshot)
+        from rtmodt_tpu.tracking.tracker import MultiObjectTracker
+
+        msp = MultiStreamPipeline(_ms_cfg(tmp_path, "x.jsonl"))
+        snap = str(tmp_path / "ms.npz")
+        save_multistream_snapshot(snap, msp, None,
+                                  per_stream_frames=[0, 0],
+                                  last_meta=[(0, 0.0), (0, 0.0)],
+                                  dead=[False, False])
+
+        cfg3 = _ms_cfg(tmp_path, "x.jsonl")
+        cfg3 = dataclasses.replace(
+            cfg3, parallel=dataclasses.replace(cfg3.parallel, num_streams=4))
+        with pytest.raises(ValueError, match="streams"):
+            load_multistream_snapshot(snap, MultiStreamPipeline(cfg3), None)
+
+        # a single-stream snapshot must never restore into the batched
+        # pipeline (its state pytree has no stream axis)
+        tr = MultiObjectTracker("bytetrack", max_tracks=16)
+        single = str(tmp_path / "single.npz")
+        save_snapshot(single, tr, None)
+        with pytest.raises(ValueError, match="single-stream"):
+            load_multistream_snapshot(single, msp, None)
+
+    def test_cli_flag_wiring_multicam(self, videos, tmp_path):
+        """--resume-state through the real CLI with repeated -s flags."""
+        import sys
+
         from click.testing import CliRunner
 
+        sys.modules.pop("tools.run_pipeline", None)
         import tools.run_pipeline as rp
 
+        cfg_yaml = tmp_path / "ms.yaml"
+        cfg_yaml.write_text(f"""
+system: {{log_dir: {tmp_path}/logs}}
+detection: {{model: yolov8n, input_size: 128, conf_threshold: 0.01,
+            nms_candidates: 64, max_detections: 20}}
+events:
+  alert: {{log_path: {tmp_path}/mscli.jsonl}}
+  zones:
+    - {{name: z, polygon: [[10, 10], [150, 10], [150, 150], [10, 150]],
+        dwell_time_sec: 0.0, cooldown_sec: 0.5}}
+profiling: {{warmup_frames: 0, log_interval: 0, per_stage: false}}
+parallel: {{chunk_size: 4}}
+visualization: {{enabled: false}}
+""")
+        snap = tmp_path / "mscli_state.npz"
         r = CliRunner().invoke(rp.main, [
-            "-s", video, "-s", video, "--resume-state",
-            str(tmp_path / "x.npz")])
-        assert r.exit_code != 0
-        assert "single-stream" in r.output
+            "-c", str(cfg_yaml), "-s", videos[0], "-s", videos[1],
+            "--max-frames", "8", "--resume-state", str(snap)])
+        assert r.exit_code == 0, r.output
+        meta = json.loads(str(np.load(snap)["meta"]))
+        assert meta["kind"] == "multistream"
+        assert meta["per_stream_frames"] == [8, 8]
+        r = CliRunner().invoke(rp.main, [
+            "-c", str(cfg_yaml), "-s", videos[0], "-s", videos[1],
+            "--resume-state", str(snap)])
+        assert r.exit_code == 0, r.output
+        meta = json.loads(str(np.load(snap)["meta"]))
+        assert meta["per_stream_frames"] == [self.FRAMES, self.FRAMES]

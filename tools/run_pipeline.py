@@ -65,15 +65,12 @@ def main(config_path, source, display, max_frames, save_video, mjpeg_port,
     if len(source) > 1:
         from rtmodt_tpu.parallel.multistream import MultiStreamPipeline
 
-        if state_path:
-            raise click.UsageError(
-                "--resume-state supports single-stream runs; multi-camera "
-                "state snapshotting is not implemented")
         # --display/--save-video tile the S annotated streams into one
         # mosaic frame (parallel/multistream.py::MosaicAnnotator)
         pipe = MultiStreamPipeline(cfg)
         summary = pipe.run(list(source), max_frames=max_frames,
-                           display=display)
+                           display=display, state_path=state_path,
+                           state_interval=state_interval)
     else:
         from rtmodt_tpu.runtime.pipeline import Pipeline
 
