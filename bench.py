@@ -25,11 +25,15 @@ repoints RTMODT_JAX_CACHE / RTMODT_AOT_CACHE at a fresh per-run directory
 and retries the SAME configuration; any other failed pass is re-queued once
 instead of sleeping through its plan slot.
 
-Diagnostics (VERDICT r2 #2): every child emits "[diag]" stderr lines - a
-host->device link probe (MB/s, before pass 0's measurement), pack ms/frame,
-and a device-trace ms/frame for the measured program - so a low headline is
-immediately attributable to tunnel weather vs regression.  The parent
-reprints them into its own stderr (the driver-recorded tail).
+Diagnostics (VERDICT r2 #2, r3 #1/#6): every child emits "[diag]" stderr
+lines - a host->device link probe (MB/s, before pass 0's measurement), the
+computed link-bound FPS ceiling (payload MB/frame over the probed link
+rate), pack ms/frame, and a device-trace ms/frame for the measured program -
+so a low headline is immediately attributable to tunnel weather vs
+regression.  Children also print eager per-phase breadcrumbs; a pass that
+dies without output is reported as "wedged in <phase>" in the parent's
+stderr (the driver-recorded tail).  Per-pass caps reserve enough budget
+that one wedged pass can never starve the rest of the plan.
 
 The whole run is bounded by a hard wall-clock budget (RTMODT_BENCH_BUDGET,
 default 540 s).  SIGTERM/SIGINT/SIGALRM all flush the best result seen so
@@ -117,17 +121,26 @@ def main() -> None:
     # Best-of wins the headline (tunnel throughput swings minute to minute).
     # Work queue of (config, attempt, extra_env); a failed pass is re-queued
     # (attempt+1, max 2 tries) instead of burning its plan slot (VERDICT r2
-    # #1c).  The multi config is swept over S/T shapes (VERDICT r2 #6): S=8
-    # T=16 ships 4x the frames per dispatch, amortizing the ~25 ms tunnel
-    # round-trip further when the link (not the chip) caps aggregate FPS.
+    # #1c).  Pass 1 is a SHORT multi (fewer chunks) with a tight cap so a
+    # multi result lands in the official record early (VERDICT r3 #1c -
+    # BENCH_r03 banked only the single pass after a wedged multi ate the
+    # budget); the S=8 T=16 sweep ships 4x the frames per dispatch,
+    # amortizing the ~25 ms tunnel round-trip when the link caps FPS.
     queue: list[tuple[str, int, dict]] = [
         ("single", 0, {}),
-        ("multi", 0, {}),
+        ("multi", 0, {"RTMODT_BENCH_NCHUNKS": "24"}),
         ("multi", 0, {"RTMODT_BENCH_STREAMS": "8", "RTMODT_BENCH_T": "16"}),
         ("single", 0, {}),
         ("multi", 0, {}),
         ("single", 0, {})]
-    est_cost = {"single": 45.0, "multi": 150.0}
+    est_cost = {"single": 45.0, "multi": 120.0}
+    # test hooks: scale the plan estimates / kill grace so the scheduling
+    # tests exercise the cap math in seconds (tests/test_bench_harness.py)
+    for part in os.environ.get("RTMODT_BENCH_EST", "").split(","):
+        if ":" in part:
+            k, v = part.split(":")
+            est_cost[k] = float(v)
+    grace = float(os.environ.get("RTMODT_BENCH_GRACE", "15"))
     cache_env: dict[str, str] = {}     # set after a poisoning detection
     pass_idx = 0
     first_child = True
@@ -163,11 +176,16 @@ def main() -> None:
                     text=True, env=env)
             # cap per child so one wedged tunnel session cannot eat the
             # whole budget (a fresh process often recovers); the first child
-            # gets a bigger window in case it must cold-compile
+            # gets a bigger window in case it must cold-compile.  Non-first
+            # caps reserve room for at least one more single pass after a
+            # wedge (VERDICT r3 #1a: est*3 let one wedged multi consume the
+            # whole remainder)
             cap = (max(150.0, remaining * 0.6) if first_child
-                   else min(remaining, est_cost[cfg_name] * 3))
+                   else max(est_cost["single"],
+                            min(remaining, est_cost[cfg_name] * 1.5,
+                                remaining - est_cost["single"] - 10.0)))
             try:
-                out, _ = child[0].communicate(timeout=cap + 15.0)
+                out, _ = child[0].communicate(timeout=cap + grace)
             except subprocess.TimeoutExpired:
                 child[0].terminate()  # SIGTERM -> child flushes partial JSON
                 try:
@@ -180,12 +198,22 @@ def main() -> None:
                     err = f.read()
             except OSError:
                 err = ""
+            lines = [ln for ln in out.splitlines() if ln.startswith("{")]
             # reprint the child's diagnostic lines into the driver-visible
-            # tail so every pass is attributable (link MB/s, device ms/frame)
+            # tail so every pass is attributable (link MB/s, device ms/frame,
+            # link-bound ceiling); per-phase breadcrumbs only when the pass
+            # produced nothing - then the last phase IS the wedge location
+            last_phase = None
             for ln in err.splitlines():
+                if ln.startswith("[diag] phase "):
+                    last_phase = ln[len("[diag] phase "):]
+                    if lines:
+                        continue
                 if ln.startswith(("[diag]", "[single]", "[multi]")):
                     print(f"pass {pass_idx} {ln}", file=sys.stderr)
-            lines = [ln for ln in out.splitlines() if ln.startswith("{")]
+            if not lines and last_phase and "wedged in" not in err:
+                print(f"pass {pass_idx} [{label}] wedged in {last_phase}",
+                      file=sys.stderr)
             if lines:
                 val = float(json.loads(lines[-1])["value"])
                 print(f"pass {pass_idx} [{label}]: {val} fps",
@@ -267,10 +295,11 @@ def _ingest_pool(n_chunks: int, make_block, n_workers: int = 3,
     return next_block
 
 
-def _preflight_and_probe() -> None:
+def _preflight_and_probe() -> float:
     """Trivial jit (catches a poisoned persistent cache before the real
     program compiles) + host->device link probe.  Exit 3 with the poisoning
-    signature on stderr so the parent quarantines the cache dir."""
+    signature on stderr so the parent quarantines the cache dir.  Returns
+    the measured host->device MB/s (for the link-bound ceiling line)."""
     import jax
 
     try:
@@ -291,6 +320,7 @@ def _preflight_and_probe() -> None:
         mbps = len(buf) / 1e6 / (time.perf_counter() - t0)
         del dev
     print(f"[diag] link h2d ~{mbps:.0f} MB/s", file=sys.stderr)
+    return mbps
 
 
 def _run_fake_child() -> None:
@@ -301,6 +331,8 @@ def _run_fake_child() -> None:
 
       ok:<fps>    emit a JSON result
       fail        exit without output (a crashed pass)
+      hang        print a phase breadcrumb, then block forever (a wedged
+                  tunnel session; the parent must cap + attribute it)
       poison      print a poisoned-compile-cache signature on stderr
       cache:<fps> emit <fps> only if RTMODT_JAX_CACHE is set (else fail) -
                   proves the parent's quarantine env reached the child
@@ -320,6 +352,9 @@ def _run_fake_child() -> None:
         f.write("\n".join(lines[1:]))
     if beh.startswith("ok:"):
         emit(float(beh[3:]))
+    elif beh == "hang":
+        print("[diag] phase compile", file=sys.stderr, flush=True)
+        time.sleep(600)
     elif beh == "poison":
         print("Error deserializing executable: requires CPU features "
               "AVX512 which the host machine lacks", file=sys.stderr)
@@ -337,26 +372,42 @@ def run_child(mode: str) -> None:
     # per-event console logging is not part of the workload (the events
     # JSONL file is still written); must be set before package import
     os.environ.setdefault("RTMODT_LOG_LEVEL", "WARNING")
+
+    # wedge attribution (VERDICT r3 #1b): every phase transition is printed
+    # EAGERLY to stderr, so even a child stuck in an uninterruptible device
+    # call (where no Python signal handler can run) leaves its last phase in
+    # the parent's log; the SIGTERM handler additionally prints a wedged-in
+    # line when it does get to run before t_start is set
+    prog = {"frames": 0, "t_start": None, "phase": "import"}
+
+    def phase(name: str) -> None:
+        prog["phase"] = name
+        print(f"[diag] phase {name}", file=sys.stderr, flush=True)
+
+    def flush_partial(signum, frame):
+        if prog["t_start"] is not None and prog["frames"] > 0:
+            emit(prog["frames"] / (time.perf_counter() - prog["t_start"]))
+        else:
+            print(f"[diag] wedged in {prog['phase']}", file=sys.stderr,
+                  flush=True)
+        os._exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGALRM):
+        signal.signal(sig, flush_partial)
+
+    phase("jax-setup")
     from rtmodt_tpu.utils.jax_setup import setup_jax
 
     setup_jax()
     import jax
 
-    _preflight_and_probe()
+    phase("preflight")
+    link_mbps = _preflight_and_probe()
 
     from rtmodt_tpu.config import load_config
     from rtmodt_tpu.utils.synthetic import moving_boxes_frame
 
-    # partial-result flush: if the parent's budget expires mid-measurement,
-    # report the throughput over the frames consumed so far
-    prog = {"frames": 0, "t_start": None}
-
-    def flush_partial(signum, frame):
-        if prog["t_start"] is not None and prog["frames"] > 0:
-            emit(prog["frames"] / (time.perf_counter() - prog["t_start"]))
-        os._exit(0)
-
-    signal.signal(signal.SIGTERM, flush_partial)
+    phase("build-pipeline")
 
     h, w = 720, 1280
     weights = _default_weights()
@@ -385,8 +436,9 @@ def run_child(mode: str) -> None:
         pipe = Pipeline(cfg)
         frames = np.stack([moving_boxes_frame(t, h, w, n_objects=8)[0]
                            for t in range(2 * chunk)])
-        n_chunks = max(4, 2048 // chunk)
-        warm_chunks = max(1, 128 // chunk)
+        n_chunks = int(os.environ.get("RTMODT_BENCH_NCHUNKS",
+                                      max(4, 2048 // chunk)))
+        warm_chunks = max(1, min(128 // chunk, n_chunks // 4))
 
         def make_block(i):
             sl = frames[(i % 2) * chunk:(i % 2) * chunk + chunk]
@@ -419,8 +471,10 @@ def run_child(mode: str) -> None:
             np.stack([moving_boxes_frame(t + 37 * s, h, w, n_objects=8)[0]
                       for s in range(s_streams)])
             for t in range(2 * t_chunk)])          # (2T, S, H, W, 3)
-        n_chunks = max(4, 2048 // (t_chunk * s_streams))
-        warm_chunks = max(1, 128 // (t_chunk * s_streams))
+        n_chunks = int(os.environ.get("RTMODT_BENCH_NCHUNKS",
+                                      max(4, 2048 // (t_chunk * s_streams))))
+        warm_chunks = max(1, min(128 // (t_chunk * s_streams),
+                                 n_chunks // 4))
 
         def make_block(i):
             sl = frames[(i % 2) * t_chunk:(i % 2) * t_chunk + t_chunk]
@@ -442,10 +496,20 @@ def run_child(mode: str) -> None:
         raise SystemExit(f"unknown bench mode {mode!r}")
 
     print(f"[{mode}] warmup/compile...", file=sys.stderr)
+    phase("pack")
     t0 = time.perf_counter()
     t_pack0 = time.perf_counter()
     warm = make_block(0)
     pack_ms = (time.perf_counter() - t_pack0) * 1e3 / frames_per_chunk
+    # link-bound ceiling (VERDICT r3 #6): the packed I420 payload per frame
+    # over the probed link rate IS the e2e upper bound when the tunnel (not
+    # the chip) is the bottleneck - put the arithmetic in the record
+    mb_frame = sum(p.nbytes for p in warm) / 1e6 / frames_per_chunk
+    if link_mbps > 0:
+        print(f"[diag] link-bound ceiling ~{link_mbps / mb_frame:.0f} fps "
+              f"({mb_frame:.2f} MB/frame @ {link_mbps:.0f} MB/s)",
+              file=sys.stderr)
+    phase("compile")
     for _ in range(2):
         outs, _ = submit(warm)
     np.asarray(jax.device_get(jax.tree.leaves(outs)[0]))  # force full sync
@@ -456,6 +520,7 @@ def run_child(mode: str) -> None:
     # number that classifies a low headline (VERDICT r2 #2).  Best-effort -
     # trace capture failing must not cost the measurement.
     dev_ms = None
+    phase("trace")
     try:
         from rtmodt_tpu.profiling.trace_summary import device_total_ms
 
@@ -523,6 +588,7 @@ def run_child(mode: str) -> None:
 
     # exactly ONE pass: the tunnel's transfer path degrades with process
     # age, so only a fresh process's first pass is representative
+    phase("measure")
     fps = run_pass()
     print(f"[{mode}] {fps:.1f} fps", file=sys.stderr)
     emit(fps)

@@ -136,22 +136,112 @@ def convert_ultralytics_state_dict(state: dict[str, np.ndarray]) -> dict[str, An
     }
 
 
-def load_ultralytics_pt(path: str) -> dict[str, Any]:
-    """Read an ultralytics .pt checkpoint with torch (CPU) and convert."""
+class _StubBase:
+    """Placeholder for a class the checkpoint pickled but this environment
+    cannot import (a real ``yolov8s.pt`` pickles the full
+    ``ultralytics.nn.tasks.DetectionModel`` object - reference
+    ``src/detection/detector.py:82-90`` / ``web/server.py:68-77`` - and this
+    framework exists to not depend on the ultralytics package).  Keeps
+    whatever state the pickle hands it so the module tree stays walkable."""
+
+    def __init__(self, *args, **kwargs):
+        self._stub_args = (args, kwargs)
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        else:
+            self.__dict__["_stub_state"] = state
+
+    def __call__(self, *args, **kwargs):
+        # some reducers call a pickled instance as the reconstructor
+        return self
+
+
+_STUB_CACHE: dict[tuple[str, str], type] = {}
+
+
+def _tolerant_torch_load(path: str) -> Any:
+    """``torch.load`` that survives unimportable classes in the pickle.
+
+    Classes whose module imports (torch.*, numpy.*) resolve normally -
+    their tensors rebuild for real; anything unimportable (``ultralytics.*``
+    containers) becomes a stub that just holds its pickled ``__dict__``.
+    """
+    import pickle
+    import types
+
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    model = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
-    if hasattr(model, "state_dict"):
-        sd = model.state_dict()
-    elif isinstance(model, dict):
+    class _TolerantUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                return super().find_class(module, name)
+            except (ImportError, AttributeError):
+                key = (module, name)
+                if key not in _STUB_CACHE:
+                    logger.debug(f"stubbing unimportable class {module}.{name}")
+                    _STUB_CACHE[key] = type(
+                        str(name), (_StubBase,), {"__module__": str(module)})
+                return _STUB_CACHE[key]
+
+    shim = types.ModuleType("rtmodt_tolerant_pickle")
+    shim.Unpickler = _TolerantUnpickler
+    shim.load = pickle.load
+    shim.loads = pickle.loads
+    return torch.load(path, map_location="cpu", pickle_module=shim,
+                      weights_only=False)
+
+
+def _walk_module_state(obj: Any, prefix: str, out: dict) -> None:
+    """Recover ``state_dict()`` naming from a (possibly stubbed) module tree:
+    every ``nn.Module`` - and every stub of one - keeps ``_parameters`` /
+    ``_buffers`` / ``_modules`` dicts in ``__dict__``."""
+    d = getattr(obj, "__dict__", None)
+    if not isinstance(d, dict):
+        return
+    for k, v in (d.get("_parameters") or {}).items():
+        if v is not None:
+            out[prefix + k] = v
+    for k, v in (d.get("_buffers") or {}).items():
+        if v is not None:
+            out[prefix + k] = v
+    for k, v in (d.get("_modules") or {}).items():
+        if v is not None:
+            _walk_module_state(v, f"{prefix}{k}.", out)
+
+
+def load_ultralytics_pt(path: str) -> dict[str, Any]:
+    """Read an ultralytics .pt checkpoint with torch (CPU) and convert.
+
+    Three paths, in order: plain tensor checkpoints load with
+    ``weights_only=True``; pickled-model checkpoints unpickle tolerantly
+    (unimportable ``ultralytics.*`` containers become stubs) and the state
+    dict is either taken from a real module or recovered by walking the
+    stubbed ``_parameters/_buffers/_modules`` tree with torch's exact
+    dotted naming."""
+    import torch
+
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        ckpt = _tolerant_torch_load(path)
+    model = ckpt if not isinstance(ckpt, dict) else (
+        ckpt.get("model") if ckpt.get("model") is not None
+        else ckpt.get("ema", ckpt))
+    if isinstance(model, dict):
         sd = model
+    elif isinstance(model, torch.nn.Module):
+        sd = model.state_dict()
     else:
-        raise TypeError(f"unsupported checkpoint structure in {path}")
+        sd = {}
+        _walk_module_state(model, "", sd)
+        if not sd:
+            raise TypeError(f"unsupported checkpoint structure in {path}")
     # hand EVERY tensor to the converter - it asserts full consumption, so
     # unexpected keys (renamed layers, EMA trees, adapters) fail loudly
     # instead of being filtered away here
-    state = {k: v.float().numpy() for k, v in sd.items()
+    state = {k: v.detach().float().numpy() for k, v in sd.items()
              if isinstance(v, torch.Tensor)}
     logger.info(f"converted {len(state)} tensors from {path}")
     return convert_ultralytics_state_dict(state)

@@ -763,9 +763,15 @@ class MultiStreamPipeline:
                     last_id = 0
                     # resume fast-forward: decode-and-drop the frames a
                     # prior run already consumed, so fid/ts (the stream
-                    # clock the zone engines dwell on) continue exactly
+                    # clock the zone engines dwell on) continue exactly.
+                    # FILE sources only (same gate as pipeline.py): a live
+                    # RTSP/webcam source resumes from the current frame -
+                    # dropping skip_frames at capture rate would stall
+                    # resume for the prior run's entire duration, and live
+                    # ts is wall time anyway (docs/OPERATIONS.md)
                     dropped = 0
-                    while dropped < skip_frames[si] and not stop.is_set():
+                    while (dropped < skip_frames[si] and rd._is_file
+                           and not stop.is_set()):
                         frame, fid, ts = rd.read_new(last_id, timeout=2.0)
                         if frame is None:
                             if rd.is_eof:

@@ -62,6 +62,11 @@ def load_snapshot(path: str, tracker, events=None) -> dict[str, Any]:
             raise ValueError(
                 f"snapshot {path} has version {meta.get('version')}; "
                 f"this build reads version {_VERSION}")
+        if meta.get("kind") is not None:
+            raise ValueError(
+                f"snapshot {path} is a {meta['kind']!r} snapshot; refusing "
+                "to restore it into a single-stream pipeline (its arrays "
+                "carry a leading stream axis)")
         if meta["algorithm"] != tracker.algorithm:
             raise ValueError(
                 f"snapshot {path} was taken with tracking.algorithm="
@@ -73,6 +78,17 @@ def load_snapshot(path: str, tracker, events=None) -> dict[str, Any]:
              if k.startswith("tracker/")})
     if events is not None and meta.get("events") is not None:
         events.load_state_dict(meta["events"])
+    elif (events is None) != (meta.get("events") is None):
+        # one side has zone state and the other doesn't: dwell timers /
+        # cooldowns / analytics are dropped - say so, don't lose them
+        # silently (an operator who toggled events.enabled between runs)
+        logger.warning(
+            f"snapshot {path} "
+            + ("carries zone-engine state but zones are disabled in this "
+               "run; dwell/cooldown/analytics state is discarded"
+               if events is None else
+               "has no zone-engine state but zones are enabled in this "
+               "run; dwell timers start cold"))
     logger.info(f"resumed pipeline state from {path} "
                 f"(frames_done={meta['frames_done']}, "
                 f"algorithm={meta['algorithm']})")
@@ -172,6 +188,14 @@ def load_multistream_snapshot(path: str, msp, engines=None) -> dict[str, Any]:
                     f"snapshot {path} has no GMC carry; compensation "
                     "restarts cold (first frame per stream uncompensated)")
                 msp._gmc_reset()
+    if (engines is None) != (meta.get("engines") is None):
+        logger.warning(
+            f"snapshot {path} "
+            + ("carries zone-engine state but zones are disabled in this "
+               "run; dwell/cooldown/analytics state is discarded"
+               if engines is None else
+               "has no zone-engine state but zones are enabled in this "
+               "run; dwell timers start cold"))
     if engines is not None and meta.get("engines") is not None:
         if len(meta["engines"]) != len(engines):
             raise ValueError(

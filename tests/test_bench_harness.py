@@ -17,18 +17,19 @@ import sys
 BENCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      "bench.py")
 
-# the parent's static pass plan (bench.main): single, multi, multi-S8T16,
-# single, multi, single
+# the parent's static pass plan (bench.main): single, short multi
+# (NCHUNKS=24), multi-S8T16, single, multi, single
 QUEUE_LEN = 6
 
 
-def run_parent(plan_lines, tmp_path, budget="900"):
+def run_parent(plan_lines, tmp_path, budget="900", extra_env=None):
     plan = tmp_path / "plan.txt"
     plan.write_text("\n".join(plan_lines))
     env = {**os.environ,
            "RTMODT_BENCH_FAKE": str(plan),
            "RTMODT_BENCH_BUDGET": budget,   # high: fake passes are instant
-           "RTMODT_BENCH_SLEEP": "0"}
+           "RTMODT_BENCH_SLEEP": "0",
+           **(extra_env or {})}
     env.pop("RTMODT_BENCH_CHILD", None)
     env.pop("RTMODT_JAX_CACHE", None)
     proc = subprocess.run([sys.executable, BENCH], env=env, text=True,
@@ -48,7 +49,7 @@ class TestBestOf:
         assert result["value"] == 200.0
         assert result["vs_baseline"] == round(200.0 / 87.0, 2)
         assert result["unit"] == "fps"
-        assert "pass 1 [multi]: 200.0 fps" in proc.stderr
+        assert "pass 1 [multi NCHUNKS=24]: 200.0 fps" in proc.stderr
 
     def test_early_stop_at_target(self, tmp_path):
         proc, result, plan = run_parent(
@@ -93,6 +94,41 @@ class TestFailureRequeue:
         proc, result, _ = run_parent(["fail"] * (2 * QUEUE_LEN), tmp_path)
         assert proc.returncode == 1
         assert result is None
+
+
+class TestWedgedPass:
+    """VERDICT r3 #1: a wedged child (no output, blocked in a device call)
+    must be capped WELL below the remaining budget, attributed by its last
+    phase breadcrumb, and must not starve the rest of the plan."""
+
+    def test_wedge_is_capped_attributed_and_plan_continues(self, tmp_path):
+        import time
+
+        t0 = time.monotonic()
+        proc, result, _ = run_parent(
+            ["ok:100", "hang", "ok:150", "ok:120", "ok:90", "ok:80",
+             "ok:110"],
+            tmp_path, budget="600",
+            extra_env={"RTMODT_BENCH_EST": "single:1,multi:2",
+                       "RTMODT_BENCH_GRACE": "1"})
+        elapsed = time.monotonic() - t0
+        # the hang was capped at ~est*1.5 + grace, nowhere near the budget
+        assert elapsed < 60, f"wedged pass not capped ({elapsed:.0f}s)"
+        # attributed: the parent names the wedge location from the child's
+        # eager phase breadcrumb
+        assert "wedged in compile" in proc.stderr
+        # the plan continued: later passes ran and the best of them won
+        assert result["value"] == 150.0
+        # the wedged config was re-queued once (7th child consumed the
+        # trailing ok:110 plan line)
+        assert "pass 6" in proc.stderr
+
+    def test_completed_pass_does_not_reprint_phase_lines(self, tmp_path):
+        # phase breadcrumbs are wedge forensics; a completed pass must not
+        # spam the driver-recorded tail with them
+        proc, result, _ = run_parent(
+            ["ok:100", "ok:1", "ok:1", "ok:1", "ok:1", "ok:1"], tmp_path)
+        assert "phase" not in proc.stderr
 
 
 class TestPoisonQuarantine:

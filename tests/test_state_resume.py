@@ -114,6 +114,81 @@ class TestSnapshotRoundTrip:
         with pytest.raises(ValueError, match="algorithm"):
             load_snapshot(snap, tr2)
 
+    def test_multistream_snapshot_refused_by_single_loader(self, tmp_path):
+        """A multistream snapshot (S-leading batched arrays) must be refused
+        by load_snapshot BEFORE touching tracker state - not fail halfway
+        through load_state_arrays with an opaque KeyError (ADVICE r3)."""
+        from rtmodt_tpu.runtime.state_store import load_snapshot
+        from rtmodt_tpu.tracking.tracker import MultiObjectTracker
+
+        import json as _json
+
+        tr = MultiObjectTracker("bytetrack", max_tracks=8)
+        before = {k: np.asarray(v).copy()
+                  for k, v in tr.state_arrays().items()}
+        snap = str(tmp_path / "ms.npz")
+        # minimal multistream-shaped snapshot: kind tag + batched arrays
+        meta = {"version": 1, "kind": "multistream",
+                "algorithm": "bytetrack", "num_streams": 2}
+        np.savez(snap, meta=np.asarray(_json.dumps(meta)),
+                 **{f"tracker/{k}": np.stack([v, v])
+                    for k, v in before.items()})
+        with pytest.raises(ValueError, match="multistream"):
+            load_snapshot(snap, tr)
+        # and the tracker was not partially mutated by the refused load
+        for k, v in tr.state_arrays().items():
+            np.testing.assert_array_equal(np.asarray(v), before[k])
+
+    def test_engine_presence_mismatch_warns(self, tmp_path, caplog):
+        """Zone state silently dropped on restore (zones toggled between
+        runs) must log a warning either way (ADVICE r3)."""
+        import logging
+
+        from rtmodt_tpu.events.zone_engine import ZoneEventEngine
+        from rtmodt_tpu.runtime.state_store import load_snapshot, save_snapshot
+        from rtmodt_tpu.tracking.tracker import MultiObjectTracker
+
+        # the facade logger doesn't propagate to root; route it through
+        # caplog's handler for this test
+        caplog.handler.setLevel(logging.WARNING)
+        logging.getLogger("rtmodt").addHandler(caplog.handler)
+        try:
+            self._engine_mismatch_body(tmp_path, caplog)
+        finally:
+            logging.getLogger("rtmodt").removeHandler(caplog.handler)
+
+    def _engine_mismatch_body(self, tmp_path, caplog):
+        import logging
+
+        from rtmodt_tpu.events.zone_engine import ZoneEventEngine
+        from rtmodt_tpu.runtime.state_store import load_snapshot, save_snapshot
+        from rtmodt_tpu.tracking.tracker import MultiObjectTracker
+
+        def fresh_engine(name):
+            return ZoneEventEngine(
+                [{"name": "z", "polygon": [[0, 0], [9, 0], [9, 9], [0, 9]],
+                  "dwell_time_sec": 0.0, "cooldown_sec": 1.0}],
+                log_path=str(tmp_path / name))
+
+        tr = MultiObjectTracker("bytetrack", max_tracks=8)
+        with_zones = str(tmp_path / "wz.npz")
+        save_snapshot(with_zones, tr, fresh_engine("a.jsonl"))
+        without = str(tmp_path / "nz.npz")
+        save_snapshot(without, tr, None)
+
+        with caplog.at_level(logging.WARNING):
+            caplog.clear()
+            load_snapshot(with_zones, tr, None)     # state discarded
+            assert any("discarded" in r.message for r in caplog.records)
+            caplog.clear()
+            load_snapshot(without, tr, fresh_engine("b.jsonl"))  # cold start
+            assert any("cold" in r.message for r in caplog.records)
+            caplog.clear()
+            load_snapshot(without, tr, None)        # both absent: quiet
+            load_snapshot(with_zones, tr, fresh_engine("c.jsonl"))
+            assert not any("discarded" in r.message or "cold" in r.message
+                           for r in caplog.records)
+
     def test_atomic_write_never_leaves_partial(self, tmp_path):
         from rtmodt_tpu.runtime.state_store import save_snapshot
         from rtmodt_tpu.tracking.tracker import MultiObjectTracker
@@ -295,6 +370,37 @@ class TestMultiStreamKillAndResume:
         assert sum_b["zone_counts"] == sum_a["zone_counts"]
         meta = json.loads(str(np.load(snap)["meta"]))
         assert meta["per_stream_frames"] == [self.FRAMES, self.FRAMES]
+
+    def test_live_sources_do_not_fast_forward(self, videos, tmp_path,
+                                              monkeypatch):
+        """Resuming a LIVE multi-camera run must not decode-and-drop
+        skip_frames (hours of capture for a 24/7 stream) - live sources
+        resume from the current frame; only files fast-forward
+        (ADVICE r3 high; mirrors the single-stream gate pipeline.py)."""
+        import rtmodt_tpu.ingestion.rtsp_reader as rr
+        from rtmodt_tpu.parallel.multistream import MultiStreamPipeline
+
+        snap = str(tmp_path / "live_state.npz")
+        MultiStreamPipeline(_ms_cfg(tmp_path, "la.jsonl")).run(
+            videos, max_frames=self.HALF, state_path=snap)
+
+        class Liveish(rr.RTSPReader):
+            """File-backed reader that claims to be a live source.
+            max_reconnects=0 so EOF ends the stream instead of entering the
+            live reconnect-and-replay loop."""
+            def __init__(self, *a, **k):
+                super().__init__(*a, **k)
+                self._is_file = False
+                self.max_reconnects = 0
+
+        # multistream.run imports RTSPReader from the ingestion module at
+        # call time, so patching the source module is sufficient
+        monkeypatch.setattr(rr, "RTSPReader", Liveish)
+        sum_b = MultiStreamPipeline(_ms_cfg(tmp_path, "lb.jsonl")).run(
+            videos, state_path=snap)
+        # no frames were dropped in fast-forward: the "live" resumed run
+        # consumed the full clips again from their current (first) frame
+        assert sum_b["frames"] == 2 * self.FRAMES
 
     def test_mismatched_snapshot_refused(self, tmp_path):
         from rtmodt_tpu.parallel.multistream import MultiStreamPipeline

@@ -272,6 +272,89 @@ class TestTorchParity:
             np.testing.assert_allclose(got_box, want_box, rtol=0, atol=0)
             np.testing.assert_allclose(got_cls, want_cls, rtol=0, atol=0)
 
+    def test_pickled_model_pt_loads_without_package(self, tmp_path):
+        """VERDICT r3 #2: a REAL ultralytics .pt pickles the whole
+        ``DetectionModel`` object; loading it must not require the
+        ultralytics package.  Reproduced in-sandbox: the fixture's torch
+        classes are re-homed into a fake ``fake_ultralytics.*`` module for
+        the save, the module is deleted before the load, so EVERY container
+        class in the pickle is unimportable - exactly the failure mode of
+        opening ``yolov8s.pt`` in an environment without ultralytics.  The
+        tolerant loader must still recover the identical tensor tree."""
+        import sys
+        import types
+
+        from rtmodt_tpu.models.weights import load_ultralytics_pt
+
+        fixture_classes = [TConv, TBottleneck, TC2f, TSPPF, TDFL, TDetect,
+                           TYOLOv8]
+        saved_homes = [(c, c.__module__, c.__qualname__)
+                       for c in fixture_classes]
+        fake_name = "fake_ultralytics.nn.tasks"
+        mod = types.ModuleType(fake_name)
+        # pickle's save-time lookup imports every parent package level
+        parents = {n: types.ModuleType(n)
+                   for n in ("fake_ultralytics", "fake_ultralytics.nn")}
+        parents["fake_ultralytics"].nn = parents["fake_ultralytics.nn"]
+        parents["fake_ultralytics.nn"].tasks = mod
+
+        class DetectionModel(nn.Module):
+            pass
+
+        try:
+            for c in fixture_classes + [DetectionModel]:
+                c.__module__ = fake_name
+                c.__qualname__ = c.__name__
+                setattr(mod, c.__name__, c)
+            sys.modules.update(parents)
+            sys.modules[fake_name] = mod
+
+            wrapper = DetectionModel()
+            tm = TYOLOv8("yolov8n", nc=80).eval()
+            _randomize(tm, seed=13)
+            wrapper.model = tm.model    # state keys: model.{idx}.{...}
+            want = {k: v.float().numpy()
+                    for k, v in wrapper.state_dict().items()}
+            pt = tmp_path / "yolov8n.pt"
+            # the real artifact shape: pickled model object + train metadata
+            torch.save({"model": wrapper, "epoch": 99,
+                        "train_args": {"imgsz": 640}}, str(pt))
+        finally:
+            sys.modules.pop(fake_name, None)
+            for n in parents:
+                sys.modules.pop(n, None)
+            for c, m, q in saved_homes:
+                c.__module__, c.__qualname__ = m, q
+            DetectionModel.__module__ = __name__
+
+        # every fake_ultralytics class is now unimportable, as ultralytics
+        # would be in production
+        with pytest.raises(ImportError):
+            __import__(fake_name)
+
+        variables = load_ultralytics_pt(str(pt))
+        ref = convert_ultralytics_state_dict(want)
+        import jax
+
+        ref_leaves = jax.tree.leaves_with_path(ref)
+        got_flat = dict(jax.tree.leaves_with_path(variables))
+        assert len(ref_leaves) == len(got_flat)
+        for path, leaf in ref_leaves:
+            np.testing.assert_array_equal(np.asarray(got_flat[path]),
+                                          np.asarray(leaf), err_msg=str(path))
+
+    def test_plain_state_dict_pt_still_loads(self, tmp_path):
+        """The simple artifact (torch.save of a raw state dict) stays on the
+        fast weights_only=True path."""
+        from rtmodt_tpu.models.weights import load_ultralytics_pt
+
+        tm = TYOLOv8("yolov8n", nc=80).eval()
+        _randomize(tm, seed=17)
+        pt = tmp_path / "sd.pt"
+        torch.save(tm.state_dict(), str(pt))
+        variables = load_ultralytics_pt(str(pt))
+        assert "params" in variables and "batch_stats" in variables
+
     def test_retrained_dfl_rejected(self):
         """A checkpoint whose DFL bins are not arange must be refused, not
         silently mis-decoded (weights.py _UNMAPPED_OK contract)."""
