@@ -21,7 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def capture(out_dir: str, chunk: int, iters: int,
-            algorithm: str = "bytetrack", gmc: bool = False) -> None:
+            algorithm: str = "bytetrack", gmc: bool = False,
+            quant: str = "none", weights: str | None = None,
+            quant_scales: str | None = None, num_classes: int = 80) -> None:
     import numpy as np
 
     from rtmodt_tpu.utils.jax_setup import setup_jax
@@ -34,8 +36,18 @@ def capture(out_dir: str, chunk: int, iters: int,
     from rtmodt_tpu.runtime.pipeline import Pipeline
     from rtmodt_tpu.utils.synthetic import moving_boxes_frame
 
+    det_over: dict = {"model": "yolov8s", "input_size": 640,
+                      "num_classes": num_classes}
+    if quant != "none":
+        # the reference's TRT INT8 analog (TECHNICAL_DESIGN_DOCUMENT.md:1104):
+        # measure what int8 convs actually buy on THIS chip (VERDICT r3 #4)
+        det_over["quant"] = quant
+        if quant_scales:
+            det_over["quant_scales"] = quant_scales
+    if weights:
+        det_over["weights"] = weights
     cfg = load_config(overrides={
-        "detection": {"model": "yolov8s", "input_size": 640},
+        "detection": det_over,
         "tracking": {"algorithm": algorithm,
                      **({"gmc": {"method": "phase"}} if gmc else {})},
         "profiling": {"per_stage": False, "warmup_frames": 0, "log_interval": 0},
@@ -100,10 +112,21 @@ def main() -> None:
     ap.add_argument("--gmc", action="store_true",
                     help="enable tracking.gmc (phase correlation) to "
                          "measure its device cost in the chunk program")
+    ap.add_argument("--quant", default="none", choices=["none", "int8"],
+                    help="detection.quant - measure the int8 MXU path's "
+                         "device cost vs bf16 (reference TRT INT8 analog)")
+    ap.add_argument("--weights", default=None,
+                    help="detection.weights override (e.g. the QAT npz)")
+    ap.add_argument("--quant-scales", default=None,
+                    help="frozen activation scales npz (QAT)")
+    ap.add_argument("--num-classes", type=int, default=80,
+                    help="head class count of the weights (rich* ckpts: 8)")
     ap.add_argument("--summarize-only", action="store_true")
     args = ap.parse_args()
     if not args.summarize_only:
-        capture(args.out, args.chunk, args.iters, args.algorithm, args.gmc)
+        capture(args.out, args.chunk, args.iters, args.algorithm, args.gmc,
+                args.quant, args.weights, args.quant_scales,
+                args.num_classes)
     summarize(args.out, args.iters, args.chunk)
 
 
