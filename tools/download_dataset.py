@@ -135,13 +135,25 @@ def make_synthetic(root: str, n_train: int, n_val: int, h: int, w: int,
 
 
 def make_synthetic_rich(root: str, n_train: int, n_val: int, h: int, w: int,
-                        n_classes: int, seed: int) -> None:
+                        n_classes: int, seed: int,
+                        dense_frac: float = 0.0) -> None:
     """coco128-scale multi-class synthetic: 8 shape classes, occlusion,
     distractor clutter (utils/synthetic.py::cluttered_scene).  YOLO layout +
-    COCO GT for the val split, same contract as ``make_synthetic``."""
+    COCO GT for the val split, same contract as ``make_synthetic``.
+
+    ``dense_frac`` > 0 renders that fraction of each split as DENSE
+    SMALL-OBJECT crowd frames (utils/synthetic.py::dense_moving_scene at
+    720x1280, 24-64 objects, the deployment frame geometry) so a 640-input
+    checkpoint's training distribution covers the ~20-40 px objects the
+    dense-mot eval regime serves (VERDICT r3 #3: the large-object-biased
+    rich set scored IDF1 0.39 at 64 objects @640).  Seeds are offset from
+    the eval generator's so no training frame repeats an eval sequence."""
     import cv2
 
-    from rtmodt_tpu.utils.synthetic import SHAPE_CLASSES, cluttered_scene
+    import numpy as np
+
+    from rtmodt_tpu.utils.synthetic import (SHAPE_CLASSES, cluttered_scene,
+                                            dense_moving_scene)
 
     n_classes = min(n_classes, len(SHAPE_CLASSES))
     coco = {"images": [], "annotations": [],
@@ -155,18 +167,30 @@ def make_synthetic_rich(root: str, n_train: int, n_val: int, h: int, w: int,
         os.makedirs(lbl_dir, exist_ok=True)
         for i in range(count):
             t = offset + i
-            frame, boxes, labels = cluttered_scene(
-                t, h, w, n_classes=n_classes, seed=seed)
+            if dense_frac > 0 and (i % 10) < round(dense_frac * 10):
+                # crowd frame: persistent-identity scene sampled at a
+                # random phase; 0x9D0000 seed offset keeps it disjoint
+                # from eval sequences (their seeds are small ints)
+                d_rng = np.random.default_rng((seed << 16) ^ (0x9D0000 + t))
+                frame, boxes, labels, _ = dense_moving_scene(
+                    t=int(d_rng.integers(0, 400)), h=720, w=1280,
+                    n_objects=int(d_rng.integers(24, 65)),
+                    n_classes=n_classes,
+                    seed=int(0x9D0000 + (seed << 10) + t))
+            else:
+                frame, boxes, labels = cluttered_scene(
+                    t, h, w, n_classes=n_classes, seed=seed)
             name = f"{t:06d}"
+            fh, fw = frame.shape[:2]        # dense frames are 720x1280
             cv2.imwrite(os.path.join(img_dir, name + ".jpg"), frame)
             with open(os.path.join(lbl_dir, name + ".txt"), "w") as f:
                 for b, c in zip(boxes, labels):
-                    cx, cy = (b[0] + b[2]) / 2 / w, (b[1] + b[3]) / 2 / h
-                    bw, bh = (b[2] - b[0]) / w, (b[3] - b[1]) / h
+                    cx, cy = (b[0] + b[2]) / 2 / fw, (b[1] + b[3]) / 2 / fh
+                    bw, bh = (b[2] - b[0]) / fw, (b[3] - b[1]) / fh
                     f.write(f"{int(c)} {cx:.6f} {cy:.6f} {bw:.6f} {bh:.6f}\n")
             if split == "val":
                 coco["images"].append({"id": t, "file_name": name + ".jpg",
-                                       "width": w, "height": h})
+                                       "width": fw, "height": fh})
                 for b, c in zip(boxes, labels):
                     coco["annotations"].append({
                         "id": aid, "image_id": t, "category_id": int(c) + 1,
@@ -229,8 +253,12 @@ def make_dense_mot(root: str, n_frames: int, h: int, w: int,
 @click.option("--seed", default=0, type=int)
 @click.option("--frames", default=120, type=int,
               help="sequence length for --dataset dense-mot")
+@click.option("--dense-frac", default=0.0, type=float,
+              help="fraction of rich-synthetic images rendered as dense "
+                   "small-object crowd frames (720x1280, 24-64 objects) so "
+                   "a 640 checkpoint covers the dense-mot regime")
 def main(dataset, root, two_class, n_train, n_val, height, width, objects,
-         classes, seed, frames):
+         classes, seed, frames, dense_frac):
     if dataset == "dense-mot":
         make_dense_mot(os.path.join(root, f"dense_mot_{objects}"),
                        frames, height, width, objects, seed)
@@ -238,7 +266,8 @@ def main(dataset, root, two_class, n_train, n_val, height, width, objects,
     if dataset == "synthetic":
         if classes > 1:
             make_synthetic_rich(os.path.join(root, "synthetic_rich"),
-                                n_train, n_val, height, width, classes, seed)
+                                n_train, n_val, height, width, classes, seed,
+                                dense_frac=dense_frac)
         else:
             make_synthetic(os.path.join(root, "synthetic"), n_train, n_val,
                            height, width, objects, seed)
