@@ -68,11 +68,17 @@ class YoloDataset:
             raise FileNotFoundError(f"no images in {img_dir}")
         # Decoded-image RAM cache: mosaic reads 4 (4.6 with mixup) random
         # images per sample, so JPEG decode dominates the producer on small
-        # sets.  Auto-on when the decoded set fits a conservative budget
-        # (file bytes x ~12 upper-bounds BGR-vs-JPEG expansion).
+        # sets.  Auto-on when the decoded set fits the budget - estimated
+        # from one actually-decoded sample, not a file-bytes multiplier
+        # (noisy jpgs compress ~7x, clean ones ~40x: a x12 guess turned the
+        # cache off for the dense-mixed set that fits in RAM 20x over).
         if cache_images is None:
-            raw_bytes = sum(os.path.getsize(p) for p, _ in self.items)
-            cache_images = raw_bytes * 12 < 8 * 1024 ** 3
+            import cv2
+
+            sample = cv2.imread(self.items[0][0])
+            est = (sample.nbytes if sample is not None else 3 * 720 * 1280
+                   ) * len(self.items)
+            cache_images = est < 16 * 1024 ** 3
         self._cache: list | None = [None] * len(self.items) if cache_images else None
         logger.info(f"dataset {split}: {len(self.items)} images "
                     f"(decode cache {'on' if cache_images else 'off'})")

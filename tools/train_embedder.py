@@ -37,17 +37,95 @@ def batch_views(ids: np.ndarray, views: np.ndarray, hw, seed: int) -> np.ndarray
                      for i, v in zip(ids, views)])
 
 
+def identity_attrs(n: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Replicate reid_patch's identity derivation to get (shape, color) per
+    id WITHOUT rendering - the handle for hard-negative batch mining
+    (VERDICT r3 #7: random batches make in-batch negatives trivially easy;
+    same-shape near-color identities are what actually confuse a tracker)."""
+    shapes = np.empty(n, np.int64)
+    colors = np.empty((n, 3), np.int64)
+    for i in range(n):
+        id_rng = np.random.default_rng((seed << 24) ^ (i * 2 + 1))
+        colors[i] = id_rng.integers(70, 255, 3)
+        id_rng.integers(40, 220, 3)          # color2 (consumed, unused here)
+        shapes[i] = int(id_rng.integers(0, 5))
+    return shapes, colors
+
+
+def hard_batch(rng, shapes, colors, p_ids: int, group: int = 4) -> np.ndarray:
+    """Sample P identities as P/group groups sharing shape class, each group
+    seeded by one anchor and filled with its nearest-color same-shape
+    neighbors - so every row's hardest negatives sit IN the batch."""
+    chosen: list[int] = []
+    n_groups = p_ids // group
+    for _ in range(n_groups):
+        anchor = int(rng.integers(0, len(shapes)))
+        same = np.flatnonzero(shapes == shapes[anchor])
+        d = np.abs(colors[same] - colors[anchor]).sum(1)
+        take = same[np.argsort(d)[:group * 3]]     # near-color pool
+        take = rng.permutation(take)[:group]
+        chosen.extend(int(x) for x in take)
+    # dedupe, pad with uniform randoms
+    seen, out = set(), []
+    for c in chosen:
+        if c not in seen:
+            seen.add(c)
+            out.append(c)
+    while len(out) < p_ids:
+        c = int(rng.integers(0, len(shapes)))
+        if c not in seen:
+            seen.add(c)
+            out.append(c)
+    return np.asarray(out[:p_ids])
+
+
+def dense_crops(model, params, hw, n_objects: int, seed: int,
+                t0: int = 3, t1: int = 11):
+    """Transfer eval on dense-mot object crops: gallery at frame t0, query
+    at frame t1, identity = the scene's persistent object id.  This is the
+    distribution DeepSORT/BoT-SORT actually embed at runtime."""
+    import cv2
+
+    import jax.numpy as jnp
+
+    from rtmodt_tpu.utils.synthetic import dense_moving_scene
+
+    def crops_at(t):
+        frame, boxes, _labels, ids = dense_moving_scene(
+            t, 720, 1280, n_objects=n_objects, seed=seed)
+        out, kept = [], []
+        for b, oid in zip(boxes.astype(int), ids):
+            x1, y1, x2, y2 = b
+            if x2 - x1 < 4 or y2 - y1 < 4:
+                continue
+            out.append(cv2.resize(frame[y1:y2, x1:x2], (hw[1], hw[0])))
+            kept.append(int(oid))
+        return np.stack(out), np.asarray(kept)
+
+    gal, gal_ids = crops_at(t0)
+    qry, qry_ids = crops_at(t1)
+    zg = np.asarray(model.apply(params, jnp.asarray(gal)))
+    zq = np.asarray(model.apply(params, jnp.asarray(qry)))
+    sim = zq @ zg.T
+    hit = sum(1 for qi, row in zip(qry_ids, sim)
+              if gal_ids[int(np.argmax(row))] == qi)
+    return hit / max(1, len(qry_ids)), len(qry_ids)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=1500)
-    ap.add_argument("--identities", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--identities", type=int, default=2048)
     ap.add_argument("--batch-ids", type=int, default=32)   # P identities
-    ap.add_argument("--views", type=int, default=2)        # K views each
+    ap.add_argument("--views", type=int, default=4)        # K views each
     ap.add_argument("--lr", type=float, default=1e-3)
-    ap.add_argument("--temp", type=float, default=0.1)
+    ap.add_argument("--temp", type=float, default=0.07)
     ap.add_argument("--crop", type=int, nargs=2, default=(64, 32))
     ap.add_argument("--embed-dim", type=int, default=128)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--hard-frac", type=float, default=0.7,
+                    help="fraction of steps using same-shape near-color "
+                         "hard-negative batches (rest uniform)")
     ap.add_argument("--cpu", action="store_true",
                     help="pin to CPU (model is tiny; avoids TPU contention)")
     ap.add_argument("--out", default="checkpoints/embedder.npz")
@@ -94,9 +172,14 @@ def main() -> None:
 
     rng = np.random.default_rng(args.seed)
     train_ids = np.arange(args.identities)
+    shapes, colors = identity_attrs(args.identities, args.seed)
     t0 = time.time()
     for it in range(args.steps):
-        ids = np.repeat(rng.choice(train_ids, p_ids, replace=False), k_views)
+        if rng.random() < args.hard_frac:
+            picked = hard_batch(rng, shapes, colors, p_ids)
+        else:
+            picked = rng.choice(train_ids, p_ids, replace=False)
+        ids = np.repeat(picked, k_views)
         views = rng.integers(0, 1 << 30, ids.shape[0])
         patches = batch_views(ids, views, hw, args.seed)
         labels = jnp.asarray(ids)
@@ -121,6 +204,12 @@ def main() -> None:
     print(f"held-out rank-1: {rank1:.4f}  "
           f"pos cos {pos.mean():.3f}  hardest-neg cos {neg.mean():.3f}  "
           f"margin {(pos - neg).mean():.3f}")
+
+    # transfer: dense-mot object crops (what the trackers actually embed)
+    for n_obj in (32, 64):
+        r1, n_q = dense_crops(model, params, hw, n_obj, seed=777)
+        print(f"dense-mot transfer rank-1 @ {n_obj} objects: "
+              f"{r1:.4f} ({n_q} queries)")
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     flat = _flatten(jax.device_get(params))
