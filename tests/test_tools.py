@@ -31,6 +31,43 @@ class TestDownloadDataset:
                 assert len(vals) == 5
                 assert all(0.0 <= float(v) <= 1.0 for v in vals[1:])
 
+    def test_rich_dense_frac_mix(self, tmp_path):
+        """--dense-frac renders that fraction of the rich set as 720x1280
+        crowd frames with per-frame-dimension-normalized labels (VERDICT r3
+        #3: the 640 checkpoint must see the small-object regime)."""
+        import cv2
+
+        from tools.download_dataset import main
+
+        res = CliRunner().invoke(main, [
+            "--dataset", "synthetic", "--classes", "8",
+            "--root", str(tmp_path), "--n-train", "10", "--n-val", "5",
+            "--height", "320", "--width", "320", "--dense-frac", "0.4"])
+        assert res.exit_code == 0, res.output
+        root = tmp_path / "synthetic_rich"
+        dense = 0
+        for i in range(10):
+            im = cv2.imread(str(root / "images" / "train" / f"{i:06d}.jpg"))
+            rows = [r.split() for r in
+                    (root / "labels" / "train" / f"{i:06d}.txt")
+                    .read_text().splitlines()]
+            assert all(len(r) == 5 for r in rows)
+            assert all(0.0 <= float(v) <= 1.0 for r in rows for v in r[1:])
+            if im.shape[:2] == (720, 1280):
+                dense += 1
+                assert len(rows) >= 15      # crowd frame
+                # normalized against the DENSE frame's own dims: every box
+                # denormalizes to >= ~6 px, none degenerate
+                for r in rows:
+                    assert float(r[3]) * 1280 > 4 and float(r[4]) * 720 > 4
+            else:
+                assert im.shape[:2] == (320, 320)
+        assert dense == 4                   # exactly the requested fraction
+        # COCO GT for the val split carries per-image dims
+        gt = json.loads((root / "val_coco_gt.json").read_text())
+        dims = {(im["width"], im["height"]) for im in gt["images"]}
+        assert (1280, 720) in dims and (320, 320) in dims
+
     def test_coco_to_yolo_conversion(self, tmp_path):
         from tools.download_dataset import coco_to_yolo_labels
 
