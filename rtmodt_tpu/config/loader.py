@@ -65,6 +65,9 @@ class DetectionConfig:
     agnostic_nms: bool = False
     nms_impl: str = "fixpoint"          # fixpoint (XLA, fastest batched) |
                                         # pallas (fused kernel) | auto
+    topk_impl: str = "exact"            # exact (lax.top_k full sort) |
+                                        # approx (TPU PartialReduce bucketed
+                                        # candidate top-k; identical on CPU)
     fuse_bn: bool = True                # fold BN into convs for inference
     half: bool = True                   # bf16 on TPU
     quant: str = "none"                 # none | int8 (PTQ, v5e int8 MXU path;
@@ -271,7 +274,10 @@ class ParallelConfig:
                               # (hides host<->device latency; 0 = lowest latency)
     chunk_size: int = 1       # >1: run() batches frames into lax.scan chunks
                               # (throughput mode for file/offline sources)
-    transport: str = "packed" # packed (planar I420, 7.5x fewer link bytes)
+    transport: str = "packed" # packed (auto: x6 s2d layout where the s2d
+                              # front runs, else planar I420 - same bytes)
+                              # | x6 (pin space-to-depth layout)
+                              # | i420 (pin planar I420)
                               # | bgr (raw frames; deepsort/per-stage always bgr)
 
 
@@ -404,9 +410,13 @@ def _deep_merge(base: dict, over: dict) -> dict:
 
 
 def _validate(cfg: PipelineConfig) -> None:
-    if cfg.parallel.transport not in ("packed", "bgr"):
-        raise ValueError("parallel.transport must be packed|bgr, "
+    if cfg.parallel.transport not in ("packed", "x6", "i420", "bgr"):
+        raise ValueError("parallel.transport must be packed|x6|i420|bgr, "
                          f"got {cfg.parallel.transport!r}")
+    if cfg.parallel.transport == "x6" and cfg.detection.quant != "none":
+        raise ValueError("parallel.transport=x6 requires detection.quant="
+                         "none (int8 intercepts the Flax modules the s2d "
+                         "front bypasses); use transport=packed for auto")
     alert = cfg.events.alert
     if alert.backend not in ("json_file", "webhook", "mqtt"):
         raise ValueError("events.alert.backend must be json_file|webhook|mqtt, "
@@ -436,6 +446,9 @@ def _validate(cfg: PipelineConfig) -> None:
                 f"wrap to the wrong class)")
     if d.quant not in ("none", "int8"):
         raise ValueError(f"detection.quant must be none|int8, got {d.quant}")
+    if d.topk_impl not in ("exact", "approx"):
+        raise ValueError("detection.topk_impl must be exact|approx, "
+                         f"got {d.topk_impl!r}")
     if d.quant == "int8" and not d.fuse_bn:
         raise ValueError("detection.quant=int8 requires detection.fuse_bn=true "
                          "(quantization folds conv+BN+SiLU)")

@@ -88,7 +88,7 @@ def detect_fn(
         num_candidates=cfg.nms_candidates,
         class_mask=class_mask,
         agnostic=cfg.agnostic_nms,
-        impl=cfg.nms_impl,
+        impl=cfg.nms_impl, topk=cfg.topk_impl,
     )
     return res._replace(boxes=unletterbox_boxes(res.boxes, meta))
 

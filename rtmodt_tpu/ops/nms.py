@@ -86,6 +86,7 @@ def batched_nms_from_logits(
     class_mask: jnp.ndarray | None = None,
     agnostic: bool = False,
     impl: str = "fixpoint",
+    topk: str = "exact",
 ) -> NMSResult:
     """Class-aware NMS straight from the RAW head outputs - decode-after-topk.
 
@@ -104,7 +105,7 @@ def batched_nms_from_logits(
     """
     cand_boxes, cand_scores, cand_classes, k = _candidates_from_logits(
         box_dist, cls_logits, input_size, conf_thresh, num_candidates,
-        class_mask)
+        class_mask, topk)
     return _suppress_and_pack(cand_boxes, cand_scores, cand_classes,
                               iou_thresh, max_det, k, agnostic, impl)
 
@@ -116,6 +117,7 @@ def _candidates_from_logits(
     conf_thresh: float,
     num_candidates: int,
     class_mask: jnp.ndarray | None,
+    topk: str = "exact",
 ):
     """Decode-after-topk candidate pool (shared by NMS and debug paths)."""
     import numpy as np
@@ -136,7 +138,20 @@ def _candidates_from_logits(
     gated = jnp.where(gate, best_logit, -1e9)
 
     k = min(num_candidates, cls_logits.shape[0])
-    top_logits, top_idx = jax.lax.top_k(gated, k)      # sorted desc
+    if topk == "approx":
+        # TPU PartialReduce custom call (jax.lax.approx_max_k): collapses
+        # the anchor axis into buckets, per-bucket max, exact sorted top-k
+        # over the maxima - several times cheaper than the full variadic
+        # sort lax.top_k lowers to.  The loss mode is benign here: two
+        # gated anchors sharing a bucket are ADJACENT grid cells, whose
+        # lower-scored box NMS would almost always suppress anyway (pool
+        # occupancy stays far below k in real scenes - bench_dense).  On
+        # CPU (tests, CI) approx_max_k falls back to the exact sort, so
+        # results are identical off-TPU.
+        top_logits, top_idx = jax.lax.approx_max_k(
+            gated, k, recall_target=0.95, aggregate_to_topk=True)
+    else:
+        top_logits, top_idx = jax.lax.top_k(gated, k)  # sorted desc
     cand_valid = top_logits > -1e8
     cand_scores = jnp.where(cand_valid, jax.nn.sigmoid(top_logits), 0.0)
     cand_classes = best_class[top_idx]

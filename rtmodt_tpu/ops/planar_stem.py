@@ -160,3 +160,26 @@ def pad_planes(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, size: int,
     v_p = jnp.pad(v, ((0, 0), (pad_top // 2, pb // 2), (pad_left // 2, pr // 2)),
                   constant_values=128)
     return y_p, u_p, v_p
+
+
+def pad_x6(x6: jnp.ndarray, size: int, pad_left: int, pad_top: int) -> jnp.ndarray:
+    """Letterbox-pad an x6 content tensor (B, ch/2, cw/2, 6) to (B, S/2,
+    S/2, 6) with the per-channel letterbox fill (Y parity channels: 114,
+    chroma: 128).
+
+    Exactly equivalent to ``pad_planes`` + ``make_x6`` when the host
+    shipped the s2d layout (``ops.yuv.planes_to_x6``): the even pad
+    offsets make space-to-depth commute with padding, so padded full-res
+    Y rows become half-res rows with all four parity channels at 114.
+    One pad + one fused iota-select instead of the device-side
+    reshape+transpose lane shuffle.
+    """
+    hh, ww = x6.shape[1:3]
+    s2 = size // 2
+    pt, pl = pad_top // 2, pad_left // 2
+    out = jnp.pad(x6, ((0, 0), (pt, s2 - hh - pt), (pl, s2 - ww - pl), (0, 0)))
+    row = jnp.arange(s2, dtype=jnp.int32)[:, None, None]
+    col = jnp.arange(s2, dtype=jnp.int32)[None, :, None]
+    inside = (row >= pt) & (row < pt + hh) & (col >= pl) & (col < pl + ww)
+    fill = jnp.array([114, 114, 114, 114, 128, 128], x6.dtype)
+    return jnp.where(inside[None], out, fill[None, None, None, :])

@@ -171,6 +171,17 @@ def apply_front(params: dict, model: Any, yp: jnp.ndarray, up: jnp.ndarray,
     return model.apply(params, feats, train=False, skip_stem=True)
 
 
+def apply_front_x6(params: dict, model: Any, x6p: jnp.ndarray,
+                   dtype=jnp.bfloat16):
+    """x6-transport twin of :func:`apply_front` (quantization off only -
+    int8 mode intercepts the Flax ConvBN modules the s2d front bypasses,
+    so x6-eligible paths pin ``quant == "none"`` at config time).  Takes
+    the letterbox-padded (B, S/2, S/2, 6) tensor; returns raw
+    (box_dist, cls_logits)."""
+    feats = s2d_front_apply_x6(precompute_front(params), x6p, dtype=dtype)
+    return model.apply(params, feats, train=False, skip_front=True)
+
+
 def precompute_front(params: dict, bn_eps: float = 1e-3) -> dict:
     """Build the packed front kernels + eval-mode affines ONCE.
 
@@ -245,10 +256,19 @@ def s2d_front_apply_packed(pk: dict, y: jnp.ndarray, u: jnp.ndarray,
     post-down2 feature map (B, S/8, S/8, C2) ready for
     ``model.apply(..., skip_front=True)``.
     """
+    return s2d_front_apply_x6(pk, make_x6(y, u, v, dtype), dtype=dtype)
+
+
+def s2d_front_apply_x6(pk: dict, x6: jnp.ndarray,
+                       dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Same front, consuming the (B, S/2, S/2, 6) space-to-depth tensor
+    directly - the path for the x6 transport (``ops.yuv.planes_to_x6`` +
+    ``ops.planar_stem.pad_x6``), where the host already did the s2d
+    rearrangement and no device-side lane shuffle is needed."""
     p00 = ((0, 0), (0, 0))
     p10 = ((1, 0), (1, 0))
     p11 = ((1, 1), (1, 1))
-    x = make_x6(y, u, v, dtype)                                # (B, S/2, S/2, 6)
+    x = x6.astype(dtype)                                       # (B, S/2, S/2, 6)
     x = _cb(x, pk["stem"], 2, p10, dtype)                      # (B, S/4, S/4, 4C0)
     x = _cb(x, pk["down1"], 2, p10, dtype)                     # (B, S/8, S/8, 4C1)
 

@@ -164,6 +164,46 @@ def pack_chunk(frames_bgr: np.ndarray, size: int,
     return (y, u, v), packed_meta(h, w, size)
 
 
+def planes_to_x6(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                 out: np.ndarray | None = None) -> np.ndarray:
+    """Host-side space-to-depth transport packing: planar I420 chunk ->
+    one ``(N, ch/2, cw/2, 6)`` uint8 tensor in the exact channel order the
+    s2d front consumes (``ops.planar_stem.make_x6``: Y parity channels
+    ``2p + q`` first, then U, V).
+
+    Why on the host: the device-side ``make_x6`` reshape+transpose is a
+    byte-granular lane shuffle the VPU runs at ~6 GB/s - ~0.065 ms/frame of
+    the chunk program (docs/PERF_NOTES.md round-2 remainder list).  The same
+    rearrangement on the ingest worker is a strided numpy copy that
+    overlaps device compute, and the link bytes are IDENTICAL to planar
+    I420 (12 bit/px, content dims only - padding still happens on device).
+    """
+    n, ch, cw = y.shape
+    if out is None:
+        out = np.empty((n, ch // 2, cw // 2, 6), np.uint8)
+    ys = y.reshape(n, ch // 2, 2, cw // 2, 2)
+    out[..., 0] = ys[:, :, 0, :, 0]
+    out[..., 1] = ys[:, :, 0, :, 1]
+    out[..., 2] = ys[:, :, 1, :, 0]
+    out[..., 3] = ys[:, :, 1, :, 1]
+    out[..., 4] = u
+    out[..., 5] = v
+    return out
+
+
+def pack_x6_chunk(frames_bgr: np.ndarray, size: int,
+                  out: np.ndarray | None = None,
+                  scratch=None):
+    """Pack a (N, H, W, 3) BGR chunk straight to the x6 s2d transport.
+
+    Composition of :func:`pack_chunk` (native/cv2 resize + BGR->I420) and
+    :func:`planes_to_x6`; ``scratch`` optionally carries preallocated
+    (y, u, v) plane buffers between calls.  Returns (x6, meta).
+    """
+    planes, meta = pack_chunk(frames_bgr, size, out=scratch)
+    return planes_to_x6(*planes, out=out), meta
+
+
 def i420_to_rgb(yuv: jnp.ndarray, ch: int, cw: int,
                 dtype=jnp.bfloat16) -> jnp.ndarray:
     """Device-side I420 -> RGB [0,1] (ch, cw, 3). Fused VPU math under jit.

@@ -271,7 +271,8 @@ class MultiStreamPipeline:
             box_dist[0], cls_logits[0], dcfg.input_size,
             dcfg.conf_threshold, dcfg.iou_threshold,
             dcfg.max_detections, dcfg.nms_candidates,
-            self.detector._class_mask, dcfg.agnostic_nms, impl=dcfg.nms_impl)
+            self.detector._class_mask, dcfg.agnostic_nms,
+            impl=dcfg.nms_impl, topk=dcfg.topk_impl)
         if self._is_appearance:
             from rtmodt_tpu.ops.roi import crop_and_resize
 
@@ -421,7 +422,7 @@ class MultiStreamPipeline:
                 res = batched_nms_from_logits(
                     bdi, cli, size, dcfg.conf_threshold, dcfg.iou_threshold,
                     dcfg.max_detections, dcfg.nms_candidates, class_mask,
-                    dcfg.agnostic_nms, impl=dcfg.nms_impl)
+                    dcfg.agnostic_nms, impl=dcfg.nms_impl, topk=dcfg.topk_impl)
                 return res._replace(boxes=unletterbox_boxes_packed(res.boxes, meta))
 
             ress = jax.vmap(one_nms)(bd, cl)
@@ -503,6 +504,131 @@ class MultiStreamPipeline:
             build, example_args)
         return self._jitted[key]
 
+    def _x6_transport(self) -> bool:
+        """Whether chunks ship the x6 space-to-depth layout instead of
+        planar I420 (same decision rule as ``Pipeline._x6_transport``:
+        auto under ``packed`` where the s2d front runs - quant off, motion
+        trackers whose programs never need the Y/U/V planes back)."""
+        tr = self.cfg.parallel.transport
+        if tr == "x6":
+            return True
+        return (tr == "packed" and self.cfg.detection.quant == "none"
+                and not self._is_appearance)
+
+    def _packed_chunk_x6_for(self, src_h: int, src_w: int, t: int):
+        """x6-transport twin of ``_packed_chunk_for``: consumes the host
+        space-to-depth tensor (T, S, ch/2, cw/2, 6) - the device-side
+        ``make_x6`` lane shuffle disappears and GMC luma grids come from
+        the mean of the four Y parity channels (identical grid geometry
+        at half resolution).  Streams stay sharded over ``data``."""
+        key = ("x6", src_h, src_w, t)
+        if key in self._jitted:
+            return self._jitted[key]
+        from rtmodt_tpu.ops.planar_stem import pad_x6
+        from rtmodt_tpu.ops.s2d_front import apply_front_x6
+        from rtmodt_tpu.ops.yuv import (content_dims, packed_meta,
+                                       unletterbox_boxes_packed)
+
+        dcfg = self.cfg.detection
+        mot_update = self._mot_update
+        dtype = jnp.bfloat16 if dcfg.half else jnp.float32
+        model = self.detector.model
+        class_mask = self.detector._class_mask
+        size = dcfg.input_size
+        s_streams = self.num_streams
+        ch, cw = content_dims(src_h, src_w, size)
+        meta = packed_meta(src_h, src_w, size)
+        pad_left, pad_top = meta.pad_left, meta.pad_top
+        gmc_on, gcfg = self._gmc_on, self.cfg.tracking.gmc
+        scale_xy = (src_w / gcfg.grid, src_h / gcfg.grid)
+
+        def chunk(params, state, x6, gmc_grids=None, gmc_valid=None):
+            n = t * s_streams
+            x6f = x6.reshape(n, *x6.shape[2:])
+            x6p = pad_x6(x6f, size, pad_left, pad_top)
+            bd, cl = apply_front_x6(params, model, x6p, dtype)
+
+            def one_nms(bdi, cli):
+                res = batched_nms_from_logits(
+                    bdi, cli, size, dcfg.conf_threshold, dcfg.iou_threshold,
+                    dcfg.max_detections, dcfg.nms_candidates, class_mask,
+                    dcfg.agnostic_nms, impl=dcfg.nms_impl, topk=dcfg.topk_impl)
+                return res._replace(boxes=unletterbox_boxes_packed(res.boxes, meta))
+
+            ress = jax.vmap(one_nms)(bd, cl)
+            ress = jax.tree.map(
+                lambda a: a.reshape(t, s_streams, *a.shape[1:]), ress)
+
+            if gmc_on:          # static at trace time
+                from rtmodt_tpu.ops.gmc import gmc_step, luma_grid
+
+                # half-res luma = mean of the four Y parity channels: the
+                # same content the i420 path pools, one octave earlier
+                luma = jnp.mean(x6f[..., :4].astype(jnp.float32), axis=-1)
+                grids = jax.vmap(lambda yy: luma_grid(yy, gcfg.grid))(luma)
+                grids = grids.reshape(t, s_streams, gcfg.grid, gcfg.grid)
+
+                def body(st_carry, xs):
+                    st, (pg, pv) = st_carry
+                    res_s, grid_s = xs
+
+                    def one(ss, rr, gp, gv, gc):
+                        ss, (cg, cv) = gmc_step(ss, gc, (gp, gv), gcfg,
+                                                scale_xy)
+                        ss, outs = mot_update(
+                            ss, rr.boxes, rr.scores, rr.classes, rr.valid)
+                        return ss, outs, cg, cv
+
+                    st, outs, cg, cv = jax.vmap(one)(st, res_s, pg, pv, grid_s)
+                    return (st, (cg, cv)), outs
+
+                (state, carry), outs = jax.lax.scan(
+                    body, (state, (gmc_grids, gmc_valid)), (ress, grids))
+                return state, outs, ress, carry
+
+            def body(st, res_s):
+                st, outs = jax.vmap(
+                    lambda ss, rr: mot_update(
+                        ss, rr.boxes, rr.scores, rr.classes, rr.valid)
+                )(st, res_s)
+                return st, outs
+
+            state, outs = jax.lax.scan(body, state, ress)
+            return state, outs, ress
+
+        ts_shard = NamedSharding(self.mesh, P(None, "data"))
+        in_sh = (self._repl, self._stream_shard, ts_shard)
+        out_sh = (self._stream_shard, ts_shard, ts_shard)
+        if gmc_on:
+            in_sh += (self._stream_shard, self._stream_shard)
+            out_sh += ((self._stream_shard, self._stream_shard),)
+
+        def build():
+            return jax.jit(
+                chunk, in_shardings=in_sh, out_shardings=out_sh,
+                donate_argnums=(1,),
+            )
+
+        from rtmodt_tpu.runtime.aot_cache import aot_cached
+
+        def example_args():
+            x0 = np.zeros((t, s_streams, ch // 2, cw // 2, 6), np.uint8)
+            base = (self.params, self.state, x0)
+            if gmc_on:
+                return base + (
+                    np.zeros((s_streams, gcfg.grid, gcfg.grid), np.float32),
+                    np.zeros((s_streams,), np.float32))
+            return base
+
+        param_sig = jax.tree.map(
+            lambda x: (tuple(x.shape), str(x.dtype)), self.params)
+        self._jitted[key] = aot_cached(
+            ("msp_packed_x6", repr(dcfg), self._mot_repr, self._gmc_repr,
+             s_streams, tuple(self.mesh.shape.items()), src_h, src_w, t,
+             param_sig),
+            build, example_args)
+        return self._jitted[key]
+
     def _packed_chunk_deepsort_for(self, src_h: int, src_w: int, t: int):
         """Appearance-tracker twin of ``_packed_chunk_for``: the per-frame
         NMS is followed by ROI crops taken directly from the padded Y/U/V
@@ -549,7 +675,7 @@ class MultiStreamPipeline:
                 res_lb = batched_nms_from_logits(
                     bdi, cli, size, dcfg.conf_threshold, dcfg.iou_threshold,
                     dcfg.max_detections, dcfg.nms_candidates, class_mask,
-                    dcfg.agnostic_nms, impl=dcfg.nms_impl)
+                    dcfg.agnostic_nms, impl=dcfg.nms_impl, topk=dcfg.topk_impl)
                 crops = crop_yuv_rgb(ypi.astype(jnp.float32),
                                      upi.astype(jnp.float32),
                                      vpi.astype(jnp.float32),
@@ -643,13 +769,26 @@ class MultiStreamPipeline:
         y, u, v = planes
         t = y.shape[0]
         sh = NamedSharding(self.mesh, P(None, "data"))
-        dev = (jax.device_put(y, sh), jax.device_put(u, sh),
-               jax.device_put(v, sh))
         if self._is_appearance:
+            dev = (jax.device_put(y, sh), jax.device_put(u, sh),
+                   jax.device_put(v, sh))
             fn = self._packed_chunk_deepsort_for(src_h, src_w, t)
             self.state, outs, ress = self._run_prog(
                 fn, self.params, self.emb_params, self.state, *dev)
+        elif self._x6_transport():
+            from rtmodt_tpu.ops.yuv import planes_to_x6
+
+            s = y.shape[1]
+            x6 = planes_to_x6(y.reshape(t * s, *y.shape[2:]),
+                              u.reshape(t * s, *u.shape[2:]),
+                              v.reshape(t * s, *v.shape[2:]))
+            x6 = x6.reshape(t, s, *x6.shape[1:])
+            fn = self._packed_chunk_x6_for(src_h, src_w, t)
+            self.state, outs, ress = self._run_prog(
+                fn, self.params, self.state, jax.device_put(x6, sh))
         else:
+            dev = (jax.device_put(y, sh), jax.device_put(u, sh),
+                   jax.device_put(v, sh))
             fn = self._packed_chunk_for(src_h, src_w, t)
             self.state, outs, ress = self._run_prog(
                 fn, self.params, self.state, *dev)

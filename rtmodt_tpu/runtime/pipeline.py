@@ -172,7 +172,7 @@ class Pipeline:
                 box_dist[0], cls_logits[0], dcfg.input_size,
                 dcfg.conf_threshold, dcfg.iou_threshold,
                 dcfg.max_detections, dcfg.nms_candidates, class_mask, dcfg.agnostic_nms,
-                impl=dcfg.nms_impl,
+                impl=dcfg.nms_impl, topk=dcfg.topk_impl,
             )
             meta = letterbox_meta(h, w, dcfg.input_size)
             return res._replace(boxes=unletterbox_boxes(res.boxes, meta))
@@ -213,7 +213,7 @@ class Pipeline:
                 box_dist[0], cls_logits[0], dcfg.input_size,
                 dcfg.conf_threshold, dcfg.iou_threshold,
                 dcfg.max_detections, dcfg.nms_candidates, class_mask,
-                dcfg.agnostic_nms, impl=dcfg.nms_impl,
+                dcfg.agnostic_nms, impl=dcfg.nms_impl, topk=dcfg.topk_impl,
             )
             # crop from the letterboxed image while boxes are still in its
             # coordinates; embedder convention is RGB [0, 255]
@@ -255,7 +255,7 @@ class Pipeline:
                 box_dist[0], cls_logits[0], dcfg.input_size,
                 dcfg.conf_threshold, dcfg.iou_threshold,
                 dcfg.max_detections, dcfg.nms_candidates, class_mask, dcfg.agnostic_nms,
-                impl=dcfg.nms_impl,
+                impl=dcfg.nms_impl, topk=dcfg.topk_impl,
             )
             res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
             state, outputs = mot_update(
@@ -382,7 +382,7 @@ class Pipeline:
                 box_dist[0], cls_logits[0], size,
                 dcfg.conf_threshold, dcfg.iou_threshold,
                 dcfg.max_detections, dcfg.nms_candidates, class_mask,
-                dcfg.agnostic_nms, impl=dcfg.nms_impl)
+                dcfg.agnostic_nms, impl=dcfg.nms_impl, topk=dcfg.topk_impl)
             if is_app:
                 # crop while boxes are still in model-input coordinates
                 # (same convention as _packed_chunk_deepsort_for)
@@ -487,7 +487,7 @@ class Pipeline:
                     box_dist[0], cls_logits[0], dcfg.input_size,
                     dcfg.conf_threshold, dcfg.iou_threshold,
                     dcfg.max_detections, dcfg.nms_candidates, class_mask,
-                    dcfg.agnostic_nms, impl=dcfg.nms_impl,
+                    dcfg.agnostic_nms, impl=dcfg.nms_impl, topk=dcfg.topk_impl,
                 )
                 res = res._replace(boxes=unletterbox_boxes(res.boxes, meta))
                 st, outputs = mot_update(
@@ -546,7 +546,7 @@ class Pipeline:
                 res = batched_nms_from_logits(
                     bd, cl, size, dcfg.conf_threshold, dcfg.iou_threshold,
                     dcfg.max_detections, dcfg.nms_candidates, class_mask,
-                    dcfg.agnostic_nms, impl=dcfg.nms_impl)
+                    dcfg.agnostic_nms, impl=dcfg.nms_impl, topk=dcfg.topk_impl)
                 return res._replace(boxes=unletterbox_boxes_packed(res.boxes, meta))
 
             ress = jax.vmap(one_nms)(box_dist, cls_logits)   # parallel across frames
@@ -603,6 +603,108 @@ class Pipeline:
             build, example_args)
         return self._chunk_fns[key]
 
+    def _x6_transport(self) -> bool:
+        """Whether the chunk path ships the x6 space-to-depth layout
+        (ops/yuv.py::planes_to_x6) instead of planar I420.  Same link
+        bytes; moves the s2d lane shuffle from the device VPU (~0.065
+        ms/frame, docs/PERF_NOTES.md) to a strided host copy on the ingest
+        worker.  ``packed`` auto-selects it where the s2d front runs
+        (quant off, motion trackers); ``i420`` pins the planar layout;
+        appearance trackers keep planes for their ROI crops."""
+        t = self.cfg.parallel.transport
+        if t == "x6":
+            return True
+        return (t == "packed" and self.cfg.detection.quant == "none"
+                and not self._is_appearance)
+
+    def _packed_chunk_x6_for(self, src_h: int, src_w: int, k: int):
+        """x6-transport twin of ``_packed_chunk_for``: consumes the host
+        space-to-depth tensor (K, ch/2, cw/2, 6) - no device-side
+        ``make_x6`` shuffle; GMC luma grids come from the mean of the four
+        Y parity channels (identical geometry at half resolution)."""
+        key = ("x6", src_h, src_w, k)
+        if key in self._chunk_fns:
+            return self._chunk_fns[key]
+        from rtmodt_tpu.ops.planar_stem import pad_x6
+        from rtmodt_tpu.ops.s2d_front import apply_front_x6
+        from rtmodt_tpu.ops.yuv import (content_dims, packed_meta,
+                                       unletterbox_boxes_packed)
+
+        dcfg = self.cfg.detection
+        mot_update = self._mot_update
+        dtype = jnp.bfloat16 if dcfg.half else jnp.float32
+        model = self.detector.model
+        class_mask = self.detector._class_mask
+        donate = (1,) if self.cfg.parallel.donate_state else ()
+        size = dcfg.input_size
+        ch, cw = content_dims(src_h, src_w, size)
+        meta = packed_meta(src_h, src_w, size)
+        pad_left, pad_top = meta.pad_left, meta.pad_top
+        gmc_on, gcfg = self._gmc_on, self.cfg.tracking.gmc
+        scale_xy = (src_w / gcfg.grid, src_h / gcfg.grid)
+
+        def chunk(params, state, x6, gmc_grid=None, gmc_valid=None):
+            x6p = pad_x6(x6, size, pad_left, pad_top)
+            box_dist, cls_logits = apply_front_x6(params, model, x6p, dtype)
+
+            def one_nms(bd, cl):
+                res = batched_nms_from_logits(
+                    bd, cl, size, dcfg.conf_threshold, dcfg.iou_threshold,
+                    dcfg.max_detections, dcfg.nms_candidates, class_mask,
+                    dcfg.agnostic_nms, impl=dcfg.nms_impl, topk=dcfg.topk_impl)
+                return res._replace(boxes=unletterbox_boxes_packed(res.boxes, meta))
+
+            ress = jax.vmap(one_nms)(box_dist, cls_logits)
+
+            if gmc_on:
+                from rtmodt_tpu.ops.gmc import luma_grid
+
+                # half-res luma = mean of the four Y parity channels: same
+                # content the i420 path downsamples, one octave earlier
+                luma = jnp.mean(x6[..., :4].astype(jnp.float32), axis=-1)
+                grids = jax.vmap(lambda yy: luma_grid(yy, gcfg.grid))(luma)
+
+                def body(st_carry, xs):
+                    res, grid_t = xs
+                    st, gc = st_carry
+                    st, gc = _gmc_step(st, grid_t, gc, gcfg, scale_xy)
+                    st, outputs = mot_update(
+                        st, res.boxes, res.scores, res.classes, res.valid)
+                    return (st, gc), outputs
+
+                (state, carry), outs = jax.lax.scan(
+                    body, (state, (gmc_grid, gmc_valid)), (ress, grids))
+                return state, outs, ress, carry
+
+            def body(st, res):
+                st, outputs = mot_update(
+                    st, res.boxes, res.scores, res.classes, res.valid)
+                return st, outputs
+
+            state, outs = jax.lax.scan(body, state, ress)
+            return state, outs, ress
+
+        def build():
+            return jax.jit(chunk, donate_argnums=donate)
+
+        from rtmodt_tpu.runtime.aot_cache import aot_cached
+
+        def example_args():
+            x0 = np.zeros((k, ch // 2, cw // 2, 6), np.uint8)
+            base = (self.detector.params, self.tracker.state, x0)
+            if gmc_on:
+                return base + (np.zeros((gcfg.grid, gcfg.grid), np.float32),
+                               np.float32(0.0))
+            return base
+
+        param_sig = jax.tree.map(
+            lambda x: (tuple(x.shape), str(x.dtype)), self.detector.params)
+        self._chunk_fns[key] = aot_cached(
+            ("pipe_packed_x6", repr(dcfg), self._mot_repr, self._gmc_repr,
+             src_h, src_w, k, donate, param_sig),
+            build, example_args)
+        return self._chunk_fns[key]
+
     def _packed_chunk_deepsort_for(self, src_h: int, src_w: int, k: int):
         """Appearance-tracker twin of ``_packed_chunk_for``: same batched
         planar detection, plus per-frame ROI crops taken DIRECTLY from the
@@ -646,7 +748,7 @@ class Pipeline:
                 res_lb = batched_nms_from_logits(
                     bd, cl, size, dcfg.conf_threshold, dcfg.iou_threshold,
                     dcfg.max_detections, dcfg.nms_candidates, class_mask,
-                    dcfg.agnostic_nms, impl=dcfg.nms_impl)
+                    dcfg.agnostic_nms, impl=dcfg.nms_impl, topk=dcfg.topk_impl)
                 crops = crop_yuv_rgb(ypi.astype(jnp.float32),
                                      upi.astype(jnp.float32),
                                      vpi.astype(jnp.float32),
@@ -703,12 +805,21 @@ class Pipeline:
         """Async-submit packed planar I420: (y (K,ch,cw), u, v) uint8."""
         y, u, v = planes
         k = y.shape[0]
-        chunk_fn = (self._packed_chunk_deepsort_for(src_h, src_w, k)
-                    if self._is_appearance
-                    else self._packed_chunk_for(src_h, src_w, k))
+        if self._is_appearance:
+            chunk_fn = self._packed_chunk_deepsort_for(src_h, src_w, k)
+            dev_args = (jax.device_put(y), jax.device_put(u),
+                        jax.device_put(v))
+        elif self._x6_transport():
+            from rtmodt_tpu.ops.yuv import planes_to_x6
+
+            chunk_fn = self._packed_chunk_x6_for(src_h, src_w, k)
+            dev_args = (jax.device_put(planes_to_x6(y, u, v)),)
+        else:
+            chunk_fn = self._packed_chunk_for(src_h, src_w, k)
+            dev_args = (jax.device_put(y), jax.device_put(u),
+                        jax.device_put(v))
         self.tracker.state, outs, ress = self._run_prog(
-            chunk_fn, self.detector.params, self.tracker.state,
-            jax.device_put(y), jax.device_put(u), jax.device_put(v))
+            chunk_fn, self.detector.params, self.tracker.state, *dev_args)
         # prefetch only the track outputs; raw detections (ress) stay on
         # device unless the caller actually fetches them
         for leaf in jax.tree.leaves(outs):
@@ -923,7 +1034,7 @@ class Pipeline:
         path, appearance trackers included (their ROI crops come from the
         Y/U/V planes); per-stage and host-tracker modes keep the BGR
         stages the reference profiler mirrors."""
-        return (self.cfg.parallel.transport == "packed"
+        return (self.cfg.parallel.transport in ("packed", "x6", "i420")
                 and not self._per_stage
                 and self.tracker._host is None)
 

@@ -77,6 +77,39 @@ class TestMultiStream:
         assert outs.boxes.shape == (3, 8, 16, 4)
         assert bool(np.isfinite(jax.device_get(ress.scores)).all())
 
+    def test_x6_chunk_matches_i420(self, ms_pipe):
+        """The x6 sharded chunk program is the SAME math as the planar-I420
+        one on the same bytes: detections and track outputs must agree
+        exactly across all 8 mesh-sharded streams."""
+        from rtmodt_tpu.ops.yuv import pack_chunk, planes_to_x6
+        from rtmodt_tpu.parallel.multistream import init_multistream_state
+
+        assert ms_pipe._x6_transport()     # default packed -> auto x6
+        t, s = 3, 8
+        raw = np.random.default_rng(5).integers(
+            0, 255, (t * s, 160, 160, 3), np.uint8)
+        (y, u, v), _ = pack_chunk(raw, 128)
+
+        state0 = jax.device_put(
+            init_multistream_state(s, ms_pipe.cfg.tracking.bytetrack.max_tracks),
+            ms_pipe._stream_shard)
+        planes_ts = tuple(p.reshape(t, s, *p.shape[1:]) for p in (y, u, v))
+
+        f_i420 = ms_pipe._packed_chunk_for(160, 160, t)
+        st_a, outs_a, ress_a = f_i420(
+            ms_pipe.params, jax.tree.map(lambda x: x.copy(), state0),
+            *planes_ts)
+
+        x6 = planes_to_x6(y, u, v)
+        x6 = x6.reshape(t, s, *x6.shape[1:])
+        f_x6 = ms_pipe._packed_chunk_x6_for(160, 160, t)
+        st_b, outs_b, ress_b = f_x6(
+            ms_pipe.params, jax.tree.map(lambda x: x.copy(), state0), x6)
+
+        for a, b in zip(jax.tree.leaves((st_a, outs_a, ress_a)),
+                        jax.tree.leaves((st_b, outs_b, ress_b))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestMultiStreamDeepSort:
     """DeepSORT's appearance path inside the SPMD program: per-stream ROI

@@ -544,6 +544,27 @@ class TestNmsFromLogits:
         assert int(r.count) == 0
         assert not bool(np.any(np.asarray(r.valid)))
 
+    def test_approx_topk_identical_on_cpu(self):
+        """topk='approx' routes candidate selection through
+        jax.lax.approx_max_k (the TPU PartialReduce custom call).  On CPU
+        the op falls back to the exact sort, so the full NMS result must be
+        bit-identical to topk='exact' - this pins the plumbing; the
+        recall/quality trade on real TPU is measured by tools/bench_dense.py
+        and the dense tables in docs/RESULTS.md."""
+        import jax.numpy as jnp
+        from rtmodt_tpu.ops.nms import batched_nms_from_logits
+
+        rng = np.random.default_rng(7)
+        A, C, R = 8400, 80, 16
+        bd = jnp.asarray(rng.normal(0, 2, (A, 4 * R)), jnp.float32)
+        cl = jnp.asarray(rng.normal(-4, 2, (A, C)), jnp.float32)
+        r_exact = batched_nms_from_logits(bd, cl, 640, 0.25, 0.45, 100, 300,
+                                          None, False, topk="exact")
+        r_approx = batched_nms_from_logits(bd, cl, 640, 0.25, 0.45, 100, 300,
+                                           None, False, topk="approx")
+        for a, b in zip(r_exact, r_approx):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestCropYuvRgb:
     def test_matches_cv2_oracle_within_chroma_loss(self):

@@ -117,6 +117,116 @@ class TestPipelineEndToEnd:
     def test_transport_validation(self):
         with pytest.raises(ValueError, match="transport"):
             load_config(overrides={"parallel": {"transport": "pigeon"}})
+        with pytest.raises(ValueError, match="x6"):
+            load_config(overrides={"parallel": {"transport": "x6"},
+                                   "detection": {"quant": "int8"}})
+        with pytest.raises(ValueError, match="topk_impl"):
+            load_config(overrides={"detection": {"topk_impl": "sloppy"}})
+
+
+class TestX6Transport:
+    """x6 space-to-depth transport (ops/yuv.py::planes_to_x6): host-side
+    s2d rearrangement replacing the device-side make_x6 lane shuffle.
+    Same link bytes; the chunk program must be numerically identical."""
+
+    def test_planes_to_x6_matches_device_make_x6(self, rng):
+        import jax.numpy as jnp
+        from rtmodt_tpu.ops.planar_stem import make_x6, pad_planes, pad_x6
+        from rtmodt_tpu.ops.yuv import planes_to_x6
+
+        size = 64
+        ch, cw = 36, 64      # odd-ish content: real letterbox pads
+        y = rng.integers(0, 255, (2, ch, cw), np.uint8)
+        u = rng.integers(0, 255, (2, ch // 2, cw // 2), np.uint8)
+        v = rng.integers(0, 255, (2, ch // 2, cw // 2), np.uint8)
+        pad_top = ((size - ch) // 2 // 2) * 2
+        pad_left = 0
+
+        yp, up, vp = pad_planes(jnp.asarray(y), jnp.asarray(u),
+                                jnp.asarray(v), size, pad_left, pad_top)
+        want = np.asarray(make_x6(yp, up, vp, dtype=jnp.float32))
+
+        x6 = planes_to_x6(y, u, v)
+        got = np.asarray(pad_x6(jnp.asarray(x6), size, pad_left,
+                                pad_top)).astype(np.float32)
+        np.testing.assert_array_equal(got, want)
+
+    def test_x6_chunk_program_matches_i420(self, small_cfg, rng):
+        """The x6 chunk program and the planar-I420 chunk program are the
+        SAME math on the same bytes: outputs must agree exactly."""
+        import dataclasses
+        import jax
+        from rtmodt_tpu.ops.yuv import pack_chunk, planes_to_x6
+        from rtmodt_tpu.runtime.pipeline import Pipeline
+
+        cfg = dataclasses.replace(
+            small_cfg,
+            profiling=dataclasses.replace(small_cfg.profiling, per_stage=False),
+            parallel=dataclasses.replace(small_cfg.parallel, chunk_size=4,
+                                         donate_state=False))
+        pipe = Pipeline(cfg)
+        frames = rng.integers(0, 255, (4, 160, 160, 3), np.uint8)
+        planes, _ = pack_chunk(frames, cfg.detection.input_size)
+
+        state0 = jax.tree.map(lambda x: x.copy(), pipe.tracker.state)
+        f_i420 = pipe._packed_chunk_for(160, 160, 4)
+        st_a, outs_a, ress_a = f_i420(pipe.detector.params, state0,
+                                      *[np.asarray(p) for p in planes])
+
+        state0 = jax.tree.map(lambda x: x.copy(), pipe.tracker.state)
+        f_x6 = pipe._packed_chunk_x6_for(160, 160, 4)
+        st_b, outs_b, ress_b = f_x6(pipe.detector.params, state0,
+                                    planes_to_x6(*planes))
+
+        for a, b in zip(jax.tree.leaves((outs_a, ress_a)),
+                        jax.tree.leaves((outs_b, ress_b))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_run_chunked_defaults_to_x6(self, small_cfg, tmp_path):
+        """transport=packed auto-selects x6 for motion trackers with quant
+        off, and the chunked run completes with every frame tracked."""
+        import dataclasses
+        from rtmodt_tpu.runtime.pipeline import Pipeline
+        from rtmodt_tpu.utils.synthetic import write_synthetic_video
+
+        video = str(tmp_path / "synth.mp4")
+        write_synthetic_video(video, frames=10, h=160, w=160, n_objects=2)
+        cfg = dataclasses.replace(
+            small_cfg,
+            visualization=dataclasses.replace(small_cfg.visualization,
+                                              enabled=False),
+            parallel=dataclasses.replace(small_cfg.parallel, chunk_size=4,
+                                         pipeline_depth=1),
+        )
+        pipe = Pipeline(cfg)
+        assert pipe._x6_transport()
+        pipe.run(source=video)
+        assert pipe.profiler._frame_count == 10
+
+    def test_x6_gmc_chunk_runs(self, small_cfg, rng):
+        """GMC-enabled x6 chunk program: half-res luma grids feed the
+        phase correlator; program compiles and yields finite outputs."""
+        import dataclasses
+        import jax
+        from rtmodt_tpu.config.loader import GMCConfig
+        from rtmodt_tpu.ops.yuv import pack_chunk, planes_to_x6
+        from rtmodt_tpu.runtime.pipeline import Pipeline
+
+        tr = dataclasses.replace(small_cfg.tracking,
+                                 gmc=GMCConfig(method="phase", grid=32))
+        cfg = dataclasses.replace(
+            small_cfg, tracking=tr,
+            profiling=dataclasses.replace(small_cfg.profiling, per_stage=False),
+            parallel=dataclasses.replace(small_cfg.parallel, chunk_size=4,
+                                         donate_state=False))
+        pipe = Pipeline(cfg)
+        frames = rng.integers(0, 255, (4, 160, 160, 3), np.uint8)
+        planes, _ = pack_chunk(frames, cfg.detection.input_size)
+        f_x6 = pipe._packed_chunk_x6_for(160, 160, 4)
+        st, outs, ress, carry = f_x6(
+            pipe.detector.params, pipe.tracker.state, planes_to_x6(*planes),
+            np.zeros((32, 32), np.float32), np.float32(0.0))
+        assert np.isfinite(np.asarray(outs.boxes)).all()
 
     def test_deepsort_fused_and_per_stage_agree(self, small_cfg):
         """DeepSORT pipeline: the single fused XLA program (letterbox ->

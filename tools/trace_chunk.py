@@ -23,7 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def capture(out_dir: str, chunk: int, iters: int,
             algorithm: str = "bytetrack", gmc: bool = False,
             quant: str = "none", weights: str | None = None,
-            quant_scales: str | None = None, num_classes: int = 80) -> None:
+            quant_scales: str | None = None, num_classes: int = 80,
+            transport: str = "packed", topk: str = "exact") -> None:
     import numpy as np
 
     from rtmodt_tpu.utils.jax_setup import setup_jax
@@ -37,7 +38,7 @@ def capture(out_dir: str, chunk: int, iters: int,
     from rtmodt_tpu.utils.synthetic import moving_boxes_frame
 
     det_over: dict = {"model": "yolov8s", "input_size": 640,
-                      "num_classes": num_classes}
+                      "num_classes": num_classes, "topk_impl": topk}
     if quant != "none":
         # the reference's TRT INT8 analog (TECHNICAL_DESIGN_DOCUMENT.md:1104):
         # measure what int8 convs actually buy on THIS chip (VERDICT r3 #4)
@@ -53,7 +54,8 @@ def capture(out_dir: str, chunk: int, iters: int,
         "profiling": {"per_stage": False, "warmup_frames": 0, "log_interval": 0},
         "visualization": {"enabled": False},
         "events": {"enabled": False},
-        "parallel": {"chunk_size": chunk, "pipeline_depth": 2},
+        "parallel": {"chunk_size": chunk, "pipeline_depth": 2,
+                     "transport": transport},
     })
     pipe = Pipeline(cfg)
     h, w = 720, 1280
@@ -121,12 +123,19 @@ def main() -> None:
                     help="frozen activation scales npz (QAT)")
     ap.add_argument("--num-classes", type=int, default=80,
                     help="head class count of the weights (rich* ckpts: 8)")
+    ap.add_argument("--transport", default="packed",
+                    choices=["packed", "x6", "i420", "bgr"],
+                    help="parallel.transport - pin i420 vs x6 to A/B the "
+                         "host-side space-to-depth packing win")
+    ap.add_argument("--topk", default="exact", choices=["exact", "approx"],
+                    help="detection.topk_impl - measure approx_max_k "
+                         "(TPU PartialReduce) vs the full-sort lax.top_k")
     ap.add_argument("--summarize-only", action="store_true")
     args = ap.parse_args()
     if not args.summarize_only:
         capture(args.out, args.chunk, args.iters, args.algorithm, args.gmc,
                 args.quant, args.weights, args.quant_scales,
-                args.num_classes)
+                args.num_classes, args.transport, args.topk)
     summarize(args.out, args.iters, args.chunk)
 
 
