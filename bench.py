@@ -440,6 +440,8 @@ def run_child(mode: str) -> None:
                                       max(4, 2048 // chunk)))
         warm_chunks = max(1, min(128 // chunk, n_chunks // 4))
 
+        use_x6 = pipe._x6_transport()
+
         def make_block(i):
             sl = frames[(i % 2) * chunk:(i % 2) * chunk + chunk]
             y, u, v = pack_chunk(sl, cfg.detection.input_size)[0]
@@ -448,6 +450,11 @@ def run_child(mode: str) -> None:
             # docs/PERF_NOTES.md) - content-irrelevant 8px corner
             y = y.copy()
             y[:, :2, :4] = i & 0xFF
+            if use_x6:
+                # final transport layout built HERE on the pool worker, so
+                # the main loop ships it straight to the device
+                from rtmodt_tpu.ops.yuv import planes_to_x6
+                return planes_to_x6(y, u, v)
             return y, u, v
 
         submit = lambda blk: pipe.submit_packed_yuv(blk, h, w)
@@ -476,15 +483,21 @@ def run_child(mode: str) -> None:
         warm_chunks = max(1, min(128 // (t_chunk * s_streams),
                                  n_chunks // 4))
 
+        use_x6 = msp._x6_transport()
+
         def make_block(i):
             sl = frames[(i % 2) * t_chunk:(i % 2) * t_chunk + t_chunk]
             flat = sl.reshape(t_chunk * s_streams, h, w, 3)
             (y, u, v), _ = pack_chunk(flat, cfg.detection.input_size)
-            y = y.reshape(t_chunk, s_streams, *y.shape[1:]).copy()
-            u = u.reshape(t_chunk, s_streams, *u.shape[1:])
-            v = v.reshape(t_chunk, s_streams, *v.shape[1:])
-            y[:, :, :2, :4] = i & 0xFF
-            return y, u, v
+            y = y.copy()
+            y[:, :2, :4] = i & 0xFF
+            if use_x6:
+                from rtmodt_tpu.ops.yuv import planes_to_x6
+                x6 = planes_to_x6(y, u, v)
+                return x6.reshape(t_chunk, s_streams, *x6.shape[1:])
+            return (y.reshape(t_chunk, s_streams, *y.shape[1:]),
+                    u.reshape(t_chunk, s_streams, *u.shape[1:]),
+                    v.reshape(t_chunk, s_streams, *v.shape[1:]))
 
         submit = lambda blk: msp.submit_chunk_packed(blk, h, w)
         engines = [ZoneEventEngine.from_config(

@@ -765,7 +765,19 @@ class MultiStreamPipeline:
         return self._jitted[key]
 
     def submit_chunk_packed(self, planes, src_h: int, src_w: int):
-        """Async-submit planar I420 chunks: (y (T,S,ch,cw), u, v) uint8."""
+        """Async-submit packed chunks: (y (T,S,ch,cw), u, v) uint8 planes,
+        or - with the x6 transport active - the pre-packed
+        (T, S, ch/2, cw/2, 6) space-to-depth tensor from an ingest worker."""
+        if isinstance(planes, np.ndarray):
+            if not self._x6_transport():
+                raise ValueError("pre-packed x6 submitted but the active "
+                                 "transport is not x6")
+            t = planes.shape[0]
+            sh = NamedSharding(self.mesh, P(None, "data"))
+            fn = self._packed_chunk_x6_for(src_h, src_w, t)
+            self.state, outs, ress = self._run_prog(
+                fn, self.params, self.state, jax.device_put(planes, sh))
+            return outs, ress
         y, u, v = planes
         t = y.shape[0]
         sh = NamedSharding(self.mesh, P(None, "data"))

@@ -800,11 +800,22 @@ class Pipeline:
         v = np.stack([p[2] for p in planes])
         return self.submit_packed_yuv((y, u, v), h, w)
 
-    def submit_packed_yuv(self, planes: tuple[np.ndarray, np.ndarray, np.ndarray],
-                          src_h: int, src_w: int):
-        """Async-submit packed planar I420: (y (K,ch,cw), u, v) uint8."""
-        y, u, v = planes
-        k = y.shape[0]
+    def submit_packed_yuv(self, planes, src_h: int, src_w: int):
+        """Async-submit a packed chunk: (y (K,ch,cw), u, v) uint8 planes,
+        or - when the x6 transport is active - optionally the pre-packed
+        (K, ch/2, cw/2, 6) space-to-depth tensor itself (``ops.yuv.
+        pack_x6_chunk`` on an ingest worker), skipping the main-thread
+        rearrangement."""
+        pre_x6 = isinstance(planes, np.ndarray)
+        if pre_x6:
+            if not self._x6_transport():
+                raise ValueError("pre-packed x6 submitted but the active "
+                                 "transport is not x6 (appearance tracker, "
+                                 "int8, or a pinned i420/bgr layout)")
+            k = planes.shape[0]
+        else:
+            y, u, v = planes
+            k = y.shape[0]
         if self._is_appearance:
             chunk_fn = self._packed_chunk_deepsort_for(src_h, src_w, k)
             dev_args = (jax.device_put(y), jax.device_put(u),
@@ -813,7 +824,8 @@ class Pipeline:
             from rtmodt_tpu.ops.yuv import planes_to_x6
 
             chunk_fn = self._packed_chunk_x6_for(src_h, src_w, k)
-            dev_args = (jax.device_put(planes_to_x6(y, u, v)),)
+            dev_args = (jax.device_put(
+                planes if pre_x6 else planes_to_x6(y, u, v)),)
         else:
             chunk_fn = self._packed_chunk_for(src_h, src_w, k)
             dev_args = (jax.device_put(y), jax.device_put(u),

@@ -110,6 +110,21 @@ class TestMultiStream:
                         jax.tree.leaves((st_b, outs_b, ress_b))):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_submit_prepacked_x6(self, ms_pipe):
+        """submit_chunk_packed accepts the worker-built (T,S,...,6) x6
+        tensor directly (bench's ingest-pool path)."""
+        from rtmodt_tpu.ops.yuv import pack_chunk, planes_to_x6
+
+        t, s = 2, 8
+        raw = np.random.default_rng(9).integers(
+            0, 255, (t * s, 160, 160, 3), np.uint8)
+        (y, u, v), _ = pack_chunk(raw, 128)
+        x6 = planes_to_x6(y, u, v)
+        x6 = x6.reshape(t, s, *x6.shape[1:])
+        outs, ress = ms_pipe.submit_chunk_packed(x6, 160, 160)
+        assert outs.boxes.shape == (t, s, 16, 4)
+        assert np.isfinite(np.asarray(jax.device_get(outs.boxes))).all()
+
 
 class TestMultiStreamDeepSort:
     """DeepSORT's appearance path inside the SPMD program: per-stream ROI

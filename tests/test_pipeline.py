@@ -203,6 +203,42 @@ class TestX6Transport:
         pipe.run(source=video)
         assert pipe.profiler._frame_count == 10
 
+    def test_submit_prepacked_x6_matches_planes(self, small_cfg, rng):
+        """submit_packed_yuv accepts the worker-built x6 tensor directly;
+        results must equal the planes-tuple path (same bytes, same
+        program), and pre-packed x6 on a non-x6 transport is refused."""
+        import dataclasses
+        import jax
+        import pytest as _pytest
+        from rtmodt_tpu.ops.yuv import pack_chunk, planes_to_x6
+        from rtmodt_tpu.runtime.pipeline import Pipeline
+
+        cfg = dataclasses.replace(
+            small_cfg,
+            profiling=dataclasses.replace(small_cfg.profiling, per_stage=False),
+            parallel=dataclasses.replace(small_cfg.parallel, chunk_size=4,
+                                         donate_state=False))
+        pipe = Pipeline(cfg)
+        frames = rng.integers(0, 255, (4, 160, 160, 3), np.uint8)
+        planes, _ = pack_chunk(frames, cfg.detection.input_size)
+
+        state0 = jax.tree.map(lambda x: x.copy(), pipe.tracker.state)
+        outs_a, ress_a = pipe.submit_packed_yuv(planes, 160, 160)
+        outs_a, ress_a = jax.device_get((outs_a, ress_a))
+
+        pipe.tracker.state = state0
+        x6 = planes_to_x6(*planes)
+        outs_b, ress_b = pipe.submit_packed_yuv(x6, 160, 160)
+        for a, b in zip(jax.tree.leaves((outs_a, ress_a)),
+                        jax.tree.leaves(jax.device_get((outs_b, ress_b)))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        import dataclasses as _dc
+        pipe_i420 = Pipeline(_dc.replace(
+            cfg, parallel=_dc.replace(cfg.parallel, transport="i420")))
+        with _pytest.raises(ValueError, match="x6"):
+            pipe_i420.submit_packed_yuv(x6, 160, 160)
+
     def test_x6_gmc_chunk_runs(self, small_cfg, rng):
         """GMC-enabled x6 chunk program: half-res luma grids feed the
         phase correlator; program compiles and yields finite outputs."""
