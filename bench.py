@@ -75,12 +75,14 @@ def emit(value: float) -> None:
 def _default_weights() -> str | None:
     """Trained checkpoint for a realistic detection load (VERDICT r2 weak #3).
 
-    Order: RTMODT_BENCH_WEIGHTS env -> shipped rich-640 YOLOv8s checkpoint.
-    Returns None (random init, throughput-identical) when neither exists.
+    Order: RTMODT_BENCH_WEIGHTS env -> shipped dense-mixed rich-640d
+    YOLOv8s checkpoint (round 4) -> round-3 rich640.  Returns None
+    (random init, throughput-identical) when none exists.
     """
     cand = os.environ.get("RTMODT_BENCH_WEIGHTS")
     here = os.path.dirname(os.path.abspath(__file__))
     for path in ([cand] if cand else []) + [
+            os.path.join(here, "checkpoints", "rich640d", "ema_final.npz"),
             os.path.join(here, "checkpoints", "rich640", "ema_final.npz"),
             os.path.join(here, "checkpoints", "rich640", "qat_final.npz")]:
         if path and os.path.exists(path):
