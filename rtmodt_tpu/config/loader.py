@@ -417,6 +417,15 @@ def _validate(cfg: PipelineConfig) -> None:
         raise ValueError("parallel.transport=x6 requires detection.quant="
                          "none (int8 intercepts the Flax modules the s2d "
                          "front bypasses); use transport=packed for auto")
+    if (cfg.parallel.transport == "x6"
+            and cfg.tracking.algorithm in ("deepsort", "botsort")):
+        raise ValueError("parallel.transport=x6 is incompatible with "
+                         f"tracking.algorithm={cfg.tracking.algorithm!r}: "
+                         "appearance trackers need the Y/U/V planes back "
+                         "for ROI embedding crops, which the x6 "
+                         "space-to-depth layout does not carry; use "
+                         "transport=packed (auto-selects planes for "
+                         "appearance trackers) or i420")
     alert = cfg.events.alert
     if alert.backend not in ("json_file", "webhook", "mqtt"):
         raise ValueError("events.alert.backend must be json_file|webhook|mqtt, "

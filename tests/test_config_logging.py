@@ -49,6 +49,23 @@ class TestConfig:
         with pytest.raises(ValueError, match="motion_model"):
             load_config(overrides={"tracking": {"bytetrack": {"motion_model": "magic"}}})
 
+    def test_x6_transport_rejected_for_appearance_trackers(self):
+        """Pinned transport=x6 with an appearance tracker must fail at
+        load, not crash at trace time: the x6 space-to-depth layout does
+        not carry the Y/U/V planes the ROI embedding crops need (ADVICE
+        round 4).  packed (auto) stays valid - it degrades to planes."""
+        from rtmodt_tpu.config import load_config
+
+        for algo in ("deepsort", "botsort"):
+            with pytest.raises(ValueError, match="appearance"):
+                load_config(overrides={
+                    "parallel": {"transport": "x6"},
+                    "tracking": {"algorithm": algo}})
+        cfg = load_config(overrides={
+            "parallel": {"transport": "packed"},
+            "tracking": {"algorithm": "botsort"}})
+        assert cfg.parallel.transport == "packed"
+
     def test_classes_range_validated(self):
         """Out-of-range class ids fail at load with the field named -
         negative ids used to silently wrap (classes: [-1] kept class 79)
