@@ -29,6 +29,21 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def half_res_luma(y: jnp.ndarray) -> jnp.ndarray:
+    """2x2 box-average a (H, W) luma plane to half resolution (f32).
+
+    Numerically identical to the mean of the four Y parity channels of
+    the x6 space-to-depth transport (``ops/yuv.py::planes_to_x6``,
+    channels 0-3), so ``luma_grid(half_res_luma(y))`` on the planar-I420
+    path and ``luma_grid(mean(x6[..., :4]))`` on the x6 path produce the
+    same grids: GMC shift estimates do not depend on the transport choice
+    (ADVICE round 4 - they used to differ because i420 resized from full
+    res while x6 pooled one octave first).
+    """
+    h, w = y.shape
+    return y.astype(jnp.float32).reshape(h // 2, 2, w // 2, 2).mean((1, 3))
+
+
 def luma_grid(img: jnp.ndarray, grid: int = 128) -> jnp.ndarray:
     """Downsample a frame to a fixed (grid, grid) f32 luma raster.
 

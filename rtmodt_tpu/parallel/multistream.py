@@ -430,11 +430,14 @@ class MultiStreamPipeline:
                 lambda a: a.reshape(t, s_streams, *a.shape[1:]), ress)
 
             if gmc_on:          # static at trace time
-                from rtmodt_tpu.ops.gmc import gmc_step, luma_grid
+                from rtmodt_tpu.ops.gmc import (gmc_step, half_res_luma,
+                                                luma_grid)
 
                 # luma grids for all T*S content-Y planes, batched with the
-                # rest of the per-frame work
-                grids = jax.vmap(lambda yy: luma_grid(yy, gcfg.grid))(yf)
+                # rest of the per-frame work; half-res pool first so grids
+                # match the x6 transport's parity-channel mean exactly
+                grids = jax.vmap(
+                    lambda yy: luma_grid(half_res_luma(yy), gcfg.grid))(yf)
                 grids = grids.reshape(t, s_streams, gcfg.grid, gcfg.grid)
 
                 def body(st_carry, xs):
@@ -519,8 +522,9 @@ class MultiStreamPipeline:
         """x6-transport twin of ``_packed_chunk_for``: consumes the host
         space-to-depth tensor (T, S, ch/2, cw/2, 6) - the device-side
         ``make_x6`` lane shuffle disappears and GMC luma grids come from
-        the mean of the four Y parity channels (identical grid geometry
-        at half resolution).  Streams stay sharded over ``data``."""
+        the mean of the four Y parity channels, numerically identical to
+        the i420 path's half-res pooled grids (ops/gmc.py::half_res_luma).
+        Streams stay sharded over ``data``."""
         key = ("x6", src_h, src_w, t)
         if key in self._jitted:
             return self._jitted[key]
@@ -545,7 +549,7 @@ class MultiStreamPipeline:
         def chunk(params, state, x6, gmc_grids=None, gmc_valid=None):
             n = t * s_streams
             x6f = x6.reshape(n, *x6.shape[2:])
-            x6p = pad_x6(x6f, size, pad_left, pad_top)
+            x6p = pad_x6(x6f, size, pad_left, pad_top, dtype=dtype)
             bd, cl = apply_front_x6(params, model, x6p, dtype)
 
             def one_nms(bdi, cli):
@@ -691,9 +695,12 @@ class MultiStreamPipeline:
             embs = embs.reshape(t, s_streams, *embs.shape[1:])
 
             if gmc_on:          # static at trace time
-                from rtmodt_tpu.ops.gmc import gmc_step, luma_grid
+                from rtmodt_tpu.ops.gmc import (gmc_step, half_res_luma,
+                                                luma_grid)
 
-                grids = jax.vmap(lambda yy: luma_grid(yy, gcfg.grid))(yf)
+                # half-res pool first: transport-independent grids
+                grids = jax.vmap(
+                    lambda yy: luma_grid(half_res_luma(yy), gcfg.grid))(yf)
                 grids = grids.reshape(t, s_streams, gcfg.grid, gcfg.grid)
 
                 def body(st_carry, xs):

@@ -365,8 +365,13 @@ class Pipeline:
             chroma = yuv[ch:].reshape(-1)
             u = chroma[:n_chroma].reshape(ch // 2, cw // 2)
             v = chroma[n_chroma:2 * n_chroma].reshape(ch // 2, cw // 2)
-            if gmc_on:          # static at trace time; luma is the content Y
-                state, carry = _gmc_step(state, y, (gmc_grid, gmc_valid),
+            if gmc_on:
+                # luma is the content Y, pooled to half res so per-frame
+                # and chunked/x6 paths all see identical grids
+                from rtmodt_tpu.ops.gmc import half_res_luma
+
+                state, carry = _gmc_step(state, half_res_luma(y),
+                                         (gmc_grid, gmc_valid),
                                          gcfg, scale_xy)
             yp, up, vp = pad_planes(y[None], u[None], v[None], size,
                                     pad_left, pad_top)
@@ -552,10 +557,13 @@ class Pipeline:
             ress = jax.vmap(one_nms)(box_dist, cls_logits)   # parallel across frames
 
             if gmc_on:          # static at trace time
-                from rtmodt_tpu.ops.gmc import luma_grid
+                from rtmodt_tpu.ops.gmc import half_res_luma, luma_grid
 
-                # luma grids for all K frames batched (content Y planes)
-                grids = jax.vmap(lambda yy: luma_grid(yy, gcfg.grid))(y)
+                # luma grids for all K frames batched (content Y planes),
+                # pooled to half res first so the grids are numerically
+                # identical to the x6 transport's parity-channel mean
+                grids = jax.vmap(
+                    lambda yy: luma_grid(half_res_luma(yy), gcfg.grid))(y)
 
                 def body(st_carry, xs):
                     res, grid_t = xs
@@ -621,7 +629,9 @@ class Pipeline:
         """x6-transport twin of ``_packed_chunk_for``: consumes the host
         space-to-depth tensor (K, ch/2, cw/2, 6) - no device-side
         ``make_x6`` shuffle; GMC luma grids come from the mean of the four
-        Y parity channels (identical geometry at half resolution)."""
+        Y parity channels, numerically identical to the i420 path's
+        half-res pooled grids (ops/gmc.py::half_res_luma, tested by
+        tests/test_gmc.py's transport A/B)."""
         key = ("x6", src_h, src_w, k)
         if key in self._chunk_fns:
             return self._chunk_fns[key]
@@ -644,7 +654,7 @@ class Pipeline:
         scale_xy = (src_w / gcfg.grid, src_h / gcfg.grid)
 
         def chunk(params, state, x6, gmc_grid=None, gmc_valid=None):
-            x6p = pad_x6(x6, size, pad_left, pad_top)
+            x6p = pad_x6(x6, size, pad_left, pad_top, dtype=dtype)
             box_dist, cls_logits = apply_front_x6(params, model, x6p, dtype)
 
             def one_nms(bd, cl):
@@ -760,9 +770,12 @@ class Pipeline:
             ress, embs = jax.vmap(per_frame)(box_dist, cls_logits, yp, up, vp)
 
             if gmc_on:          # static at trace time
-                from rtmodt_tpu.ops.gmc import luma_grid
+                from rtmodt_tpu.ops.gmc import half_res_luma, luma_grid
 
-                grids = jax.vmap(lambda yy: luma_grid(yy, gcfg.grid))(y)
+                # half-res pool first: transport-independent grids (see
+                # the packed path above / ops/gmc.py::half_res_luma)
+                grids = jax.vmap(
+                    lambda yy: luma_grid(half_res_luma(yy), gcfg.grid))(y)
 
                 def body(st_carry, xs):
                     res, emb, grid_t = xs

@@ -291,6 +291,49 @@ class TestPipelineGMC:
         assert pipe.profiler._frame_count == 10
         assert float(pipe._gmc_carry[1]) == 1.0
 
+    def test_gmc_transport_ab_x6_vs_i420(self, gmc_cfg):
+        """GMC-on A/B between the i420 and x6 transports on a PANNING
+        textured scene (ADVICE round 4): both now feed luma_grid the same
+        half-res luma (i420 pools 2x2 via ops/gmc.py::half_res_luma; x6
+        averages the four Y parity channels), so the carried grids must be
+        bit-equal and the compensated track boxes must agree to sub-pixel
+        tolerance (the detection convs themselves may fuse differently
+        between the two programs)."""
+        import dataclasses
+
+        import jax
+
+        from rtmodt_tpu.runtime.pipeline import Pipeline
+
+        rng = np.random.default_rng(3)
+        canvas = rng.integers(0, 255, (220, 220, 3), np.uint8)
+        frames = []
+        for t in range(8):
+            ox = 4 * t            # camera pans right over the canvas
+            f = canvas[20:180, ox:ox + 160].copy()
+            f[60:90, 70:100] = (255, 0, 0)   # one object, scene-fixed
+            frames.append(f)
+        frames = np.stack(frames)
+
+        def collect(transport):
+            cfg = dataclasses.replace(
+                gmc_cfg,
+                profiling=dataclasses.replace(gmc_cfg.profiling,
+                                              per_stage=False),
+                parallel=dataclasses.replace(gmc_cfg.parallel,
+                                             transport=transport))
+            pipe = Pipeline(cfg)
+            outs, _ = pipe.submit_chunk_packed(frames)
+            return jax.device_get(outs), jax.device_get(pipe._gmc_carry)
+
+        (out_i, carry_i), (out_x, carry_x) = (collect("i420"),
+                                              collect("x6"))
+        np.testing.assert_array_equal(np.asarray(carry_i[0]),
+                                      np.asarray(carry_x[0]))
+        assert float(carry_i[1]) == float(carry_x[1]) == 1.0
+        np.testing.assert_array_equal(out_i.track_id, out_x.track_id)
+        np.testing.assert_allclose(out_i.boxes, out_x.boxes, atol=0.75)
+
     def test_static_camera_gmc_output_parity(self, gmc_cfg):
         """Static camera over a TEXTURED background: the dominant scene
         translation is zero, so the chunked program's outputs must match
