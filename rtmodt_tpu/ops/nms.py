@@ -37,6 +37,9 @@ class NMSResult(NamedTuple):
     count: jnp.ndarray    # () int32 number of valid detections
 
 
+_FIXPOINT_UNROLL = 6  # straight-line rounds before the fallback while_loop
+
+
 def _greedy_suppress(iou: jnp.ndarray, scores: jnp.ndarray,
                      iou_thresh: float) -> tuple[jnp.ndarray, jnp.ndarray]:
     """EXACT greedy NMS via parallel fixpoint iteration (TPU-friendly).
@@ -46,10 +49,22 @@ def _greedy_suppress(iou: jnp.ndarray, scores: jnp.ndarray,
     which has a UNIQUE solution (forward induction on j).  Iterating the map
     ``keep <- f(keep)`` therefore converges to exactly the greedy result;
     after iteration n, every box whose suppression-chain depth is <= n is
-    final, so the loop needs at most depth(chain)+1 rounds (typically 2-4 in
-    real scenes, K worst-case).  Each round is one masked (K, K) reduction on
-    the VPU - hundreds of times cheaper than K sequential loop steps, whose
-    per-iteration overhead dominated the fori_loop formulation on TPU.
+    final, so at most depth(chain)+1 rounds are needed (typically 2-4 in
+    real scenes, K worst case).  Each round is one masked (K, K) reduction
+    on the VPU - hundreds of times cheaper than K sequential loop steps.
+
+    The first ``_FIXPOINT_UNROLL`` rounds are UNROLLED straight-line code:
+    a ``lax.while_loop`` round costs ~an order of magnitude more than the
+    round's actual VPU work (per-iteration loop overhead - the same effect
+    that killed the fori_loop formulation, docs/PERF_NOTES.md #3; at round
+    4 the fixpoint while was the chunk program's single largest op, 0.051
+    ms/frame), and under ``vmap`` the loop runs until the SLOWEST frame in
+    the chunk converges.  Unrolled rounds fuse into the surrounding
+    program with no loop machinery; past the unroll a while_loop finishes
+    deeper chains exactly - its cond evaluates once and the body never
+    runs unless some chain is deeper than the unroll (rare: needs 6+
+    boxes of one class stacked in a suppression chain).  Iterating the
+    same map from the unrolled state is still the unique greedy fixpoint.
 
     Replaces the CUDA reference's torchvision NMS kernel (SURVEY.md N3) with
     identical greedy semantics.
@@ -70,8 +85,11 @@ def _greedy_suppress(iou: jnp.ndarray, scores: jnp.ndarray,
         return step(keep), keep, it + 1
 
     init = jnp.ones((k,), dtype=bool)
-    first = step(init)
-    keep, _, rounds = jax.lax.while_loop(cond, body, (first, init, jnp.int32(1)))
+    keep, prev = step(init), init
+    for _ in range(min(_FIXPOINT_UNROLL, k) - 1):
+        keep, prev = step(keep), keep
+    keep, _, rounds = jax.lax.while_loop(
+        cond, body, (keep, prev, jnp.int32(min(_FIXPOINT_UNROLL, k))))
     return keep, rounds
 
 

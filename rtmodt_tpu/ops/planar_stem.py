@@ -162,7 +162,8 @@ def pad_planes(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, size: int,
     return y_p, u_p, v_p
 
 
-def pad_x6(x6: jnp.ndarray, size: int, pad_left: int, pad_top: int) -> jnp.ndarray:
+def pad_x6(x6: jnp.ndarray, size: int, pad_left: int, pad_top: int,
+           dtype=None) -> jnp.ndarray:
     """Letterbox-pad an x6 content tensor (B, ch/2, cw/2, 6) to (B, S/2,
     S/2, 6) with the per-channel letterbox fill (Y parity channels: 114,
     chroma: 128).
@@ -173,10 +174,19 @@ def pad_x6(x6: jnp.ndarray, size: int, pad_left: int, pad_top: int) -> jnp.ndarr
     Y rows become half-res rows with all four parity channels at 114.
     One pad + one fused iota-select instead of the device-side
     reshape+transpose lane shuffle.
+
+    ``dtype``: when given (the model compute dtype, bf16), the uint8 ->
+    dtype conversion happens INSIDE the pad select, so the standalone
+    convert pass over the padded (B, S/2, S/2, 6) tensor disappears from
+    the chunk program (0.032 ms/frame at K=32 in the round-4 trace -
+    docs/PERF_NOTES.md).  Every uint8 value is exactly representable in
+    bf16 (integers < 2^8), so the fold is numerically identical.
     """
     hh, ww = x6.shape[1:3]
     s2 = size // 2
     pt, pl = pad_top // 2, pad_left // 2
+    if dtype is not None:
+        x6 = x6.astype(dtype)   # fuses into the pad/select below
     out = jnp.pad(x6, ((0, 0), (pt, s2 - hh - pt), (pl, s2 - ww - pl), (0, 0)))
     row = jnp.arange(s2, dtype=jnp.int32)[:, None, None]
     col = jnp.arange(s2, dtype=jnp.int32)[None, :, None]

@@ -151,6 +151,17 @@ class TestX6Transport:
                                 pad_top)).astype(np.float32)
         np.testing.assert_array_equal(got, want)
 
+        # dtype fold (round 5): converting inside the pad select is
+        # numerically identical - every uint8 is exact in bf16/f32
+        folded = pad_x6(jnp.asarray(x6), size, pad_left, pad_top,
+                        dtype=jnp.float32)
+        assert folded.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(folded), want)
+        folded_bf16 = pad_x6(jnp.asarray(x6), size, pad_left, pad_top,
+                             dtype=jnp.bfloat16)
+        np.testing.assert_array_equal(
+            np.asarray(folded_bf16.astype(jnp.float32)), want)
+
     def test_x6_chunk_program_matches_i420(self, small_cfg, rng):
         """The x6 chunk program and the planar-I420 chunk program are the
         SAME math on the same bytes: outputs must agree exactly."""
