@@ -131,6 +131,59 @@ class TestWedgedPass:
         assert "phase" not in proc.stderr
 
 
+class TestDrainEscalation:
+    """VERDICT r4 #1a/b: a child whose preflight watchdog fires (exit code
+    4, relay not drained) must trigger an ESCALATED drain sleep and a
+    same-config retry, not burn the plan slot as a generic failure."""
+
+    def test_drain_exit_escalates_and_retries_same_config(self, tmp_path):
+        # pass 1 (multi NCHUNKS=24) exits 4; the parent must announce the
+        # escalated sleep (4x base) and retry the SAME config next - the
+        # env: behavior proves the NCHUNKS=24 override was carried over
+        proc, result, _ = run_parent(
+            ["ok:100", "drain", "env:RTMODT_BENCH_NCHUNKS",
+             "ok:1", "ok:1", "ok:1", "ok:1"],
+            tmp_path, extra_env={"RTMODT_BENCH_SLEEP": "0.5"})
+        assert result["value"] == 100.0
+        assert "relay not drained; sleeping 2s" in proc.stderr
+        assert "pass 2 [multi NCHUNKS=24]: 24.0 fps" in proc.stderr
+
+    def test_second_drain_escalates_further(self, tmp_path):
+        proc, result, _ = run_parent(
+            ["ok:100", "drain", "drain", "ok:150",
+             "ok:1", "ok:1", "ok:1", "ok:1"],
+            tmp_path, extra_env={"RTMODT_BENCH_SLEEP": "0.5"})
+        assert result["value"] == 150.0
+        assert "sleeping 2s" in proc.stderr
+        assert "sleeping 4s" in proc.stderr
+
+
+class TestSingleMultiFallback:
+    """VERDICT r4 #1c: the in-process multi fallback - a single+multi child
+    emits two JSON lines; a crashed plain-multi pass re-queues as
+    single+multi so the retry banks a single result before attempting
+    multi again."""
+
+    def test_single_multi_two_results_best_counts(self, tmp_path):
+        # slot 3 of the static plan is single+multi; ok2 emits two JSON
+        # lines (single then in-proc multi) and the best of both counts
+        proc, result, _ = run_parent(
+            ["ok:1", "ok:2", "ok:3", "ok2:50:400", "ok:5", "ok:6"],
+            tmp_path)
+        assert result["value"] == 400.0
+        assert "pass 3 [single+multi]: 50.0 fps + 400.0 fps" in proc.stderr
+
+    def test_failed_multi_requeues_as_single_multi(self, tmp_path):
+        # pass 4 (plain multi) crashes; its retry (7th child) must run in
+        # single+multi mode - the "mode" behavior reports the child's
+        # RTMODT_BENCH_CHILD on stderr
+        proc, result, _ = run_parent(
+            ["ok:100", "ok:1", "ok:1", "ok:1", "fail", "ok:1", "mode"],
+            tmp_path)
+        assert result["value"] == 100.0
+        assert "fake mode single+multi" in proc.stderr
+
+
 class TestPoisonQuarantine:
     def test_quarantine_retries_same_config_with_fresh_cache(self, tmp_path):
         # pass 0 prints the CPU-feature poisoning signature; the parent must
