@@ -30,11 +30,38 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def batch_views(ids: np.ndarray, views: np.ndarray, hw, seed: int) -> np.ndarray:
+def degrade_crop(patch: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Resolution degradation matching the runtime ROI distribution: a
+    ~25 px tracker crop upsampled to the embedder's 64x32 input (VERDICT
+    r4 #6 - the held-out eval renders crisp 64x32 patches, but what
+    DeepSORT/BoT-SORT actually embed at 64 objects @720p is 20-35 px of
+    source content).  Downsample to a random small height (INTER_AREA, the
+    decimation cv2 applies to real crops) then back up (INTER_LINEAR, the
+    ROI path's upsample)."""
+    import cv2
+
+    h, w = patch.shape[:2]
+    th = int(rng.integers(14, 33))
+    tw = max(2, round(th * w / h))
+    small = cv2.resize(patch, (tw, th), interpolation=cv2.INTER_AREA)
+    return cv2.resize(small, (w, h), interpolation=cv2.INTER_LINEAR)
+
+
+def batch_views(ids: np.ndarray, views: np.ndarray, hw, seed: int,
+                degrade_p: float = 0.0) -> np.ndarray:
     from rtmodt_tpu.utils.synthetic import reid_patch
 
-    return np.stack([reid_patch(int(i), int(v), hw, seed)
-                     for i, v in zip(ids, views)])
+    out = []
+    for i, v in zip(ids, views):
+        patch = reid_patch(int(i), int(v), hw, seed)
+        if degrade_p > 0.0:
+            # deterministic in (identity, view, seed), like the render
+            dg = np.random.default_rng(
+                (seed << 20) ^ (int(i) * 3 + 1) ^ (int(v) ^ 0xDEC0DE))
+            if dg.random() < degrade_p:
+                patch = degrade_crop(patch, dg)
+        out.append(patch)
+    return np.stack(out)
 
 
 def identity_attrs(n: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -126,6 +153,10 @@ def main() -> None:
     ap.add_argument("--hard-frac", type=float, default=0.7,
                     help="fraction of steps using same-shape near-color "
                          "hard-negative batches (rest uniform)")
+    ap.add_argument("--degrade-p", type=float, default=0.0,
+                    help="per-view probability of resolution degradation "
+                         "(downsample to 14-32 px, upsample back) matching "
+                         "the runtime ROI crop distribution")
     ap.add_argument("--cpu", action="store_true",
                     help="pin to CPU (model is tiny; avoids TPU contention)")
     ap.add_argument("--out", default="checkpoints/embedder.npz")
@@ -181,7 +212,8 @@ def main() -> None:
             picked = rng.choice(train_ids, p_ids, replace=False)
         ids = np.repeat(picked, k_views)
         views = rng.integers(0, 1 << 30, ids.shape[0])
-        patches = batch_views(ids, views, hw, args.seed)
+        patches = batch_views(ids, views, hw, args.seed,
+                              degrade_p=args.degrade_p)
         labels = jnp.asarray(ids)
         params, opt_state, loss = step(params, opt_state,
                                        jnp.asarray(patches), labels)
@@ -204,6 +236,13 @@ def main() -> None:
     print(f"held-out rank-1: {rank1:.4f}  "
           f"pos cos {pos.mean():.3f}  hardest-neg cos {neg.mean():.3f}  "
           f"margin {(pos - neg).mean():.3f}")
+
+    # held-out at the runtime resolution: every query degraded
+    qry_deg = model.apply(params, jnp.asarray(
+        batch_views(eval_ids, qry_v, hw, args.seed, degrade_p=1.0)))
+    sim_d = np.asarray(qry_deg @ gal.T)
+    rank1_d = float(np.mean(sim_d.argmax(1) == np.arange(len(eval_ids))))
+    print(f"held-out rank-1 (degraded queries): {rank1_d:.4f}")
 
     # transfer: dense-mot object crops (what the trackers actually embed)
     for n_obj in (32, 64):
