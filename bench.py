@@ -505,7 +505,10 @@ def _measure(mode: str, prog: dict, link_mbps: float,
     }
 
     if mode == "single":
-        chunk = int(os.environ.get("RTMODT_BENCH_CHUNK", "32"))
+        # K=64 measured 0.526 ms/frame device-side vs 0.548 at K=32
+        # (round-5 trace_chunk ledger) - larger chunks keep amortizing the
+        # per-chunk fixed ops after the x6 shuffle removal
+        chunk = int(os.environ.get("RTMODT_BENCH_CHUNK", "64"))
         cfg = load_config(overrides=base_over)
         from rtmodt_tpu.ops.yuv import pack_chunk
         from rtmodt_tpu.runtime.pipeline import Pipeline

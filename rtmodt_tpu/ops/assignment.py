@@ -85,6 +85,12 @@ def greedy_assign(
         jnp.full((c,), -1, dtype=jnp.int32),
         jnp.int32(0),
     )
+    # NOTE: unrolling the first rounds (the ops/nms.py::_greedy_suppress
+    # trick) was MEASURED SLOWER here - 0.601 vs 0.526 ms/frame for the
+    # K=64 chunk program: this loop runs once per frame inside the tracker
+    # scan and its body (two (R, C) argmax sweeps + scatters) costs more
+    # than the loop overhead, so unconditional unrolled rounds lose to the
+    # data-dependent early exit (docs/PERF_NOTES.md round 5).
     _, row_to_col, col_to_row, rounds = jax.lax.while_loop(cond, body, init)
     return AssignResult(row_to_col, col_to_row, rounds)
 

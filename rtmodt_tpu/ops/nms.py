@@ -86,10 +86,15 @@ def _greedy_suppress(iou: jnp.ndarray, scores: jnp.ndarray,
 
     init = jnp.ones((k,), dtype=bool)
     keep, prev = step(init), init
+    it = jnp.int32(1)
     for _ in range(min(_FIXPOINT_UNROLL, k) - 1):
+        # past the fixpoint extra steps are exact no-ops; `it` advances
+        # only while still changing, so `rounds` keeps its meaning (steps
+        # to convergence - pinned against the host replica in
+        # tests/test_dense_scenes.py)
+        it = it + jnp.any(keep != prev).astype(jnp.int32)
         keep, prev = step(keep), keep
-    keep, _, rounds = jax.lax.while_loop(
-        cond, body, (keep, prev, jnp.int32(min(_FIXPOINT_UNROLL, k))))
+    keep, _, rounds = jax.lax.while_loop(cond, body, (keep, prev, it))
     return keep, rounds
 
 
