@@ -252,14 +252,22 @@ def main() -> None:
             elif rc == EXIT_RELAY_NOT_DRAINED and drains_used < len(drain_sleeps):
                 # the child's preflight watchdog fired before any real work:
                 # the relay session from the previous pass had not drained.
-                # Escalate the sleep and retry the SAME config (free: the
-                # pass did not touch the device, so nothing was measured)
+                # Escalate the sleep and retry (free: the pass did not touch
+                # the device, so nothing was measured).  First drain retries
+                # the SAME config; a second consecutive drain means the
+                # relay is having a bad day - retry as single+multi, which
+                # banks a single result before attempting multi in the same
+                # proven process (measured necessary: the first hardware run
+                # of this path saw the relay wedge through BOTH escalated
+                # sleeps, and the budget ran out before the multi slot)
                 next_sleep = drain_sleeps[drains_used]
                 drains_used += 1
+                retry = (cfg_name if drains_used < 2 or cfg_name == "single"
+                         else "single+multi")
                 print(f"pass {pass_idx} [{label}] relay not drained; "
-                      f"sleeping {next_sleep:.0f}s and retrying the same "
-                      "config", file=sys.stderr)
-                queue.insert(0, (cfg_name, attempt, extra_env))
+                      f"sleeping {next_sleep:.0f}s and retrying as {retry}",
+                      file=sys.stderr)
+                queue.insert(0, (retry, attempt, extra_env))
             else:
                 print(f"pass {pass_idx} [{label}] failed:\n{err[-1200:]}",
                       file=sys.stderr)
@@ -397,8 +405,11 @@ def _preflight_and_probe() -> float:
 
     th = threading.Thread(target=work, daemon=True)
     th.start()
+    # a healthy preflight takes ~5-15 s (trivial jit + two 8 MB puts); 45 s
+    # of silence means the relay is wedged - exiting early preserves budget
+    # for the escalated-sleep retry
     th.join(timeout=float(os.environ.get("RTMODT_BENCH_PREFLIGHT_TIMEOUT",
-                                         "60")))
+                                         "45")))
     if th.is_alive():
         print("[diag] preflight watchdog fired: relay not drained",
               file=sys.stderr, flush=True)

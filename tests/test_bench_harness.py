@@ -148,14 +148,17 @@ class TestDrainEscalation:
         assert "relay not drained; sleeping 2s" in proc.stderr
         assert "pass 2 [multi NCHUNKS=24]: 24.0 fps" in proc.stderr
 
-    def test_second_drain_escalates_further(self, tmp_path):
+    def test_second_drain_escalates_further_and_falls_back(self, tmp_path):
+        # after a second consecutive drain the retry switches to
+        # single+multi (bank a single first, multi in the same process)
         proc, result, _ = run_parent(
             ["ok:100", "drain", "drain", "ok:150",
              "ok:1", "ok:1", "ok:1", "ok:1"],
             tmp_path, extra_env={"RTMODT_BENCH_SLEEP": "0.5"})
         assert result["value"] == 150.0
         assert "sleeping 2s" in proc.stderr
-        assert "sleeping 4s" in proc.stderr
+        assert "sleeping 4s and retrying as single+multi" in proc.stderr
+        assert "pass 3 [single+multi NCHUNKS=24]: 150.0 fps" in proc.stderr
 
 
 class TestSingleMultiFallback:
