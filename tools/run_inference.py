@@ -128,8 +128,12 @@ def detect(images, gt_json, out, model, weights, num_classes, input_size,
               help="offline post-processing: linearly fill per-id track "
                    "gaps up to MAX_GAP frames (ByteTrack's standard offline "
                    "trick; needs future frames so it never runs live)")
+@click.option("--embedder", default=None,
+              help="appearance embedder .npz override for deepsort/botsort "
+                   "(default: the shipped checkpoints/embedder.npz)")
 def track(video, out, model, weights, num_classes, input_size, gt_mot, conf,
-          match_thresh, track_thresh, max_frames, algorithm, interpolate):
+          match_thresh, track_thresh, max_frames, algorithm, interpolate,
+          embedder):
     """Detect+track over a video -> MOT15-2D rows (+ optional IDF1/MOTA)."""
     import cv2
 
@@ -145,10 +149,12 @@ def track(video, out, model, weights, num_classes, input_size, gt_mot, conf,
                      "bytetrack": {"match_thresh": match_thresh,
                                    "track_thresh": track_thresh,
                                    "new_track_thresh": track_thresh},
-                     "deepsort": {"min_confidence": track_thresh},
+                     "deepsort": {"min_confidence": track_thresh,
+                                  **({"embedder": embedder} if embedder else {})},
                      "botsort": {"track_thresh": track_thresh,
                                  "new_track_thresh": track_thresh,
-                                 "match_thresh": match_thresh},
+                                 "match_thresh": match_thresh,
+                                 **({"embedder": embedder} if embedder else {})},
                      "ocsort": {"det_thresh": track_thresh}},
         "events": {"enabled": False},
         "visualization": {"enabled": False},
