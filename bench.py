@@ -516,10 +516,12 @@ def _measure(mode: str, prog: dict, link_mbps: float,
     }
 
     if mode == "single":
-        # K=64 measured 0.526 ms/frame device-side vs 0.548 at K=32
-        # (round-5 trace_chunk ledger) - larger chunks keep amortizing the
-        # per-chunk fixed ops after the x6 shuffle removal
-        chunk = int(os.environ.get("RTMODT_BENCH_CHUNK", "64"))
+        # chunk-size ledger (round-5 trace_chunk, x6, rich640d nc=8):
+        # K=32 0.548, K=64 0.526, K=128 0.468 ms/frame device-side -
+        # per-chunk fixed ops keep amortizing after the x6 shuffle
+        # removal.  K=128 is a pure-throughput configuration (the live
+        # low-latency path stays per-frame/small-chunk; tools/bench_latency.py)
+        chunk = int(os.environ.get("RTMODT_BENCH_CHUNK", "128"))
         cfg = load_config(overrides=base_over)
         from rtmodt_tpu.ops.yuv import pack_chunk
         from rtmodt_tpu.runtime.pipeline import Pipeline
@@ -531,7 +533,7 @@ def _measure(mode: str, prog: dict, link_mbps: float,
                                       max(4, 2048 // chunk)))
         warm_chunks = max(1, min(128 // chunk, n_chunks // 4))
 
-        use_x6 = pipe._x6_transport()
+        s2d_level = pipe._s2d_level(h, w)
 
         def make_block(i):
             sl = frames[(i % 2) * chunk:(i % 2) * chunk + chunk]
@@ -541,11 +543,12 @@ def _measure(mode: str, prog: dict, link_mbps: float,
             # docs/PERF_NOTES.md) - content-irrelevant 8px corner
             y = y.copy()
             y[:, :2, :4] = i & 0xFF
-            if use_x6:
+            if s2d_level:
                 # final transport layout built HERE on the pool worker, so
                 # the main loop ships it straight to the device
-                from rtmodt_tpu.ops.yuv import planes_to_x6
-                return planes_to_x6(y, u, v)
+                from rtmodt_tpu.ops.yuv import planes_to_x24, planes_to_x6
+                pack = planes_to_x6 if s2d_level == 1 else planes_to_x24
+                return pack(y, u, v)
             return y, u, v
 
         submit = lambda blk: pipe.submit_packed_yuv(blk, h, w)
@@ -575,7 +578,7 @@ def _measure(mode: str, prog: dict, link_mbps: float,
         warm_chunks = max(1, min(128 // (t_chunk * s_streams),
                                  n_chunks // 4))
 
-        use_x6 = msp._x6_transport()
+        s2d_level = msp._s2d_level(h, w)
 
         def make_block(i):
             sl = frames[(i % 2) * t_chunk:(i % 2) * t_chunk + t_chunk]
@@ -583,9 +586,10 @@ def _measure(mode: str, prog: dict, link_mbps: float,
             (y, u, v), _ = pack_chunk(flat, cfg.detection.input_size)
             y = y.copy()
             y[:, :2, :4] = i & 0xFF
-            if use_x6:
-                from rtmodt_tpu.ops.yuv import planes_to_x6
-                x6 = planes_to_x6(y, u, v)
+            if s2d_level:
+                from rtmodt_tpu.ops.yuv import planes_to_x24, planes_to_x6
+                pack = planes_to_x6 if s2d_level == 1 else planes_to_x24
+                x6 = pack(y, u, v)
                 return x6.reshape(t_chunk, s_streams, *x6.shape[1:])
             return (y.reshape(t_chunk, s_streams, *y.shape[1:]),
                     u.reshape(t_chunk, s_streams, *u.shape[1:]),

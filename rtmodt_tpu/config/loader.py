@@ -274,9 +274,10 @@ class ParallelConfig:
                               # (hides host<->device latency; 0 = lowest latency)
     chunk_size: int = 1       # >1: run() batches frames into lax.scan chunks
                               # (throughput mode for file/offline sources)
-    transport: str = "packed" # packed (auto: x6 s2d layout where the s2d
-                              # front runs, else planar I420 - same bytes)
-                              # | x6 (pin space-to-depth layout)
+    transport: str = "packed" # packed (auto: highest eligible s2d layout -
+                              # x24 where dims allow, else x6, else planar
+                              # I420 - same bytes on the wire either way)
+                              # | x6 / x24 (pin a space-to-depth level)
                               # | i420 (pin planar I420)
                               # | bgr (raw frames; deepsort/per-stage always bgr)
 
@@ -410,22 +411,24 @@ def _deep_merge(base: dict, over: dict) -> dict:
 
 
 def _validate(cfg: PipelineConfig) -> None:
-    if cfg.parallel.transport not in ("packed", "x6", "i420", "bgr"):
-        raise ValueError("parallel.transport must be packed|x6|i420|bgr, "
-                         f"got {cfg.parallel.transport!r}")
-    if cfg.parallel.transport == "x6" and cfg.detection.quant != "none":
-        raise ValueError("parallel.transport=x6 requires detection.quant="
-                         "none (int8 intercepts the Flax modules the s2d "
-                         "front bypasses); use transport=packed for auto")
-    if (cfg.parallel.transport == "x6"
+    if cfg.parallel.transport not in ("packed", "x6", "x24", "i420", "bgr"):
+        raise ValueError("parallel.transport must be packed|x6|x24|i420|"
+                         f"bgr, got {cfg.parallel.transport!r}")
+    if (cfg.parallel.transport in ("x6", "x24")
+            and cfg.detection.quant != "none"):
+        raise ValueError(f"parallel.transport={cfg.parallel.transport} "
+                         "requires detection.quant=none (int8 intercepts "
+                         "the Flax modules the s2d front bypasses); use "
+                         "transport=packed for auto")
+    if (cfg.parallel.transport in ("x6", "x24")
             and cfg.tracking.algorithm in ("deepsort", "botsort")):
-        raise ValueError("parallel.transport=x6 is incompatible with "
-                         f"tracking.algorithm={cfg.tracking.algorithm!r}: "
-                         "appearance trackers need the Y/U/V planes back "
-                         "for ROI embedding crops, which the x6 "
-                         "space-to-depth layout does not carry; use "
-                         "transport=packed (auto-selects planes for "
-                         "appearance trackers) or i420")
+        raise ValueError(f"parallel.transport={cfg.parallel.transport} is "
+                         "incompatible with tracking.algorithm="
+                         f"{cfg.tracking.algorithm!r}: appearance trackers "
+                         "need the Y/U/V planes back for ROI embedding "
+                         "crops, which a space-to-depth layout does not "
+                         "carry; use transport=packed (auto-selects planes "
+                         "for appearance trackers) or i420")
     alert = cfg.events.alert
     if alert.backend not in ("json_file", "webhook", "mqtt"):
         raise ValueError("events.alert.backend must be json_file|webhook|mqtt, "

@@ -44,6 +44,28 @@ def half_res_luma(y: jnp.ndarray) -> jnp.ndarray:
     return y.astype(jnp.float32).reshape(h // 2, 2, w // 2, 2).mean((1, 3))
 
 
+def s2d_half_luma(x6: jnp.ndarray) -> jnp.ndarray:
+    """Half-res luma from one x6 frame (H/2, W/2, 6): mean of the four Y
+    parity channels - bit-identical to ``half_res_luma`` of the full-res
+    Y plane (the parities ARE the 2x2 block samples)."""
+    return jnp.mean(x6[..., :4].astype(jnp.float32), axis=-1)
+
+
+def x24_half_luma(x24: jnp.ndarray) -> jnp.ndarray:
+    """Half-res luma from one x24 frame (H/4, W/4, 24).
+
+    Channel ``c6*4 + g2`` (ops/yuv.py::planes_to_x24): the 16 Y channels
+    hold the 4 first-level parities (c6) at each of the 4 second-level
+    parities (g2).  Mean over c6 gives the half-res luma of each
+    second-level parity; a depth-to-space 2x2 restores the (H/2, W/2)
+    grid - bit-identical to the x6 / pooled-i420 paths, so GMC shift
+    estimates stay transport-independent at every level."""
+    h4, w4 = x24.shape[0], x24.shape[1]
+    m = x24[..., :16].astype(jnp.float32).reshape(h4, w4, 4, 4).mean(axis=-2)
+    return m.reshape(h4, w4, 2, 2).transpose(0, 2, 1, 3).reshape(
+        h4 * 2, w4 * 2)
+
+
 def luma_grid(img: jnp.ndarray, grid: int = 128) -> jnp.ndarray:
     """Downsample a frame to a fixed (grid, grid) f32 luma raster.
 

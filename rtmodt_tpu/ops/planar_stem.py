@@ -162,6 +162,28 @@ def pad_planes(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, size: int,
     return y_p, u_p, v_p
 
 
+def pad_x24(x24: jnp.ndarray, size: int, pad_left: int, pad_top: int,
+            dtype=None) -> jnp.ndarray:
+    """Letterbox-pad an x24 content tensor (B, ch/4, cw/4, 24) to
+    (B, S/4, S/4, 24) - the double-s2d twin of :func:`pad_x6`.  Channel
+    order ``c6 * 4 + g2`` (ops/yuv.py::planes_to_x24): Y channels (c6<4)
+    fill with 114, chroma with 128.  Requires pads divisible by 4 (the
+    caller guarantees it - Pipeline._s2d_level falls back to x6
+    otherwise)."""
+    hh, ww = x24.shape[1:3]
+    s4 = size // 4
+    pt, pl = pad_top // 4, pad_left // 4
+    if dtype is not None:
+        x24 = x24.astype(dtype)
+    out = jnp.pad(x24, ((0, 0), (pt, s4 - hh - pt), (pl, s4 - ww - pl),
+                        (0, 0)))
+    row = jnp.arange(s4, dtype=jnp.int32)[:, None, None]
+    col = jnp.arange(s4, dtype=jnp.int32)[None, :, None]
+    inside = (row >= pt) & (row < pt + hh) & (col >= pl) & (col < pl + ww)
+    fill = jnp.asarray([114] * 16 + [128] * 8, x24.dtype)
+    return jnp.where(inside[None], out, fill[None, None, None, :])
+
+
 def pad_x6(x6: jnp.ndarray, size: int, pad_left: int, pad_top: int,
            dtype=None) -> jnp.ndarray:
     """Letterbox-pad an x6 content tensor (B, ch/2, cw/2, 6) to (B, S/2,

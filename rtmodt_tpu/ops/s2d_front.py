@@ -65,6 +65,33 @@ def _pack_in6_kernel(k2: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _pack_in24_kernel(k2: jnp.ndarray) -> jnp.ndarray:
+    """(2, 2, 6, C) stem kernel -> (2, 2, 24, 4C) double-s2d kernel.
+
+    The x6 stem (3x3 stride-2 over the (S/2, S/2, 6) grid) re-expressed
+    over the x24 grid (S/4, S/4, 24): output cell I parity p is the stem
+    output at x6 row 2I+p, whose k2 window covers x6 rows 2I+p-1+ky -
+    i.e. x24 cells I-1+wy at first-level parity pr with
+    ``wy = (p-1+ky)//2 + 1, pr = (p-1+ky) % 2``.  2x2 stride-1 conv,
+    padding ((1,0),(1,0)); input channel ``c6*4 + (2*pr+pc)``
+    (ops/yuv.py::planes_to_x24 order).  Arithmetic identical to
+    ``_pack_in6_kernel``'s conv; contraction depth 2*2*24=96 of the
+    MXU's 128 lanes vs 6 - the fix for the 8.9 TF/s stem
+    (docs/PERF_NOTES.md round 5)."""
+    c = k2.shape[-1]
+    out = jnp.zeros((2, 2, 24, 4 * c), k2.dtype)
+    for p in (0, 1):
+        for q in (0, 1):
+            g_out = 2 * p + q
+            for ky in (0, 1):
+                for kx in (0, 1):
+                    wy, pr = divmod(p - 1 + ky, 2)
+                    wx, pc = divmod(q - 1 + kx, 2)
+                    out = out.at[wy + 1, wx + 1,
+                                 (2 * pr + pc)::4, g_out::4].set(k2[ky, kx])
+    return out
+
+
 def _pack_s2_kernel(w: jnp.ndarray) -> jnp.ndarray:
     """(3, 3, C, K) stride-2 conv -> (3, 3, 4C, 4K) packed->packed."""
     c, k = w.shape[2], w.shape[3]
@@ -182,6 +209,14 @@ def apply_front_x6(params: dict, model: Any, x6p: jnp.ndarray,
     return model.apply(params, feats, train=False, skip_front=True)
 
 
+def apply_front_x24(params: dict, model: Any, x24p: jnp.ndarray,
+                    dtype=jnp.bfloat16):
+    """x24-transport twin of :func:`apply_front_x6`: takes the
+    letterbox-padded (B, S/4, S/4, 24) double-s2d tensor."""
+    feats = s2d_front_apply_x24(precompute_front(params), x24p, dtype=dtype)
+    return model.apply(params, feats, train=False, skip_front=True)
+
+
 def precompute_front(params: dict, bn_eps: float = 1e-3) -> dict:
     """Build the packed front kernels + eval-mode affines ONCE.
 
@@ -217,6 +252,8 @@ def precompute_front(params: dict, bn_eps: float = 1e-3) -> dict:
     out = {
         "stem": entry(k2, pr["stem"], stats("stem"), _pack_in6_kernel,
                       extra_bias=const),
+        "stem24": entry(k2, pr["stem"], stats("stem"), _pack_in24_kernel,
+                        extra_bias=const),
         "down1": entry(pr["down1"]["conv"]["kernel"], pr["down1"],
                        stats("down1"), _pack_s2_kernel),
         "down2": entry(pr["down2"]["conv"]["kernel"], pr["down2"],
@@ -259,17 +296,12 @@ def s2d_front_apply_packed(pk: dict, y: jnp.ndarray, u: jnp.ndarray,
     return s2d_front_apply_x6(pk, make_x6(y, u, v, dtype), dtype=dtype)
 
 
-def s2d_front_apply_x6(pk: dict, x6: jnp.ndarray,
-                       dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Same front, consuming the (B, S/2, S/2, 6) space-to-depth tensor
-    directly - the path for the x6 transport (``ops.yuv.planes_to_x6`` +
-    ``ops.planar_stem.pad_x6``), where the host already did the s2d
-    rearrangement and no device-side lane shuffle is needed."""
+def _front_tail(pk: dict, x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """down1 -> c2f1 -> down2 from the packed stem output
+    (B, S/4, S/4, 4C0) - shared by the x6 and x24 entries."""
     p00 = ((0, 0), (0, 0))
     p10 = ((1, 0), (1, 0))
     p11 = ((1, 1), (1, 1))
-    x = x6.astype(dtype)                                       # (B, S/2, S/2, 6)
-    x = _cb(x, pk["stem"], 2, p10, dtype)                      # (B, S/4, S/4, 4C0)
     x = _cb(x, pk["down1"], 2, p10, dtype)                     # (B, S/8, S/8, 4C1)
 
     # c2f1 in packed layout (parity-minor channels: unpacked split/concat
@@ -285,6 +317,32 @@ def s2d_front_apply_x6(pk: dict, x6: jnp.ndarray,
 
     # down2: exit packed space -> (B, S/8, S/8, C2) unpacked
     return _cb(x, pk["down2"], 1, p10, dtype)
+
+
+def s2d_front_apply_x6(pk: dict, x6: jnp.ndarray,
+                       dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Same front, consuming the (B, S/2, S/2, 6) space-to-depth tensor
+    directly - the path for the x6 transport (``ops.yuv.planes_to_x6`` +
+    ``ops.planar_stem.pad_x6``), where the host already did the s2d
+    rearrangement and no device-side lane shuffle is needed."""
+    p10 = ((1, 0), (1, 0))
+    x = x6.astype(dtype)                                       # (B, S/2, S/2, 6)
+    x = _cb(x, pk["stem"], 2, p10, dtype)                      # (B, S/4, S/4, 4C0)
+    return _front_tail(pk, x, dtype)
+
+
+def s2d_front_apply_x24(pk: dict, x24: jnp.ndarray,
+                        dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Same front from the DOUBLE space-to-depth tensor (B, S/4, S/4, 24)
+    (``ops.yuv.planes_to_x24`` + ``ops.planar_stem.pad_x24``).  The stem
+    becomes a 2x2 stride-1 conv with 96-deep contraction instead of the
+    6-lane 3x3 stride-2 - bit-identical outputs (tests/test_pipeline.py
+    pins x24 == x6 == i420), ~4x the MXU lane occupancy on the program's
+    formerly slowest conv."""
+    p10 = ((1, 0), (1, 0))
+    x = x24.astype(dtype)                                      # (B, S/4, S/4, 24)
+    x = _cb(x, pk["stem24"], 1, p10, dtype)                    # (B, S/4, S/4, 4C0)
+    return _front_tail(pk, x, dtype)
 
 
 def s2d_front_apply(params: dict, y: jnp.ndarray, u: jnp.ndarray,

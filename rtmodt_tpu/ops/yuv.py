@@ -191,6 +191,42 @@ def planes_to_x6(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     return out
 
 
+def planes_to_x24(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                  out: np.ndarray | None = None) -> np.ndarray:
+    """Host-side DOUBLE space-to-depth packing: planar I420 chunk ->
+    ``(N, ch/4, cw/4, 24)`` uint8, channel ``c6 * 4 + g2`` where ``c6`` is
+    the x6 channel (4 Y parities, U, V - ops/planar_stem.py::make_x6
+    order) and ``g2 = 2*p2 + q2`` the second-level 2x2 parity.
+
+    Why a second octave: the x6 stem conv runs the MXU at ~9 TF/s because
+    only 6 of its 128 input lanes are live (round-5 trace attribution,
+    docs/PERF_NOTES.md).  Re-blocking the input to 24 channels at quarter
+    resolution turns the stem into a 2x2 stride-1 conv over 24 lanes -
+    identical arithmetic (s2d_front.py::_pack_in24_kernel), 4x the lane
+    occupancy.  Link bytes are IDENTICAL to x6/planar I420.  Requires
+    content dims divisible by 4 and letterbox pads divisible by 4 (the
+    blocking must commute with padding); callers fall back to x6
+    otherwise (Pipeline._s2d_level).
+    """
+    n, ch, cw = y.shape
+    if out is None:
+        out = np.empty((n, ch // 4, cw // 4, 24), np.uint8)
+    # full-res row r = 4I + m with m = 2*p2 + p1; col likewise
+    ys = y.reshape(n, ch // 4, 4, cw // 4, 4)
+    for m in range(4):
+        p2, p1 = divmod(m, 2)
+        for mm in range(4):
+            q2, q1 = divmod(mm, 2)
+            out[..., (2 * p1 + q1) * 4 + 2 * p2 + q2] = ys[:, :, m, :, mm]
+    us = u.reshape(n, ch // 4, 2, cw // 4, 2)
+    vs = v.reshape(n, ch // 4, 2, cw // 4, 2)
+    for p2 in (0, 1):
+        for q2 in (0, 1):
+            out[..., 16 + 2 * p2 + q2] = us[:, :, p2, :, q2]
+            out[..., 20 + 2 * p2 + q2] = vs[:, :, p2, :, q2]
+    return out
+
+
 def pack_x6_chunk(frames_bgr: np.ndarray, size: int,
                   out: np.ndarray | None = None,
                   scratch=None):

@@ -508,30 +508,58 @@ class MultiStreamPipeline:
         return self._jitted[key]
 
     def _x6_transport(self) -> bool:
-        """Whether chunks ship the x6 space-to-depth layout instead of
-        planar I420 (same decision rule as ``Pipeline._x6_transport``:
-        auto under ``packed`` where the s2d front runs - quant off, motion
+        """Whether chunks ship a space-to-depth layout instead of planar
+        I420 (same decision rule as ``Pipeline._x6_transport``: auto
+        under ``packed`` where the s2d front runs - quant off, motion
         trackers whose programs never need the Y/U/V planes back)."""
         tr = self.cfg.parallel.transport
-        if tr == "x6":
+        if tr in ("x6", "x24"):
             return True
         return (tr == "packed" and self.cfg.detection.quant == "none"
                 and not self._is_appearance)
 
-    def _packed_chunk_x6_for(self, src_h: int, src_w: int, t: int):
-        """x6-transport twin of ``_packed_chunk_for``: consumes the host
-        space-to-depth tensor (T, S, ch/2, cw/2, 6) - the device-side
-        ``make_x6`` lane shuffle disappears and GMC luma grids come from
-        the mean of the four Y parity channels, numerically identical to
-        the i420 path's half-res pooled grids (ops/gmc.py::half_res_luma).
-        Streams stay sharded over ``data``."""
-        key = ("x6", src_h, src_w, t)
+    def _s2d_level(self, src_h: int, src_w: int) -> int:
+        """Same decision as ``Pipeline._s2d_level``: 2 = x24 where
+        content dims and pads divide by 4, 1 = x6, 0 = planar."""
+        from rtmodt_tpu.ops.yuv import content_dims, packed_meta
+
+        if not self._x6_transport():
+            return 0
+        tr = self.cfg.parallel.transport
+        size = self.cfg.detection.input_size
+        ch, cw = content_dims(src_h, src_w, size)
+        meta = packed_meta(src_h, src_w, size)
+        ok24 = (ch % 4 == 0 and cw % 4 == 0
+                and meta.pad_left % 4 == 0 and meta.pad_top % 4 == 0)
+        if tr == "x6":
+            return 1
+        if tr == "x24":
+            if not ok24:
+                raise ValueError(
+                    f"parallel.transport=x24 pinned but source {src_w}x"
+                    f"{src_h} geometry is not divisible by 4; use "
+                    "transport=packed for auto-selection")
+            return 2
+        return 2 if ok24 else 1
+
+    def _packed_chunk_x6_for(self, src_h: int, src_w: int, t: int,
+                             level: int = 1):
+        """s2d-transport twin of ``_packed_chunk_for``: consumes the host
+        space-to-depth tensor ((T, S, ch/2, cw/2, 6) x6 or (T, S, ch/4,
+        cw/4, 24) x24) - the device-side lane shuffle disappears and GMC
+        luma grids come from the Y parity channels, numerically identical
+        to the i420 path's half-res pooled grids (ops/gmc.py).  Streams
+        stay sharded over ``data``."""
+        key = ("x6" if level == 1 else "x24", src_h, src_w, t)
         if key in self._jitted:
             return self._jitted[key]
-        from rtmodt_tpu.ops.planar_stem import pad_x6
-        from rtmodt_tpu.ops.s2d_front import apply_front_x6
+        from rtmodt_tpu.ops.planar_stem import pad_x24, pad_x6
+        from rtmodt_tpu.ops.s2d_front import apply_front_x24, apply_front_x6
         from rtmodt_tpu.ops.yuv import (content_dims, packed_meta,
                                        unletterbox_boxes_packed)
+
+        pad_fn = pad_x6 if level == 1 else pad_x24
+        front_fn = apply_front_x6 if level == 1 else apply_front_x24
 
         dcfg = self.cfg.detection
         mot_update = self._mot_update
@@ -549,8 +577,8 @@ class MultiStreamPipeline:
         def chunk(params, state, x6, gmc_grids=None, gmc_valid=None):
             n = t * s_streams
             x6f = x6.reshape(n, *x6.shape[2:])
-            x6p = pad_x6(x6f, size, pad_left, pad_top, dtype=dtype)
-            bd, cl = apply_front_x6(params, model, x6p, dtype)
+            x6p = pad_fn(x6f, size, pad_left, pad_top, dtype=dtype)
+            bd, cl = front_fn(params, model, x6p, dtype)
 
             def one_nms(bdi, cli):
                 res = batched_nms_from_logits(
@@ -564,11 +592,14 @@ class MultiStreamPipeline:
                 lambda a: a.reshape(t, s_streams, *a.shape[1:]), ress)
 
             if gmc_on:          # static at trace time
-                from rtmodt_tpu.ops.gmc import gmc_step, luma_grid
+                from rtmodt_tpu.ops.gmc import (gmc_step, luma_grid,
+                                                s2d_half_luma,
+                                                x24_half_luma)
 
-                # half-res luma = mean of the four Y parity channels: the
-                # same content the i420 path pools, one octave earlier
-                luma = jnp.mean(x6f[..., :4].astype(jnp.float32), axis=-1)
+                # half-res luma from the Y parity channels: the same
+                # content the i420 path pools, identical at either level
+                hl = s2d_half_luma if level == 1 else x24_half_luma
+                luma = jax.vmap(hl)(x6f)
                 grids = jax.vmap(lambda yy: luma_grid(yy, gcfg.grid))(luma)
                 grids = grids.reshape(t, s_streams, gcfg.grid, gcfg.grid)
 
@@ -616,7 +647,10 @@ class MultiStreamPipeline:
         from rtmodt_tpu.runtime.aot_cache import aot_cached
 
         def example_args():
-            x0 = np.zeros((t, s_streams, ch // 2, cw // 2, 6), np.uint8)
+            x0 = (np.zeros((t, s_streams, ch // 2, cw // 2, 6), np.uint8)
+                  if level == 1
+                  else np.zeros((t, s_streams, ch // 4, cw // 4, 24),
+                                np.uint8))
             base = (self.params, self.state, x0)
             if gmc_on:
                 return base + (
@@ -627,7 +661,8 @@ class MultiStreamPipeline:
         param_sig = jax.tree.map(
             lambda x: (tuple(x.shape), str(x.dtype)), self.params)
         self._jitted[key] = aot_cached(
-            ("msp_packed_x6", repr(dcfg), self._mot_repr, self._gmc_repr,
+            ("msp_packed_x6" if level == 1 else "msp_packed_x24",
+             repr(dcfg), self._mot_repr, self._gmc_repr,
              s_streams, tuple(self.mesh.shape.items()), src_h, src_w, t,
              param_sig),
             build, example_args)
@@ -773,15 +808,27 @@ class MultiStreamPipeline:
 
     def submit_chunk_packed(self, planes, src_h: int, src_w: int):
         """Async-submit packed chunks: (y (T,S,ch,cw), u, v) uint8 planes,
-        or - with the x6 transport active - the pre-packed
-        (T, S, ch/2, cw/2, 6) space-to-depth tensor from an ingest worker."""
+        or - with an s2d transport active - the pre-packed space-to-depth
+        tensor from an ingest worker ((T, S, ch/2, cw/2, 6) x6 or
+        (T, S, ch/4, cw/4, 24) x24, matching ``_s2d_level``)."""
         if isinstance(planes, np.ndarray):
             if not self._x6_transport():
-                raise ValueError("pre-packed x6 submitted but the active "
-                                 "transport is not x6")
+                raise ValueError("pre-packed s2d tensor submitted but the "
+                                 "active transport is not s2d")
+            level = self._s2d_level(src_h, src_w)
+            got = {6: 1, 24: 2}.get(int(planes.shape[-1]))
+            tr = self.cfg.parallel.transport
+            if (got is None or (got == 2 and level != 2)
+                    or (tr == "x6" and got != 1)
+                    or (tr == "x24" and got != 2)):
+                raise ValueError(
+                    f"pre-packed tensor has {planes.shape[-1]} channels; "
+                    f"transport={tr!r} with this geometry expects "
+                    f"{'6 (x6)' if level == 1 else '6 or 24'}")
+            level = got
             t = planes.shape[0]
             sh = NamedSharding(self.mesh, P(None, "data"))
-            fn = self._packed_chunk_x6_for(src_h, src_w, t)
+            fn = self._packed_chunk_x6_for(src_h, src_w, t, level=level)
             self.state, outs, ress = self._run_prog(
                 fn, self.params, self.state, jax.device_put(planes, sh))
             return outs, ress
@@ -795,14 +842,16 @@ class MultiStreamPipeline:
             self.state, outs, ress = self._run_prog(
                 fn, self.params, self.emb_params, self.state, *dev)
         elif self._x6_transport():
-            from rtmodt_tpu.ops.yuv import planes_to_x6
+            from rtmodt_tpu.ops.yuv import planes_to_x24, planes_to_x6
 
+            level = self._s2d_level(src_h, src_w)
+            pack = planes_to_x6 if level == 1 else planes_to_x24
             s = y.shape[1]
-            x6 = planes_to_x6(y.reshape(t * s, *y.shape[2:]),
-                              u.reshape(t * s, *u.shape[2:]),
-                              v.reshape(t * s, *v.shape[2:]))
+            x6 = pack(y.reshape(t * s, *y.shape[2:]),
+                      u.reshape(t * s, *u.shape[2:]),
+                      v.reshape(t * s, *v.shape[2:]))
             x6 = x6.reshape(t, s, *x6.shape[1:])
-            fn = self._packed_chunk_x6_for(src_h, src_w, t)
+            fn = self._packed_chunk_x6_for(src_h, src_w, t, level=level)
             self.state, outs, ress = self._run_prog(
                 fn, self.params, self.state, jax.device_put(x6, sh))
         else:

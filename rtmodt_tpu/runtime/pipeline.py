@@ -612,33 +612,69 @@ class Pipeline:
         return self._chunk_fns[key]
 
     def _x6_transport(self) -> bool:
-        """Whether the chunk path ships the x6 space-to-depth layout
-        (ops/yuv.py::planes_to_x6) instead of planar I420.  Same link
-        bytes; moves the s2d lane shuffle from the device VPU (~0.065
-        ms/frame, docs/PERF_NOTES.md) to a strided host copy on the ingest
-        worker.  ``packed`` auto-selects it where the s2d front runs
-        (quant off, motion trackers); ``i420`` pins the planar layout;
-        appearance trackers keep planes for their ROI crops."""
+        """Whether the chunk path ships a space-to-depth layout
+        (ops/yuv.py::planes_to_x6 / planes_to_x24) instead of planar
+        I420.  Same link bytes; moves the s2d lane shuffle from the
+        device VPU (~0.065 ms/frame, docs/PERF_NOTES.md) to a strided
+        host copy on the ingest worker.  ``packed`` auto-selects it where
+        the s2d front runs (quant off, motion trackers); ``i420`` pins
+        the planar layout; appearance trackers keep planes for their ROI
+        crops."""
         t = self.cfg.parallel.transport
-        if t == "x6":
+        if t in ("x6", "x24"):
             return True
         return (t == "packed" and self.cfg.detection.quant == "none"
                 and not self._is_appearance)
 
-    def _packed_chunk_x6_for(self, src_h: int, src_w: int, k: int):
-        """x6-transport twin of ``_packed_chunk_for``: consumes the host
-        space-to-depth tensor (K, ch/2, cw/2, 6) - no device-side
-        ``make_x6`` shuffle; GMC luma grids come from the mean of the four
-        Y parity channels, numerically identical to the i420 path's
-        half-res pooled grids (ops/gmc.py::half_res_luma, tested by
+    def _s2d_level(self, src_h: int, src_w: int) -> int:
+        """Space-to-depth transport level for this source geometry: 2 =
+        x24 (double s2d - the 24-lane stem, round-5 trace win), 1 = x6,
+        0 = planar.  x24 needs content dims and letterbox pads divisible
+        by 4 so the second blocking commutes with padding; ``packed``
+        auto-upgrades to the highest eligible level, ``x6`` pins level 1,
+        ``x24`` pins level 2 (and raises on ineligible geometry rather
+        than silently changing layout)."""
+        from rtmodt_tpu.ops.yuv import content_dims, packed_meta
+
+        if not self._x6_transport():
+            return 0
+        t = self.cfg.parallel.transport
+        size = self.cfg.detection.input_size
+        ch, cw = content_dims(src_h, src_w, size)
+        meta = packed_meta(src_h, src_w, size)
+        ok24 = (ch % 4 == 0 and cw % 4 == 0
+                and meta.pad_left % 4 == 0 and meta.pad_top % 4 == 0)
+        if t == "x6":
+            return 1
+        if t == "x24":
+            if not ok24:
+                raise ValueError(
+                    f"parallel.transport=x24 pinned but source {src_w}x"
+                    f"{src_h} -> content {cw}x{ch} (pads {meta.pad_left},"
+                    f"{meta.pad_top}) is not divisible by 4; use "
+                    "transport=packed for auto-selection")
+            return 2
+        return 2 if ok24 else 1
+
+    def _packed_chunk_x6_for(self, src_h: int, src_w: int, k: int,
+                             level: int = 1):
+        """s2d-transport twin of ``_packed_chunk_for``: consumes the host
+        space-to-depth tensor - (K, ch/2, cw/2, 6) at level 1 (x6) or
+        (K, ch/4, cw/4, 24) at level 2 (x24, the 24-lane stem) - no
+        device-side lane shuffle; GMC luma grids come from the Y parity
+        channels, numerically identical to the i420 path's half-res
+        pooled grids (ops/gmc.py::half_res_luma, tested by
         tests/test_gmc.py's transport A/B)."""
-        key = ("x6", src_h, src_w, k)
+        key = ("x6" if level == 1 else "x24", src_h, src_w, k)
         if key in self._chunk_fns:
             return self._chunk_fns[key]
-        from rtmodt_tpu.ops.planar_stem import pad_x6
-        from rtmodt_tpu.ops.s2d_front import apply_front_x6
+        from rtmodt_tpu.ops.planar_stem import pad_x24, pad_x6
+        from rtmodt_tpu.ops.s2d_front import apply_front_x24, apply_front_x6
         from rtmodt_tpu.ops.yuv import (content_dims, packed_meta,
                                        unletterbox_boxes_packed)
+
+        pad_fn = pad_x6 if level == 1 else pad_x24
+        front_fn = apply_front_x6 if level == 1 else apply_front_x24
 
         dcfg = self.cfg.detection
         mot_update = self._mot_update
@@ -654,8 +690,8 @@ class Pipeline:
         scale_xy = (src_w / gcfg.grid, src_h / gcfg.grid)
 
         def chunk(params, state, x6, gmc_grid=None, gmc_valid=None):
-            x6p = pad_x6(x6, size, pad_left, pad_top, dtype=dtype)
-            box_dist, cls_logits = apply_front_x6(params, model, x6p, dtype)
+            x6p = pad_fn(x6, size, pad_left, pad_top, dtype=dtype)
+            box_dist, cls_logits = front_fn(params, model, x6p, dtype)
 
             def one_nms(bd, cl):
                 res = batched_nms_from_logits(
@@ -667,11 +703,13 @@ class Pipeline:
             ress = jax.vmap(one_nms)(box_dist, cls_logits)
 
             if gmc_on:
-                from rtmodt_tpu.ops.gmc import luma_grid
+                from rtmodt_tpu.ops.gmc import (luma_grid, s2d_half_luma,
+                                                x24_half_luma)
 
-                # half-res luma = mean of the four Y parity channels: same
-                # content the i420 path downsamples, one octave earlier
-                luma = jnp.mean(x6[..., :4].astype(jnp.float32), axis=-1)
+                # half-res luma from the Y parity channels: same content
+                # the i420 path pools, identical grids at either level
+                hl = s2d_half_luma if level == 1 else x24_half_luma
+                luma = jax.vmap(hl)(x6)
                 grids = jax.vmap(lambda yy: luma_grid(yy, gcfg.grid))(luma)
 
                 def body(st_carry, xs):
@@ -700,7 +738,8 @@ class Pipeline:
         from rtmodt_tpu.runtime.aot_cache import aot_cached
 
         def example_args():
-            x0 = np.zeros((k, ch // 2, cw // 2, 6), np.uint8)
+            x0 = (np.zeros((k, ch // 2, cw // 2, 6), np.uint8) if level == 1
+                  else np.zeros((k, ch // 4, cw // 4, 24), np.uint8))
             base = (self.detector.params, self.tracker.state, x0)
             if gmc_on:
                 return base + (np.zeros((gcfg.grid, gcfg.grid), np.float32),
@@ -710,7 +749,8 @@ class Pipeline:
         param_sig = jax.tree.map(
             lambda x: (tuple(x.shape), str(x.dtype)), self.detector.params)
         self._chunk_fns[key] = aot_cached(
-            ("pipe_packed_x6", repr(dcfg), self._mot_repr, self._gmc_repr,
+            ("pipe_packed_x6" if level == 1 else "pipe_packed_x24",
+             repr(dcfg), self._mot_repr, self._gmc_repr,
              src_h, src_w, k, donate, param_sig),
             build, example_args)
         return self._chunk_fns[key]
@@ -815,16 +855,19 @@ class Pipeline:
 
     def submit_packed_yuv(self, planes, src_h: int, src_w: int):
         """Async-submit a packed chunk: (y (K,ch,cw), u, v) uint8 planes,
-        or - when the x6 transport is active - optionally the pre-packed
-        (K, ch/2, cw/2, 6) space-to-depth tensor itself (``ops.yuv.
-        pack_x6_chunk`` on an ingest worker), skipping the main-thread
-        rearrangement."""
-        pre_x6 = isinstance(planes, np.ndarray)
-        if pre_x6:
+        or - when an s2d transport is active - optionally the pre-packed
+        space-to-depth tensor itself ((K, ch/2, cw/2, 6) x6 or
+        (K, ch/4, cw/4, 24) x24, built on an ingest worker via
+        ``ops.yuv.planes_to_x6`` / ``planes_to_x24``), skipping the
+        main-thread rearrangement.  A pre-packed tensor's channel count
+        must match the level ``_s2d_level`` selects for this geometry."""
+        pre_s2d = isinstance(planes, np.ndarray)
+        if pre_s2d:
             if not self._x6_transport():
-                raise ValueError("pre-packed x6 submitted but the active "
-                                 "transport is not x6 (appearance tracker, "
-                                 "int8, or a pinned i420/bgr layout)")
+                raise ValueError("pre-packed s2d tensor submitted but the "
+                                 "active transport is not s2d (appearance "
+                                 "tracker, int8, or a pinned i420/bgr "
+                                 "layout)")
             k = planes.shape[0]
         else:
             y, u, v = planes
@@ -834,11 +877,29 @@ class Pipeline:
             dev_args = (jax.device_put(y), jax.device_put(u),
                         jax.device_put(v))
         elif self._x6_transport():
-            from rtmodt_tpu.ops.yuv import planes_to_x6
+            from rtmodt_tpu.ops.yuv import planes_to_x24, planes_to_x6
 
-            chunk_fn = self._packed_chunk_x6_for(src_h, src_w, k)
+            level = self._s2d_level(src_h, src_w)
+            if pre_s2d:
+                # a worker-built tensor picks its own level: x6 stays
+                # valid even where auto would upgrade to x24 (the caller
+                # may not have checked divisibility); a mismatch against
+                # a PINNED level is an error
+                got = {6: 1, 24: 2}.get(int(planes.shape[-1]))
+                t = self.cfg.parallel.transport
+                if (got is None or (got == 2 and level != 2)
+                        or (t == "x6" and got != 1)
+                        or (t == "x24" and got != 2)):
+                    raise ValueError(
+                        f"pre-packed tensor has {planes.shape[-1]} "
+                        f"channels; transport={t!r} with this geometry "
+                        f"expects {'6 (x6)' if level == 1 else '6 or 24'}")
+                level = got
+            chunk_fn = self._packed_chunk_x6_for(src_h, src_w, k,
+                                                 level=level)
+            pack = planes_to_x6 if level == 1 else planes_to_x24
             dev_args = (jax.device_put(
-                planes if pre_x6 else planes_to_x6(y, u, v)),)
+                planes if pre_s2d else pack(y, u, v)),)
         else:
             chunk_fn = self._packed_chunk_for(src_h, src_w, k)
             dev_args = (jax.device_put(y), jax.device_put(u),
@@ -1059,7 +1120,8 @@ class Pipeline:
         path, appearance trackers included (their ROI crops come from the
         Y/U/V planes); per-stage and host-tracker modes keep the BGR
         stages the reference profiler mirrors."""
-        return (self.cfg.parallel.transport in ("packed", "x6", "i420")
+        return (self.cfg.parallel.transport in ("packed", "x6", "x24",
+                                                "i420")
                 and not self._per_stage
                 and self.tracker._host is None)
 

@@ -334,6 +334,14 @@ class TestPipelineGMC:
         np.testing.assert_array_equal(out_i.track_id, out_x.track_id)
         np.testing.assert_allclose(out_i.boxes, out_x.boxes, atol=0.75)
 
+        # x24 (double s2d): grids still bit-equal (the 16 Y parities mean
+        # to the same half-res luma), boxes to sub-pixel tolerance
+        out_x24, carry_x24 = collect("x24")
+        np.testing.assert_array_equal(np.asarray(carry_i[0]),
+                                      np.asarray(carry_x24[0]))
+        np.testing.assert_array_equal(out_i.track_id, out_x24.track_id)
+        np.testing.assert_allclose(out_i.boxes, out_x24.boxes, atol=0.75)
+
     def test_static_camera_gmc_output_parity(self, gmc_cfg):
         """Static camera over a TEXTURED background: the dominant scene
         translation is zero, so the chunked program's outputs must match

@@ -145,6 +145,43 @@ class TestS2DFront:
                                        atol=5e-4)
 
 
+class TestX24Front:
+    """The double-s2d entry (ops/s2d_front.py::s2d_front_apply_x24 over
+    ops/yuv.py::planes_to_x24 + pad_x24) is the same arithmetic as the x6
+    entry with rearranged kernels - outputs must match exactly, including
+    under letterbox padding with pads divisible by 4."""
+
+    @pytest.mark.parametrize("content", [(128, 128), (72, 128)])
+    def test_x24_matches_x6(self, rng, content):
+        from rtmodt_tpu.models.yolov8 import build_model
+        from rtmodt_tpu.ops.planar_stem import pad_x24, pad_x6
+        from rtmodt_tpu.ops.s2d_front import (precompute_front,
+                                              s2d_front_apply_x24,
+                                              s2d_front_apply_x6)
+        from rtmodt_tpu.ops.yuv import planes_to_x24, planes_to_x6
+
+        S = 128
+        ch, cw = content
+        pad_top, pad_left = (S - ch) // 2, (S - cw) // 2
+        assert pad_top % 4 == 0 and pad_left % 4 == 0
+        base = build_model("yolov8n", num_classes=8, dtype=jnp.float32)
+        vs = base.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, S, S, 3), jnp.float32), train=False)
+        pk = precompute_front(vs)
+
+        y = rng.integers(0, 256, (2, ch, cw), np.uint8)
+        u = rng.integers(0, 256, (2, ch // 2, cw // 2), np.uint8)
+        v = rng.integers(0, 256, (2, ch // 2, cw // 2), np.uint8)
+
+        x6p = pad_x6(jnp.asarray(planes_to_x6(y, u, v)), S, pad_left,
+                     pad_top, dtype=jnp.float32)
+        x24p = pad_x24(jnp.asarray(planes_to_x24(y, u, v)), S, pad_left,
+                       pad_top, dtype=jnp.float32)
+        want = np.asarray(s2d_front_apply_x6(pk, x6p, dtype=jnp.float32))
+        got = np.asarray(s2d_front_apply_x24(pk, x24p, dtype=jnp.float32))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 class TestNativeFramePack:
     def test_roundtrip_with_device_decode(self, rng):
         """native pack -> device decode must reconstruct the resized frame

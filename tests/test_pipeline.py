@@ -193,6 +193,24 @@ class TestX6Transport:
                         jax.tree.leaves((outs_b, ress_b))):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+        # level 2 (x24, the 24-lane stem) is the same arithmetic with a
+        # different contraction order - equal to float tolerance (the
+        # stem's 96-term sums associate differently than the 54-term x6
+        # sums), identical decisions (ids/classes/counts)
+        from rtmodt_tpu.ops.yuv import planes_to_x24
+
+        state0 = jax.tree.map(lambda x: x.copy(), pipe.tracker.state)
+        f_x24 = pipe._packed_chunk_x6_for(160, 160, 4, level=2)
+        st_c, outs_c, ress_c = f_x24(pipe.detector.params, state0,
+                                     planes_to_x24(*planes))
+        for a, c in zip(jax.tree.leaves((outs_a, ress_a)),
+                        jax.tree.leaves((outs_c, ress_c))):
+            a, c = np.asarray(a), np.asarray(c)
+            if a.dtype.kind in "iub":
+                np.testing.assert_array_equal(a, c)
+            else:
+                np.testing.assert_allclose(a, c, atol=5e-3)
+
     def test_run_chunked_defaults_to_x6(self, small_cfg, tmp_path):
         """transport=packed auto-selects x6 for motion trackers with quant
         off, and the chunked run completes with every frame tracked."""
@@ -228,7 +246,8 @@ class TestX6Transport:
             small_cfg,
             profiling=dataclasses.replace(small_cfg.profiling, per_stage=False),
             parallel=dataclasses.replace(small_cfg.parallel, chunk_size=4,
-                                         donate_state=False))
+                                         donate_state=False,
+                                         transport="x6"))
         pipe = Pipeline(cfg)
         frames = rng.integers(0, 255, (4, 160, 160, 3), np.uint8)
         planes, _ = pack_chunk(frames, cfg.detection.input_size)
@@ -247,8 +266,13 @@ class TestX6Transport:
         import dataclasses as _dc
         pipe_i420 = Pipeline(_dc.replace(
             cfg, parallel=_dc.replace(cfg.parallel, transport="i420")))
-        with _pytest.raises(ValueError, match="x6"):
+        with _pytest.raises(ValueError, match="s2d"):
             pipe_i420.submit_packed_yuv(x6, 160, 160)
+        # a pinned-x24 pipeline refuses a worker-built x6 tensor
+        pipe_x24 = Pipeline(_dc.replace(
+            cfg, parallel=_dc.replace(cfg.parallel, transport="x24")))
+        with _pytest.raises(ValueError, match="channels"):
+            pipe_x24.submit_packed_yuv(x6, 160, 160)
 
     def test_x6_gmc_chunk_runs(self, small_cfg, rng):
         """GMC-enabled x6 chunk program: half-res luma grids feed the

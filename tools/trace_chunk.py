@@ -176,9 +176,9 @@ def main() -> None:
     ap.add_argument("--num-classes", type=int, default=80,
                     help="head class count of the weights (rich* ckpts: 8)")
     ap.add_argument("--transport", default="packed",
-                    choices=["packed", "x6", "i420", "bgr"],
-                    help="parallel.transport - pin i420 vs x6 to A/B the "
-                         "host-side space-to-depth packing win")
+                    choices=["packed", "x6", "x24", "i420", "bgr"],
+                    help="parallel.transport - pin i420 / x6 / x24 to A/B "
+                         "the host-side space-to-depth packing levels")
     ap.add_argument("--topk", default="exact", choices=["exact", "approx"],
                     help="detection.topk_impl - measure approx_max_k "
                          "(TPU PartialReduce) vs the full-sort lax.top_k")
