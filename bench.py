@@ -516,11 +516,14 @@ def _measure(mode: str, prog: dict, link_mbps: float,
     }
 
     if mode == "single":
-        # chunk-size ledger (round-5 trace_chunk, x6, rich640d nc=8):
-        # K=32 0.548, K=64 0.526, K=128 0.468 ms/frame device-side -
-        # per-chunk fixed ops keep amortizing after the x6 shuffle
-        # removal.  K=128 is a pure-throughput configuration (the live
-        # low-latency path stays per-frame/small-chunk; tools/bench_latency.py)
+        # chunk-size ledger (round-5 trace_chunk, rich640d nc=8): K=32
+        # 0.548, K=64 0.526, K=128 0.468 (x6), K=128 0.447 ms/frame
+        # (x24) device-side - per-chunk fixed ops keep amortizing after
+        # the s2d shuffle removal.  K=128 is a pure-throughput
+        # configuration (the live low-latency path stays per-frame /
+        # small-chunk; tools/bench_latency.py).  The transport level is
+        # host-adaptive (Pipeline._s2d_level): x24's repack costs ~1.9
+        # ms/frame of host CPU, so 1-core sandboxes ride x6
         chunk = int(os.environ.get("RTMODT_BENCH_CHUNK", "128"))
         cfg = load_config(overrides=base_over)
         from rtmodt_tpu.ops.yuv import pack_chunk

@@ -211,7 +211,11 @@ def planes_to_x24(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     n, ch, cw = y.shape
     if out is None:
         out = np.empty((n, ch // 4, cw // 4, 24), np.uint8)
-    # full-res row r = 4I + m with m = 2*p2 + p1; col likewise
+    # 24 per-channel strided slice-copies measured FASTER than one
+    # blocked 7-axis transpose-copy (0.62 vs 1.35 ms/frame, 128-frame
+    # 720p blocks, idle host) - numpy's simple strided copy loop beats
+    # its generic transpose path here.  Full-res row r = 4I + m with
+    # m = 2*p2 + p1; col likewise.
     ys = y.reshape(n, ch // 4, 4, cw // 4, 4)
     for m in range(4):
         p2, p1 = divmod(m, 2)

@@ -540,7 +540,9 @@ class MultiStreamPipeline:
                     f"{src_h} geometry is not divisible by 4; use "
                     "transport=packed for auto-selection")
             return 2
-        return 2 if ok24 else 1
+        from rtmodt_tpu.runtime.pipeline import _host_cpus
+
+        return 2 if ok24 and _host_cpus() >= 2 else 1
 
     def _packed_chunk_x6_for(self, src_h: int, src_w: int, t: int,
                              level: int = 1):

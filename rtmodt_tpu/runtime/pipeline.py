@@ -47,6 +47,15 @@ from rtmodt_tpu.visualization.renderer import FrameRenderer
 from rtmodt_tpu.ops.gmc import gmc_step as _gmc_step
 
 
+def _host_cpus() -> int:
+    """Cores actually available to this process (cgroup-aware where the
+    platform supports it) - the x24 auto-upgrade decision input."""
+    try:
+        return len(os.sched_getaffinity(0))
+    except AttributeError:      # non-Linux
+        return os.cpu_count() or 1
+
+
 class Pipeline:
     """Orchestrates one stream end-to-end. Use ``run()`` for the CLI loop or
     ``step(frame, frame_id, ts)`` to drive it frame-by-frame."""
@@ -654,7 +663,12 @@ class Pipeline:
                     f"{meta.pad_top}) is not divisible by 4; use "
                     "transport=packed for auto-selection")
             return 2
-        return 2 if ok24 else 1
+        # auto: x24 trades host CPU (the second-octave strided repack,
+        # ~1.9 ms/frame at 720p) for device time (-4.5%); on a 1-core
+        # host the host is the scarcer resource and the ingest pool
+        # would cap e2e throughput, so auto upgrades only when the host
+        # has cores to spare (pin transport=x24 to override)
+        return 2 if ok24 and _host_cpus() >= 2 else 1
 
     def _packed_chunk_x6_for(self, src_h: int, src_w: int, k: int,
                              level: int = 1):
